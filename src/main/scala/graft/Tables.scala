@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver-provided parquet corpus (TESTDATA.md) plus
+  * session tuning shared by every entry point.
+  *
+  * Design note (100 TB): all readers return plain `spark.read.parquet`
+  * scans — no caching, no collect — so Catalyst keeps full freedom for
+  * column pruning and predicate pushdown into the parquet scan.
+  */
+object Tables {
+
+  /** Idempotent per-session settings every query path relies on. */
+  def tune(spark: SparkSession): SparkSession = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's TimestampType
+    // (µs) cannot hold; read as raw Long nanos — mirrors the reference's
+    // decision to keep block_timestamp as u64 nanos as the source of
+    // truth (SURVEY.md §1.3).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    tune(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String)    = table(s, d, "region")
+  def nation(s: SparkSession, d: String)    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String)  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String)  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String)      = table(s, d, "part")
+  def orders(s: SparkSession, d: String)    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String)  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String)    = table(s, d, "events")
+  def documents(s: SparkSession, d: String) = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
+
+  /** Exact decimal sum rendered as a double.
+    *
+    * Summing doubles is order-dependent, so a Spark sum and a DuckDB
+    * oracle sum can differ in the last bits and fail a hash compare.
+    * Casting to decimal first makes the aggregate exact and identical in
+    * both engines; the final decimal→double cast is deterministic
+    * (IEEE round-to-nearest) on both sides. SQL twin:
+    * `CAST(SUM(CAST(x AS DECIMAL(28,s))) AS DOUBLE)`.
+    */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(28, scale))).cast(DoubleType)
+
+  /** Exact decimal average rendered as a double; SQL twin:
+    * `CAST(SUM(CAST(x AS DECIMAL(28,s))) / COUNT(*) AS DOUBLE)` — NB
+    * decimal/bigint division semantics differ between engines, so we
+    * divide as doubles AFTER the exact sum: sum is exact, the single
+    * division is deterministic.
+    */
+  def davg(c: Column, scale: Int = 4): Column =
+    (sum(c.cast(DecimalType(28, scale))).cast(DoubleType) /
+      count(lit(1)).cast(DoubleType))
+}

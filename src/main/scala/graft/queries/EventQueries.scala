@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Event-stream analytics over the `events` table (event_id, ts
+  * [nanosecond epoch, read as Long — SURVEY §1.3], user_id, event_type,
+  * value, props [JSON string]).
+  *
+  * These are the reference's silver/gold shapes on a generic event
+  * stream: schema-on-read JSON extraction (M1–M7), conditional
+  * aggregation by day (G6), coalesce-dimension defaults (G7), countIf
+  * validation ratios (V3/V9).
+  */
+object EventQueries {
+
+  /** Nanos → epoch-day without ever touching TimestampType: pure Long
+    * arithmetic is identical in Spark and the DuckDB oracle. */
+  private val NanosPerDay = 86400L * 1000000000L
+  private val NanosPerHour = 3600L * 1000000000L
+
+  /** Schema-on-read JSON path extraction (SURVEY P8/M1): pull `$.k` out
+    * of the stringly-typed `props` column, filter, project.
+    * Reference twin: JSON_VALUE in 02-silver-tables.sql:81-83. */
+  def mJsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+      .filter(col("prop_k") >= 50)
+      .orderBy(col("event_id"))
+  }
+
+  /** Daily conditional aggregation (SURVEY G6/G7/G8): per epoch-day,
+    * sum value for each event family; `multiIf`-style conditional sums.
+    * Reference twin: 03-gold-views.sql:23-31. */
+  def gDailyMetrics(spark: SparkSession, dir: String): DataFrame = {
+    // Integer DIV, not `/`: ts ≈ 1.7e18 exceeds double's 53-bit mantissa,
+    // so float division would mis-bucket boundary rows.
+    val e = events(spark, dir)
+      .withColumn("epoch_day", expr(s"ts DIV ${NanosPerDay}L"))
+    e.groupBy(col("epoch_day"))
+      .agg(
+        dsum(when(col("event_type") === "purchase", col("value")), 2)
+          .as("purchase_value"),
+        dsum(when(col("event_type") === "view", col("value")), 2)
+          .as("view_value"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("error_count"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("epoch_day"))
+  }
+
+  /** Hourly tumbling-window aggregation by pure integer bucketing —
+    * the batch twin of a Structured Streaming `window(ts, "1 hour")`
+    * (same bucket boundaries), exact in both engines. */
+  def gHourlyActivity(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .withColumn("hour_bucket",
+        (col("ts") - (col("ts") % lit(NanosPerHour))).as("hour_bucket"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+  }
+
+  /** Latest event per user — FINAL/last-write-wins dedup on the stream
+    * (SURVEY K2). Timestamps are exposed µs-truncated (`ts DIV 1000`)
+    * because the DuckDB oracle reads parquet TIMESTAMP(NANOS) at µs
+    * precision — the same normalization the reference's own PG↔CH
+    * cross-validator applies (cross-validate-pg.sh:100-140). Ordering
+    * also uses the truncated value (+ unique event_id tiebreak) so both
+    * engines rank identically. */
+  def kLatestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).withColumn("ts_us", expr("ts DIV 1000"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  /** countIf-style validation ratio (SURVEY V3/V9): share of error
+    * events per user bucket; ratio = exact counts divided once as
+    * doubles (deterministic). Reference twin: validate.sh:124-139. */
+  def vErrorRatio(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("error_count"),
+        count(lit(1)).as("total_count"))
+      .withColumn("error_ratio",
+        col("error_count").cast("double") / col("total_count").cast("double"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Sessionization-lite: per user, order events by ts and attach the
+    * previous event's type and the gap in nanos (lag window) — the
+    * analytic-function family the reference lacks but a training-data
+    * pipeline needs. */
+  def wEventGaps(spark: SparkSession, dir: String): DataFrame = {
+    // µs-truncated time (see kLatestEventPerUser) for oracle parity.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_type"))
+      .withColumn("prev_type",
+        coalesce(lag(col("event_type"), 1).over(w), lit("none")))
+      .withColumn("gap_us",
+        col("ts_us") - coalesce(lag(col("ts_us"), 1).over(w), col("ts_us")))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Core relational analytics over the driver corpus — the query shapes
+  * the reference's gold layer uses (equi joins, conditional aggregation,
+  * DISTINCT pre-dedup, ORDER BY), expressed Spark-first.
+  *
+  * Scale notes (100 TB): dimension tables (region, nation, supplier,
+  * part, customer) are broadcast explicitly so the fact-table scan never
+  * shuffles for a dim join; aggregations are partial (map-side combine)
+  * by construction of groupBy/agg; every query's filters sit directly on
+  * the scanned columns so Catalyst pushes them into the parquet reader.
+  */
+object TpchQueries {
+
+  /** TPC-H Q1 shape: scan-heavy conditional aggregation on the largest
+    * table. Mirrors gold G6 (conditional sums) on lineitem.
+    * Reference twin: clickhouse/init/03-gold-views.sql:23-30. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("sum_disc_price"),
+        davg(col("l_quantity"), 2).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3 shape: selective fact-fact join + revenue top-k.
+    * customer (broadcast) ⋈ orders ⋈ lineitem. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val l = lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: star join through region→nation→customer→orders→
+    * lineitem with all dims broadcast. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val r = region(spark, dir)
+    val n = nation(spark, dir)
+    val c = customer(spark, dir)
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Filter + projection pushdown showcase (SURVEY P3–P5 `isin` pattern):
+    * both predicates reach the parquet scan, only 4 columns are read. */
+  def pFilterProject(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir)
+      .filter(col("l_returnflag").isin("R", "A") &&
+        col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** ReplacingMergeTree/FINAL semantics (SURVEY K2): latest row per key
+    * via row_number window — last-write-wins dedup exactly as the
+    * reference's `FROM <table> FINAL` reads.
+    * Reference twin: 01-core-tables.sql:24-27 + cross-validate.sh:111. */
+  def kLatestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Referential-integrity anti-join (SURVEY V4): orders whose customer
+    * is missing — LEFT JOIN … IS NULL expressed as a proper anti join. */
+  def vOrphanOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val c = customer(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_count"))
+  }
+
+  /** Per-table min/max/count consistency report (SURVEY V2), one row per
+    * table via unionByName — mirrors validate.sh:107-118. */
+  def vTableRanges(spark: SparkSession, dir: String): DataFrame = {
+    def summary(name: String, df: DataFrame, key: String): DataFrame =
+      df.agg(
+        min(col(key)).cast("long").as("min_key"),
+        max(col(key)).cast("long").as("max_key"),
+        count(lit(1)).as("row_count"))
+        .withColumn("table_name", lit(name))
+        .select("table_name", "min_key", "max_key", "row_count")
+    summary("orders", orders(spark, dir), "o_orderkey")
+      .unionByName(summary("lineitem", lineitem(spark, dir), "l_orderkey"))
+      .unionByName(summary("customer", customer(spark, dir), "c_custkey"))
+      .unionByName(summary("part", part(spark, dir), "p_partkey"))
+      .orderBy(col("table_name"))
+  }
+
+  /** Semi-join (EXISTS) — customers having at least one high-value
+    * order; complements V4's anti-join. */
+  def jCustomersWithBigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).filter(col("o_totalprice") > 100000.0)
+    customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+}
