@@ -1,0 +1,105 @@
+package graft.gold
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Gold layer — gold_view_intents_metrics (SURVEY.md §2.6 G1–G8;
+  * reference: clickhouse/init/03-gold-views.sql:4-31).
+  *
+  * Inputs are the silver DataFrames plus the `defuse_assets` dimension
+  * (blockchain, contract_address, decimals, defuse_asset_id, price,
+  * price_updated_at_ns, symbol — 02-silver-tables.sql:12-22).
+  *
+  * Plan shape at scale: both joins are left equi joins; token_diff
+  * referrals and the asset price list are small → broadcast, so the
+  * only shuffle in the whole view is the final groupBy — and that one
+  * is partial-aggregated map-side. The day column is derived BEFORE the
+  * join so the date-equality "as-of by day" price join (G3) stays a
+  * plain hash join on (day, asset_id).
+  */
+object GoldViews {
+
+  private val NanosPerDay = 86400L * 1000000000L
+
+  /** G1–G8. `broadcastDims=false` lets tests exercise the shuffle path. */
+  def intentsMetrics(
+      nep245: DataFrame,
+      tokenDiff: DataFrame,
+      assets: DataFrame,
+      broadcastDims: Boolean = true): DataFrame = {
+
+    val d0 = tokenDiff.select(
+      col("related_receipt_id"), col("referral"))
+    val a0 = assets.select(
+      expr(s"price_updated_at_ns DIV ${NanosPerDay}L").as("price_day"),
+      col("defuse_asset_id"), col("decimals"), col("price"),
+      col("symbol"), col("blockchain"))
+    val d = if (broadcastDims) broadcast(d0) else d0
+    val a = if (broadcastDims) broadcast(a0) else a0
+
+    val e = nep245.withColumn("day", expr(s"block_timestamp_ns DIV ${NanosPerDay}L"))
+
+    // G2: equi left join on receipt; G3: as-of-by-day price join
+    // expressed as equi join on the derived day (03-gold-views.sql:19-20).
+    val joined = e
+      .join(d, Seq("related_receipt_id"), "left")
+      .join(a,
+        e("day") === a("price_day") && e("token_id") === a("defuse_asset_id"),
+        "left")
+      // G5: derived measure (03:16)
+      .withColumn("usd_value",
+        (col("amount") / pow(lit(10.0), col("decimals"))) * col("price"))
+      // G4 part 1: NOT(referral empty AND memo empty) — three-valued
+      // logic identical to ClickHouse's (03:21)
+      .filter(!(length(col("referral")) === 0 && length(col("memo")) === 0))
+
+    // G1: DISTINCT pre-dedup on the projected tuple (03:15)
+    val deduped = joined.select(
+      col("block_timestamp_ns"), col("day"), col("block_hash"), col("event"),
+      col("memo"), col("old_owner_id"), col("new_owner_id"), col("token_id"),
+      col("usd_value"), col("symbol"), col("blockchain"), col("referral"))
+      .distinct()
+
+    deduped
+      // G4 part 2 (03:29)
+      .filter(col("symbol") =!= "" && col("blockchain") =!= "")
+      // G6 conditional aggregation + G7 referral default (03:23-30)
+      .groupBy(
+        col("day"),
+        col("symbol"),
+        coalesce(col("referral"), lit("Others")).as("referral"),
+        col("blockchain"))
+      .agg(
+        sum(when(col("event") === "mt_transfer", col("usd_value")))
+          .as("transfer_volume"),
+        sum(when(col("event") === "mt_mint", col("usd_value")))
+          .as("deposits"),
+        (sum(when(col("event") === "mt_burn", col("usd_value"))) * -1)
+          .as("withdraws"),
+        sum(when(col("event") === "mt_mint", col("usd_value"))
+          .when(col("event") === "mt_burn", col("usd_value") * -1))
+          .as("netflow"))
+      // G8 (03:31)
+      .orderBy(col("day"))
+  }
+
+  /** S4 — defuse_assets loader: the reference refreshes this dimension
+    * daily from an HTTP JSON feed `{items: [...]}` (README.md:293-310).
+    * Here: parse a pre-fetched JSON document (zero-egress container) —
+    * the explode(items) → project pipeline is the same. */
+  def loadAssetsFromJson(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val itemSchema = StructType(Seq(
+      StructField("blockchain", StringType),
+      StructField("contract_address", StringType),
+      StructField("decimals", LongType),
+      StructField("defuse_asset_id", StringType),
+      StructField("price", DoubleType),
+      StructField("price_updated_at_ns", LongType),
+      StructField("symbol", StringType)))
+    raw.select(explode(from_json(col("payload"),
+      StructType(Seq(StructField("items", ArrayType(itemSchema)))))
+      .getField("items")).as("item"))
+      .select(col("item.*"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.state
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.model.NearModel
+
+/** Receipt → parent-transaction resolution (SURVEY.md §2.4, T1–T5).
+  *
+  * NEAR receipts execute 1..N blocks after their parent transaction, so
+  * `receipt_id → tx_hash` is a transitive closure over the receipt DAG:
+  *
+  *  - seed edges: every transaction maps its first receipt_id to its own
+  *    hash (reference: extractors/transactions.rs:88-114); transactions
+  *    of accounts-of-interest write the MAIN tier, others the POTENTIAL
+  *    tier (transactions.rs:133-147),
+  *  - propagation edges: an outcome whose receipt is resolved maps all
+  *    spawned child receipt_ids to the same tx
+  *    (receipts_and_outcomes.rs:186-191,237-252),
+  *  - TTL: an entry lives ~50 blocks (900 s Redis EX, config.rs:27-29)
+  *    and is refreshed at every propagation hop, so each hop must occur
+  *    within `ttlBlocks` of the previous write,
+  *  - promotion (T4): a potential entry is promoted to main when an
+  *    outcome touching accounts of interest reads it. For resolution
+  *    *results* the tiers are equivalent (lookups consult both); we
+  *    carry the tier through so metrics/tests can observe promotions.
+  *
+  * Batch implementation: frontier BFS with iterative joins — the classic
+  * distributed transitive closure. Receipt chains are shallow (a handful
+  * of hops), so the loop runs few iterations; each iteration shuffles on
+  * `parent_receipt_id`, the frontier is persisted and localCheckpointed
+  * to cut lineage. At 100 TB the edge set is partitioned by join key and
+  * the frontier is typically small enough for a broadcast join — AQE
+  * decides at runtime from actual sizes.
+  *
+  * The streaming twin (flatMapGroupsWithState with processing-time TTL)
+  * lives in [[graft.streaming.StreamingResolver]].
+  */
+object ReceiptTxResolver {
+
+  /** @param transactions output of BronzeExtractors.transactions
+    *                     (needs first_receipt_id, of_interest)
+    * @param outcomes     output of BronzeExtractors.outcomes
+    * @return (receipt_id, tx_hash, main: Boolean, entry_height) — one
+    *         row per resolvable receipt, earliest write wins.
+    */
+  def resolve(
+      transactions: DataFrame,
+      outcomes: DataFrame,
+      ttlBlocks: Long = NearModel.TtlBlocks,
+      maxHops: Int = 32): DataFrame = {
+
+    val seeds = transactions
+      .filter(col("first_receipt_id").isNotNull)
+      .select(
+        col("first_receipt_id").as("receipt_id"),
+        col("transaction_hash").as("tx_hash"),
+        col("of_interest").as("main"),
+        col("block_height").as("entry_height"))
+
+    // child edges: parent receipt (the one this outcome executed) →
+    // every spawned receipt, stamped with the block the hop happens in.
+    val edges = outcomes
+      .select(
+        col("receipt_id").as("parent_receipt_id"),
+        explode(col("receipt_ids")).as("child_receipt_id"),
+        col("block_height").as("hop_height"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var resolved = seeds.dropDuplicates("receipt_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = resolved
+    var hops = 0
+    var grew = true
+    while (grew && hops < maxHops) {
+      val next = edges
+        .join(frontier, edges("parent_receipt_id") === frontier("receipt_id"))
+        .filter(col("hop_height") >= col("entry_height") &&
+          col("hop_height") - col("entry_height") <= ttlBlocks)
+        .select(
+          col("child_receipt_id").as("receipt_id"),
+          col("tx_hash"), col("main"),
+          col("hop_height").as("entry_height"))
+        .join(resolved.select(col("receipt_id").as("done_id")),
+          col("receipt_id") === col("done_id"), "left_anti")
+        .dropDuplicates("receipt_id")
+        .localCheckpoint() // cut lineage across iterations
+      val n = next.count()
+      if (n == 0) grew = false
+      else {
+        resolved = resolved.unionByName(next)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        frontier = next
+        hops += 1
+      }
+    }
+    edges.unpersist()
+    resolved
+  }
+
+  /** Attach tx_hash to event rows; `dropUnresolved=true` reproduces the
+    * reference's warn-and-drop policy (T5, events.rs:206-213), false
+    * keeps NULL tx_hash (schema allows it; ≤5% gate in validate.sh:129). */
+  def attachTxHash(
+      eventRows: DataFrame,
+      resolved: DataFrame,
+      dropUnresolved: Boolean = true): DataFrame = {
+    val mapping = resolved.select(
+      col("receipt_id").as("related_receipt_id"), col("tx_hash"))
+    val joined = eventRows.join(mapping, Seq("related_receipt_id"), "left")
+    if (dropUnresolved) joined.filter(col("tx_hash").isNotNull) else joined
+  }
+
+  /** Attach parent_transaction_hash to receipt/outcome rows; unresolved
+    * rows keep '' (ClickHouse non-null String default — SURVEY §1.3). */
+  def attachParentTx(rows: DataFrame, resolved: DataFrame): DataFrame = {
+    val mapping = resolved.select(
+      col("receipt_id").as("__rid"), col("tx_hash").as("__tx"))
+    rows.join(mapping, rows("receipt_id") === col("__rid"), "left")
+      .withColumn("parent_transaction_hash", coalesce(col("__tx"), lit("")))
+      .drop("__rid", "__tx")
+  }
+}
