@@ -4,7 +4,7 @@ package graft.model
   *
   * Input shape mirrors the fields the reference's extractors actually
   * read from a `StreamerMessage` (FIXTURES.md §1; reference:
-  * indexer-common/src/extractors/*.rs), expressed as Scala case classes
+  * indexer-common/src/extractors, the .rs files), expressed as Scala case classes
   * so fixtures are `Dataset[Block]`s with full Encoder support.
   *
   * Timestamps are epoch NANOSECONDS kept as Long end-to-end — the

@@ -42,8 +42,11 @@ object TpchQueries {
       .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
     val l = lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    // customer is fact-scale (grows with SF) — no forced broadcast; AQE
+    // decides broadcast-vs-shuffle at runtime so the same plan survives
+    // a 100× scale-up (VERDICT r1 performance finding).
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
         .as("revenue"))
@@ -59,8 +62,10 @@ object TpchQueries {
     val c = customer(spark, dir)
     val o = orders(spark, dir)
     val l = lineitem(spark, dir)
+    // Broadcast only genuinely bounded dims (region=5, nation=25 rows);
+    // customer is fact-scale → left to AQE (scale-safe).
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -100,7 +105,9 @@ object TpchQueries {
   def vOrphanOrders(spark: SparkSession, dir: String): DataFrame = {
     val o = orders(spark, dir)
     val c = customer(spark, dir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_anti")
+    // Plain shuffled anti-join: the build side (customer) is fact-scale,
+    // so no forced broadcast — AQE may still choose one at small SF.
+    o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("orphan_count"))
   }
 
