@@ -22,7 +22,7 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          System.err.println(s"[bench] $name FAILED: $e")
           failures ::= name
           false
         }

@@ -116,7 +116,7 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 86400000000000 AS epoch_day,
         |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(28,2))) AS DOUBLE) AS purchase_value,
         |  CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(28,2))) AS DOUBLE) AS view_value,
-        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
         |  COUNT(*) AS n_events
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -135,7 +135,7 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
     "v_error_ratio" ->
       """SELECT user_id,
-        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
         |  COUNT(*) AS total_count,
         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS error_ratio

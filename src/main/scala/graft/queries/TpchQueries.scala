@@ -9,11 +9,13 @@ import graft.Tables._
   * the reference's gold layer uses (equi joins, conditional aggregation,
   * DISTINCT pre-dedup, ORDER BY), expressed Spark-first.
   *
-  * Scale notes (100 TB): dimension tables (region, nation, supplier,
-  * part, customer) are broadcast explicitly so the fact-table scan never
-  * shuffles for a dim join; aggregations are partial (map-side combine)
-  * by construction of groupBy/agg; every query's filters sit directly on
-  * the scanned columns so Catalyst pushes them into the parquet reader.
+  * Scale notes (100 TB): only genuinely bounded dims (region=5,
+  * nation=25 rows) carry explicit broadcast hints; fact-scale relations
+  * (customer, orders, lineitem) are left to AQE, which broadcasts at
+  * small SF and shuffle-hashes at large SF; aggregations are partial
+  * (map-side combine) by construction of groupBy/agg; every query's
+  * filters sit directly on the scanned columns so Catalyst pushes them
+  * into the parquet reader.
   */
 object TpchQueries {
 
@@ -35,7 +37,7 @@ object TpchQueries {
   }
 
   /** TPC-H Q3 shape: selective fact-fact join + revenue top-k.
-    * customer (broadcast) ⋈ orders ⋈ lineitem. */
+    * customer ⋈ orders ⋈ lineitem, join strategy left to AQE. */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val c = customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = orders(spark, dir)
@@ -55,7 +57,7 @@ object TpchQueries {
   }
 
   /** TPC-H Q5 shape: star join through region→nation→customer→orders→
-    * lineitem with all dims broadcast. */
+    * lineitem; bounded dims (region, nation) broadcast, the rest AQE. */
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     val r = region(spark, dir)
     val n = nation(spark, dir)
