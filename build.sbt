@@ -14,7 +14,6 @@ run / fork := true
 // Forked run output goes straight to stdout WITHOUT sbt's "[info] "
 // prefix — the driver parses Bench's single JSON line from stdout and
 // a prefixed line is unparseable (BENCH_r02.json "parsed": null).
-run / outputStrategy := Some(sbt.OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(sbt.OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries._
+import graft.llm.{TextAnalysis, Dedup, Similarity, Multimodal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +35,18 @@ object SparkEntry {
     "k_latest_event_per_user" -> (EventQueries.kLatestEventPerUser _),
     "v_error_ratio"        -> (EventQueries.vErrorRatio _),
     "w_event_gaps"         -> (EventQueries.wEventGaps _),
+    // LLM training-data pipeline (brief: first-class deliverables)
+    "t_text_stats"      -> (TextAnalysis.tTextStats _),
+    "t_lang_id"         -> (TextAnalysis.tLangId _),
+    "t_quality_score"   -> (TextAnalysis.tQualityScore _),
+    "t_fingerprint"     -> (TextAnalysis.tFingerprint _),
+    "d_exact_dedup"     -> (Dedup.dExactDedup _),
+    "d_minhash_pairs"   -> ((s, d) => Dedup.dMinhashPairs(s, d)),
+    "d_simhash"         -> (Dedup.dSimhash _),
+    "s_cosine_topk"     -> ((s, d) => Similarity.sCosineTopk(s, d)),
+    "s_cosine_pairs"    -> ((s, d) => Similarity.sCosinePairs(s, d)),
+    "s_ann_ivf"         -> ((s, d) => Similarity.sAnnIvf(s, d)),
+    "mm_media_features" -> (Multimodal.mmMediaFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -148,5 +161,139 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |ORDER BY user_id, epoch_us(ts), event_id""".stripMargin,
+    "t_text_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars,
+        |  CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
+        |FROM (SELECT lang, source, n_chars,
+        |        len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |      FROM documents) t
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "t_lang_id" ->
+      """SELECT doc_id, lang, n_tokens, stop_count,
+        |  CAST(stop_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+        |  CASE WHEN CAST(stop_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.1 THEN 'en_like'
+        |       WHEN CAST(stop_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.05 THEN 'latin_like'
+        |       ELSE 'other' END AS lang_guess
+        |FROM (SELECT doc_id, lang,
+        |        CAST(len(t) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_filter(t, x -> list_contains(
+        |          ['the','a','of','and','in','to','is'], x))) AS BIGINT) AS stop_count
+        |      FROM (SELECT doc_id, lang,
+        |              string_split_regex(trim(text), '\s+') AS t
+        |            FROM documents) x) y
+        |ORDER BY doc_id""".stripMargin,
+    "t_quality_score" ->
+      """SELECT doc_id, lang, n_tokens, n_distinct,
+        |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+        |  CAST(nonspace AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+        |  0.5 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+        |    CASE WHEN n_tokens >= 50 THEN 0.5
+        |         ELSE CAST(n_tokens AS DOUBLE) * 0.01 END AS quality
+        |FROM (SELECT doc_id, lang,
+        |        CAST(len(t) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+        |        CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS nonspace
+        |      FROM (SELECT doc_id, lang, text,
+        |              string_split_regex(trim(text), '\s+') AS t
+        |            FROM documents) x) y
+        |ORDER BY doc_id""".stripMargin,
+    "t_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  md5(lower(trim(text))) AS norm_hash,
+        |  substring(md5(text), 1, 16) AS fp64,
+        |  CAST(CASE WHEN len(t) >= 3 THEN
+        |    len(list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+        |    ELSE 0 END AS BIGINT) AS n_shingles
+        |FROM (SELECT doc_id, text,
+        |        string_split_regex(trim(text), '\s+') AS t FROM documents) x
+        |ORDER BY doc_id""".stripMargin,
+    "d_exact_dedup" ->
+      """SELECT md5(lower(trim(text))) AS norm_hash,
+        |  COUNT(*) AS group_size,
+        |  CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 100000, text FROM documents) u
+        |GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    "d_minhash_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ss
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents) x),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM p
+        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "d_simhash" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_distinct(string_split_regex(trim(text), '\s+')) AS dt
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(dt) AS tok FROM t),
+        |bits AS (SELECT doc_id, tok, b,
+        |    instr('0123456789abcdef', substring(md5(tok), (b // 4) + 1, 1)) - 1 AS nib
+        |  FROM tok CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bs),
+        |bv AS (SELECT doc_id, b,
+        |    SUM(2 * (CASE b % 4 WHEN 0 THEN nib // 8 WHEN 1 THEN (nib // 4) % 2
+        |             WHEN 2 THEN (nib // 2) % 2 ELSE nib % 2 END) - 1) AS s
+        |  FROM bits GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  CAST(SUM((CASE WHEN s >= 0 THEN 1 ELSE 0 END) *
+        |    CAST(pow(2, b) AS BIGINT)) AS BIGINT) AS simhash
+        |FROM bv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "s_cosine_topk" ->
+      """WITH n AS (SELECT vec_id, emb,
+        |    sqrt(list_sum(list_transform(list_zip(emb, emb), x -> x[1] * x[2]))) AS nrm
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e),
+        |p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.emb, x.emb), x2 -> x2[1] * x2[2]))
+        |      / (q.nrm * x.nrm) AS cosine
+        |  FROM n q JOIN n x ON q.vec_id < 10 AND x.vec_id != q.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cosine
+        |FROM r WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
+    "s_cosine_pairs" ->
+      """WITH n AS (SELECT vec_id, emb,
+        |    sqrt(list_sum(list_transform(list_zip(emb, emb), x -> x[1] * x[2]))) AS nrm
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(list_zip(a.emb, b.emb), x -> x[1] * x[2]))
+        |      / (a.nrm * b.nrm) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cosine FROM p
+        |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "s_ann_ivf" ->
+      """WITH n AS (SELECT vec_id, label, emb,
+        |    sqrt(list_sum(list_transform(list_zip(emb, emb), x -> x[1] * x[2]))) AS nrm
+        |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings) e),
+        |p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.emb, x.emb), x2 -> x2[1] * x2[2]))
+        |      / (q.nrm * x.nrm) AS cosine
+        |  FROM n q JOIN n x ON q.vec_id < 20 AND x.label = q.label
+        |    AND x.vec_id != q.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cosine
+        |FROM r WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin,
+    "mm_media_features" ->
+      """SELECT doc_id, 'image/fake' AS media_type,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST((n_chars % 64) + 16 AS INTEGER) AS width,
+        |  CAST(((n_chars // 64) % 64) + 16 AS INTEGER) AS height,
+        |  CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |    i -> ascii(substring(text, i, 1)))) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS mean_byte,
+        |  CAST((length(text) + 15) // 16 AS BIGINT) AS frames_sampled
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

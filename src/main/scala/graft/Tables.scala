@@ -21,6 +21,7 @@ object Tables {
     // truth (SURVEY.md §1.3).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 

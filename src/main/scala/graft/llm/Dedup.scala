@@ -1,0 +1,154 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import TextAnalysis.tokens
+
+/** Deduplication operators over the `documents` table: exact
+  * (normalized-hash groupBy), MinHash+LSH near-dup (banded signatures →
+  * bucket join → within-bucket exact verify), and SimHash signatures.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup is one hash-partitioned groupBy on a 32-byte key —
+  *    the same shuffle profile as the reference's ReplacingMergeTree
+  *    PK dedup (SURVEY K2), and the canonical first stage of any
+  *    training-data dedup pipeline.
+  *  - Near-dup NEVER does all-pairs: candidate generation is a
+  *    self-equi-join on (band, bucket) — a hash shuffle whose output is
+  *    only same-bucket pairs — followed by exact Jaccard verification
+  *    of candidates only. Band/row counts tune the recall/cost curve;
+  *    with 16 bands × 2 rows, a pair at the 0.8 threshold is missed
+  *    with probability (1-0.8²)^16 ≈ 6e-8, i.e. recall ≈ 1, which is
+  *    why the DuckDB oracle can be the exact all-pairs computation.
+  *  - SimHash is a narrow map + two partial aggregations; the signature
+  *    is the input to hamming-bucket joins at scale.
+  */
+object Dedup {
+
+  /** Distinct 3-token shingle set; empty when the doc has <3 tokens
+    * (`sequence(0, size-3)` would count down for short docs, so guard). */
+  private def shingleExpr =
+    when(size(col("t")) >= 3,
+      expr("array_distinct(transform(sequence(0, size(t) - 3), " +
+        "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"))
+      .otherwise(expr("CAST(array() AS array<string>)"))
+
+  /** Shingle computation is the expensive narrow stage; a small local
+    * parquet arrives as ONE split, which would serialize it on a single
+    * core. Repartition by doc_id first so it parallelizes — at real
+    * scale the scan already has many splits and this is a cheap
+    * hash-exchange of (id, text) pairs. */
+  private def withShingles(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .repartition(col("doc_id"))
+      .withColumn("t", tokens(col("text")))
+      .withColumn("ss", shingleExpr)
+      .select("doc_id", "ss")
+
+  /** Exact deduplication over a re-ingested (duplicated) corpus: the
+    * documents table unioned with a shifted-id copy of itself models the
+    * at-least-once re-insert the reference's ReplacingMergeTree absorbs
+    * (01-core-tables.sql:24-27). Group by the normalized content hash;
+    * each group reports its size and the canonical (minimum) id —
+    * deterministic survivor choice, per VERDICT r1 finding #3. */
+  def dExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val reingested = d.withColumn("doc_id", col("doc_id") + lit(100000L))
+    d.unionByName(reingested)
+      .withColumn("norm_hash", md5(lower(trim(col("text")))))
+      .groupBy(col("norm_hash"))
+      .agg(count(lit(1)).as("group_size"),
+        min(col("doc_id")).cast("long").as("canonical_id"))
+      .orderBy(col("canonical_id"))
+  }
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * shingle → 32 minhashes (min of seeded xxhash64 over the shingle
+    * set) → 16 bands of 2 rows hashed to a bucket → self-join on
+    * (band, bucket) for candidates → exact Jaccard on the candidate
+    * pairs only → threshold.
+    *
+    * xxhash64 is a Spark-side implementation detail (codegen'd, long
+    * output, no UDF); the oracle doesn't mirror the signatures — it
+    * computes exact all-pairs Jaccard, which equals this output because
+    * band recall at the threshold is ≈1 (see object scaladoc).
+    */
+  def dMinhashPairs(spark: SparkSession, dir: String,
+                    threshold: Double = 0.8): DataFrame = {
+    val numHashes = 32
+    val bands = 16
+    val rows = numHashes / bands
+    // The shingle-set relation feeds three plan branches (signatures +
+    // both sides of the candidate verify). Without materialization each
+    // branch re-derives it — persist() (memory-and-disk, spillable at
+    // scale) is the SURVEY §4 "compute once, project twice" pattern.
+    val docs = withShingles(spark, dir).persist()
+
+    // Signatures as a codegen-friendly plan: explode shingles once,
+    // then ONE hash-partitioned groupBy computing all 32 per-seed mins
+    // as partial (map-side combined) aggregates — every expression is
+    // codegen'd (xxhash64(seed, shingle) per column), no interpreted
+    // lambda in the hot path. Docs with <3 tokens have no shingles and
+    // drop out here; they cannot be shingle near-dups.
+    val sig = docs
+      .select(col("doc_id"), explode(col("ss")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(min(xxhash64(lit(0), col("s"))).as("h0"),
+        (1 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i")): _*)
+      .persist() // both sides of the band self-join read it
+
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)): _*))
+        .as(Seq("band", "bucket")))
+
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
+          size(array_distinct(concat(col("ss_a"), col("ss_b")))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 32-bit SimHash signature per document over its distinct tokens.
+    *
+    * Bit b of md5(token) is extracted portably: hex nibble via
+    * instr('0123456789abcdef', …) then integer shifts spelled as
+    * DIV/%, identical in the DuckDB oracle. Bit b of the signature is
+    * set iff Σ_tokens (2·bit_b − 1) ≥ 0. Everything is exact integer
+    * arithmetic — bit-stable across engines. */
+  def dSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = documents(spark, dir)
+      .repartition(col("doc_id")) // parallelize the narrow stage (see withShingles)
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", md5(col("tok"))) // hash once, not once per bit
+    tok
+      .select(col("doc_id"), col("h"),
+        explode(expr("sequence(0, 31)")).as("b"))
+      .withColumn("nib",
+        expr("instr('0123456789abcdef', substring(h, CAST(b DIV 4 AS int) + 1, 1)) - 1"))
+      .withColumn("bit",
+        expr("CASE b % 4 WHEN 0 THEN nib DIV 8 WHEN 1 THEN (nib DIV 4) % 2 " +
+          "WHEN 2 THEN (nib DIV 2) % 2 ELSE nib % 2 END"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(expr("2 * bit - 1")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("(CASE WHEN s >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, b) AS bigint)"))
+        .cast("long").as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Similarity search over the `embeddings` table (vec_id,
+  * embedding: Array[Float] (64-dim), label).
+  *
+  * Cosine similarity is a sequential left-fold dot product in double
+  * precision via the custom codegen'd [[graft.functions.DotProduct]]
+  * expression. A left fold is order-deterministic, which is what makes
+  * the result bit-identical to the DuckDB oracle's
+  * `list_sum(list_transform(list_zip(…)))` (verified: both equal a
+  * float64 sequential fold). No UDFs — everything stays codegen'd.
+  *
+  * Scale design (100 TB):
+  *  - Top-k: the query set is small by definition → `broadcast(q)`, so
+  *    the corpus scan never shuffles; per-partition partial top-k via
+  *    the window is the brute-force baseline.
+  *  - IVF variant: search only the query's coarse partition (here the
+  *    `label` bucket) via a hash equi-join on the bucket key — the
+  *    partition-pruned ANN pattern; at scale the bucket key comes from
+  *    a trained coarse quantizer, the join shape is identical.
+  *  - Low-threshold pair mining (sCosinePairs) is inherently Ω(n²)
+  *    verification work; at scale the candidate stage becomes an LSH
+  *    bucket join exactly like [[Dedup.dMinhashPairs]].
+  */
+object Similarity {
+
+  /** Cast to double once, precompute the L2 norm once per vector.
+    * `dot_product` is the codegen'd [[graft.functions.DotProduct]] —
+    * bit-identical to the `aggregate(zip_with(...))` fold but native. */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("emb", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+
+  private def dot(a: String, b: String) = expr(s"dot_product($a, $b)")
+
+  /** Brute-force cosine top-k for a query set (vec_id < nQueries)
+    * against the whole corpus — the exact baseline ANN is judged
+    * against. Broadcast the queries; rank with a per-query window. */
+  def sCosineTopk(spark: SparkSession, dir: String,
+                  k: Int = 10, nQueries: Int = 10): DataFrame = {
+    val e = withNorm(embeddings(spark, dir)).select("vec_id", "emb", "nrm")
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = broadcast(q).crossJoin(e)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dot("q_emb", "emb") / (col("q_nrm") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
+    * cosine ≥ threshold. This is the exact verification stage; see the
+    * object scaladoc for how the candidate stage shards at scale. */
+  def sCosinePairs(spark: SparkSession, dir: String,
+                   threshold: Double = 0.4): DataFrame = {
+    val e = withNorm(embeddings(spark, dir)).select("vec_id", "emb", "nrm")
+    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+      col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+      col("nrm").as("nrm_b"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** IVF-style bucketed ANN: each query searches ONLY its coarse
+    * partition (the `label` bucket) — an equi-join on the bucket key
+    * instead of a scan of the corpus. Returns top-3 in-bucket
+    * neighbors per query (vec_id < nQueries). */
+  def sAnnIvf(spark: SparkSession, dir: String,
+              k: Int = 3, nQueries: Int = 20): DataFrame = {
+    val e = withNorm(embeddings(spark, dir))
+      .select("vec_id", "label", "emb", "nrm")
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = broadcast(q)
+      .join(e, col("label") === col("q_label") &&
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dot("q_emb", "emb") / (col("q_nrm") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

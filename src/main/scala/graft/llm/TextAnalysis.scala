@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis operators for a large-scale training-data pipeline over
+  * the `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * These extend the reference's silver-layer shapes (stringly-typed
+  * schema-on-read, per-row projections — SURVEY §2.5) to the operations
+  * an LLM data pipeline needs: tokenization, language-ID heuristics,
+  * quality scoring, content fingerprinting.
+  *
+  * Scale design (100 TB): every operator here is a narrow per-row
+  * projection or a partial (map-side combined) aggregation — no joins,
+  * no window over the full corpus, nothing driver-side. All expressions
+  * are built-in Catalyst functions (codegen'd, no UDFs), so plans stay
+  * inside WholeStageCodegen and filters/projections push into the scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the raw text. `trim` first so leading blanks
+    * don't create an empty leading token — identical semantics to the
+    * DuckDB oracle's `string_split_regex(trim(text), '\s+')`. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Corpus statistics per (lang, source): doc counts, exact char/token
+    * totals (integer sums — no float nondeterminism), and averages
+    * derived by a single double division. */
+  def tTextStats(spark: SparkSession, dir: String): DataFrame = {
+    documents(spark, dir)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("avg_chars",
+        col("total_chars").cast("double") / col("n_docs").cast("double"))
+      .withColumn("avg_tokens",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Language-ID heuristic: ratio of English function words among the
+    * whitespace tokens (an n-gram/stopword profile — the classic cheap
+    * lang-ID signal). Deterministic: integer counts, one double
+    * division, threshold CASE identical in the oracle. */
+  def tLangId(spark: SparkSession, dir: String): DataFrame = {
+    documents(spark, dir)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("stop_count",
+        size(expr("filter(t, x -> array_contains(" +
+          "array('the','a','of','and','in','to','is'), x))")).cast("long"))
+      .withColumn("stop_ratio",
+        col("stop_count").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("lang_guess",
+        when(col("stop_ratio") >= 0.1, lit("en_like"))
+          .when(col("stop_ratio") >= 0.05, lit("latin_like"))
+          .otherwise(lit("other")))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("stop_count"),
+        col("stop_ratio"), col("lang_guess"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document quality score: lexical diversity (distinct-token
+    * ratio), mean token length, and a length-saturating component —
+    * the length/punct/stopword-ratio family of heuristic filters used
+    * to gate training data. All ratios are one double division over
+    * exact integers; the score is a fixed linear combination evaluated
+    * in the same operation order as the oracle. */
+  def tQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    documents(spark, dir)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("t"))).cast("long"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("nonspace_chars",
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long"))
+      .withColumn("avg_token_len",
+        col("nonspace_chars").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("quality",
+        lit(0.5) * col("distinct_ratio") +
+          when(col("n_tokens") >= 50, lit(0.5))
+            .otherwise(col("n_tokens").cast("double") * lit(0.01)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_distinct"),
+        col("distinct_ratio"), col("avg_token_len"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content fingerprints per document: full md5 of the raw text, md5 of
+    * the whitespace/case-normalized text (the exact-dedup key), a 64-bit
+    * prefix fingerprint, and the distinct 3-token shingle count (the
+    * cardinality the near-dup pass operates on). md5 is identical in
+    * Spark and DuckDB, so fingerprints are cross-engine comparable —
+    * the portable analog of the reference's cityHash64 fingerprints
+    * (scripts/cross-validate.sh:103-153, SURVEY V7). */
+  def tFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    documents(spark, dir)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("norm_hash", md5(lower(trim(col("text")))))
+      .withColumn("fp64", substring(col("content_hash"), 1, 16))
+      .withColumn("n_shingles",
+        when(size(col("t")) >= 3,
+          size(expr("array_distinct(transform(sequence(0, size(t) - 3), " +
+            "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))")))
+          .otherwise(lit(0)).cast("long"))
+      .select(col("doc_id"), col("content_hash"), col("norm_hash"),
+        col("fp64"), col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+}
