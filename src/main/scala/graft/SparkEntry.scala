@@ -47,6 +47,24 @@ object SparkEntry {
     "s_cosine_pairs"    -> ((s, d) => Similarity.sCosinePairs(s, d)),
     "s_ann_ivf"         -> ((s, d) => Similarity.sAnnIvf(s, d)),
     "mm_media_features" -> (Multimodal.mmMediaFeatures _),
+    // NEAR layer end-to-end over the deterministic fixture corpus
+    // (SURVEY §2.3-§2.6: P1-P13, T2-T5, M1-M10, G1-G8)
+    "near_bronze_events"       -> (NearQueries.bronzeEvents _),
+    "near_bronze_transactions" -> (NearQueries.bronzeTransactions _),
+    "near_bronze_receipts"     -> (NearQueries.bronzeReceipts _),
+    "near_bronze_outcomes"     -> (NearQueries.bronzeOutcomes _),
+    "near_resolver"            -> (NearQueries.resolver _),
+    "near_m1_nep245"           -> (NearQueries.m1Nep245 _),
+    "near_m2_token_diff"       -> (NearQueries.m2TokenDiff _),
+    "near_m3_public_keys"      -> (NearQueries.m3PublicKeys _),
+    "near_m4_intents_executed" -> (NearQueries.m4IntentsExecuted _),
+    "near_m5_fee_changed"      -> (NearQueries.m5FeeChanged _),
+    "near_m6_transfer"         -> (NearQueries.m6Transfer _),
+    "near_m7_staging_transfer" -> (NearQueries.m7StagingTransfer _),
+    "near_m8_transfers"        -> (NearQueries.m8Transfers _),
+    "near_m9_staging_transfers" -> (NearQueries.m9StagingTransfers _),
+    "near_m10_referral"        -> (NearQueries.m10Referral _),
+    "near_gold_metrics"        -> (NearQueries.goldMetrics _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -295,5 +313,23 @@ object SparkEntry {
         |    / CAST(length(text) AS DOUBLE) AS mean_byte,
         |  CAST((length(text) + 15) // 16 AS BIGINT) AS frames_sampled
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // NEAR fixture oracles: bronze/resolver = pinned VALUES golden rows;
+    // silver/gold = independent DuckDB JSON SQL re-implementations.
+    "near_bronze_events"       -> graft.fixtures.NearFixtures.eventsSql,
+    "near_bronze_transactions" -> graft.fixtures.NearFixtures.transactionsSql,
+    "near_bronze_receipts"     -> graft.fixtures.NearFixtures.receiptsSql,
+    "near_bronze_outcomes"     -> graft.fixtures.NearFixtures.outcomesSql,
+    "near_resolver"            -> graft.fixtures.NearFixtures.resolverSql,
+    "near_m1_nep245"           -> graft.fixtures.NearOracles.m1Sql,
+    "near_m2_token_diff"       -> graft.fixtures.NearOracles.m2Sql,
+    "near_m3_public_keys"      -> graft.fixtures.NearOracles.m3Sql,
+    "near_m4_intents_executed" -> graft.fixtures.NearOracles.m4Sql,
+    "near_m5_fee_changed"      -> graft.fixtures.NearOracles.m5Sql,
+    "near_m6_transfer"         -> graft.fixtures.NearOracles.m6Sql,
+    "near_m7_staging_transfer" -> graft.fixtures.NearOracles.m7Sql,
+    "near_m8_transfers"        -> graft.fixtures.NearOracles.m8Sql,
+    "near_m9_staging_transfers" -> graft.fixtures.NearOracles.m9Sql,
+    "near_m10_referral"        -> graft.fixtures.NearOracles.m10Sql,
+    "near_gold_metrics"        -> graft.fixtures.NearOracles.goldSql,
   )
 }

@@ -1,0 +1,225 @@
+package graft.fixtures
+
+/** DuckDB oracle SQL for the NEAR silver/gold queries — independent
+  * re-implementations of the reference's MV pipelines
+  * (clickhouse/init/02-silver-tables.sql, 03-gold-views.sql) in DuckDB
+  * JSON SQL over the SAME pinned bronze events that feed the Spark
+  * transforms ([[NearFixtures.eventsCte]]). Any divergence between the
+  * Spark DataFrame logic and this SQL fails the correctness gate.
+  */
+object NearOracles {
+
+  private val prodIn = "('defuse-alpha.near', 'intents.near')"
+  private val stagingIn = "('staging-intents.near')"
+
+  /** The 11 passthrough columns every silver table carries. */
+  private val pass = Seq("block_height", "block_timestamp_ns", "block_hash",
+    "contract_id", "execution_status", "version", "standard", "event",
+    "related_receipt_id", "related_receipt_receiver_id",
+    "related_receipt_predecessor_id").mkString(", ")
+
+  private def withNe(body: String) = s"WITH ${NearFixtures.eventsCte},\n$body"
+
+  /** M1 — nep245 explode + conditional owners + token/amount zip. */
+  def m1Sql: String = withNe(
+    s"""b AS (SELECT ne.*, unnest(from_json(data, '["JSON"]')) AS dr
+       |  FROM ne WHERE standard = 'nep245' AND block_timestamp_ns >= 0),
+       |o AS (SELECT *,
+       |    coalesce(json_extract_string(dr, '$$.memo'), '') AS memo,
+       |    CASE WHEN event = 'mt_transfer'
+       |         THEN json_extract_string(dr, '$$.old_owner_id')
+       |         ELSE json_extract_string(dr, '$$.owner_id') END AS old_owner_id,
+       |    CASE WHEN event = 'mt_transfer'
+       |         THEN json_extract_string(dr, '$$.new_owner_id')
+       |         ELSE json_extract_string(dr, '$$.owner_id') END AS new_owner_id,
+       |    unnest(list_zip(
+       |      from_json(json_extract(dr, '$$.token_ids'), '["VARCHAR"]'),
+       |      from_json(json_extract(dr, '$$.amounts'), '["VARCHAR"]'))) AS pair
+       |  FROM b)
+       |SELECT $pass, tx_hash, memo, old_owner_id, new_owner_id,
+       |  pair[1] AS token_id, CAST(pair[2] AS DOUBLE) AS amount
+       |FROM o ORDER BY related_receipt_id, event, token_id, old_owner_id""".stripMargin)
+
+  /** M2 — token_diff explode + diff-map explode + sign split. */
+  def m2Sql: String = withNe(
+    s"""b AS (SELECT ne.*, unnest(from_json(data, '["JSON"]')) AS dr
+       |  FROM ne WHERE contract_id IN $prodIn AND standard = 'dip4'
+       |    AND event = 'token_diff' AND block_timestamp_ns >= 0),
+       |i AS (SELECT *,
+       |    coalesce(json_extract_string(dr, '$$.account_id'), '') AS account_id,
+       |    coalesce(json_extract_string(dr, '$$.intent_hash'), '') AS intent_hash,
+       |    coalesce(json_extract_string(dr, '$$.referral'), '') AS referral
+       |  FROM b),
+       |k AS (SELECT *, unnest(json_keys(dr, '$$.diff')) AS diff_token FROM i),
+       |v AS (SELECT *, CAST(json_extract(dr, '$$.diff."' || diff_token || '"')
+       |    AS DOUBLE) AS diff_amount FROM k)
+       |SELECT $pass, account_id, intent_hash, referral,
+       |  CASE WHEN diff_amount >= 0 THEN diff_token ELSE '' END AS diff_positive_token,
+       |  CASE WHEN diff_amount >= 0 THEN diff_amount ELSE 0.0 END AS diff_positive_amount,
+       |  CASE WHEN diff_amount < 0 THEN diff_token ELSE '' END AS diff_negative_token,
+       |  CASE WHEN diff_amount < 0 THEN diff_amount ELSE 0.0 END AS diff_negative_amount
+       |FROM v ORDER BY related_receipt_id, intent_hash,
+       |  diff_positive_token, diff_negative_token""".stripMargin)
+
+  /** M3 — public keys (single-object payload, no explode). */
+  def m3Sql: String = withNe(
+    s"""r AS (SELECT $pass,
+       |    coalesce(json_extract_string(data, '$$.account_id'), '') AS account_id,
+       |    coalesce(json_extract_string(data, '$$.public_key'), '') AS public_key
+       |  FROM ne WHERE contract_id IN $prodIn AND standard = 'dip4'
+       |    AND event IN ('public_key_added', 'public_key_removed')
+       |    AND block_timestamp_ns >= 0)
+       |SELECT * FROM r ORDER BY related_receipt_id, event, public_key""".stripMargin)
+
+  /** M4 — intents_executed (array payload). */
+  def m4Sql: String = withNe(
+    s"""b AS (SELECT ne.*, unnest(from_json(data, '["JSON"]')) AS dr
+       |  FROM ne WHERE contract_id IN $prodIn AND standard = 'dip4'
+       |    AND event = 'intents_executed' AND block_timestamp_ns >= 0)
+       |SELECT $pass,
+       |  coalesce(json_extract_string(dr, '$$.account_id'), '') AS account_id,
+       |  coalesce(json_extract_string(dr, '$$.intent_hash'), '') AS intent_hash
+       |FROM b ORDER BY related_receipt_id, account_id, intent_hash""".stripMargin)
+
+  /** M5 — fee_changed (single-object payload). */
+  def m5Sql: String = withNe(
+    s"""r AS (SELECT $pass,
+       |    coalesce(json_extract_string(data, '$$.old_fee'), '') AS old_fee,
+       |    coalesce(json_extract_string(data, '$$.new_fee'), '') AS new_fee
+       |  FROM ne WHERE contract_id IN $prodIn AND standard = 'dip4'
+       |    AND event = 'fee_changed' AND block_timestamp_ns >= 0)
+       |SELECT * FROM r ORDER BY related_receipt_id, old_fee""".stripMargin)
+
+  /** Shared body of M6/M7 as a CTE chain parameterized by the contract
+    * filter; ends at relation `v` with amount_str per (item, token). */
+  private def transferBody(contractsIn: String) =
+    s"""b AS (SELECT ne.*, unnest(from_json(data, '["JSON"]')) AS dr
+       |  FROM ne WHERE contract_id IN $contractsIn AND standard = 'dip4'
+       |    AND event = 'transfer'),
+       |i AS (SELECT *,
+       |    coalesce(json_extract_string(dr, '$$.memo'), '') AS memo,
+       |    json_extract_string(dr, '$$.account_id') AS old_owner_id,
+       |    json_extract_string(dr, '$$.receiver_id') AS new_owner_id,
+       |    coalesce(json_extract_string(dr, '$$.intent_hash'), '') AS intent_hash
+       |  FROM b),
+       |k AS (SELECT *, unnest(json_keys(dr, '$$.tokens')) AS token_id FROM i),
+       |v AS (SELECT *, json_extract_string(dr, '$$.tokens."' || token_id || '"')
+       |    AS amount_str FROM k)""".stripMargin
+
+  private val transferSelect =
+    s"""SELECT $pass, tx_hash, memo, old_owner_id, new_owner_id, intent_hash,
+       |  token_id, amount_str, CAST(amount_str AS DOUBLE) AS amount
+       |FROM v ORDER BY related_receipt_id, intent_hash, token_id""".stripMargin
+
+  /** M6 — dip4 transfer (prod contracts). */
+  def m6Sql: String = withNe(transferBody(prodIn) + "\n" + transferSelect)
+
+  /** M7 — dip4 transfer (staging ONLY — the critical account split). */
+  def m7Sql: String = withNe(transferBody(stagingIn) + "\n" + transferSelect)
+
+  private def unionSql(contractsIn: String) = withNe(
+    s"""nb AS (SELECT ne.*, unnest(from_json(data, '["JSON"]')) AS dr
+       |  FROM ne WHERE standard = 'nep245' AND block_timestamp_ns >= 0
+       |    AND contract_id IN $contractsIn),
+       |no2 AS (SELECT *,
+       |    coalesce(json_extract_string(dr, '$$.memo'), '') AS memo,
+       |    CASE WHEN event = 'mt_transfer'
+       |         THEN json_extract_string(dr, '$$.old_owner_id')
+       |         ELSE json_extract_string(dr, '$$.owner_id') END AS old_owner_id,
+       |    CASE WHEN event = 'mt_transfer'
+       |         THEN json_extract_string(dr, '$$.new_owner_id')
+       |         ELSE json_extract_string(dr, '$$.owner_id') END AS new_owner_id,
+       |    unnest(list_zip(
+       |      from_json(json_extract(dr, '$$.token_ids'), '["VARCHAR"]'),
+       |      from_json(json_extract(dr, '$$.amounts'), '["VARCHAR"]'))) AS pair
+       |  FROM nb),
+       |${transferBody(contractsIn)},
+       |u AS (
+       |  SELECT $pass, tx_hash, memo, old_owner_id, new_owner_id,
+       |    pair[1] AS token_id, CAST(pair[2] AS DOUBLE) AS amount,
+       |    '' AS intent_hash
+       |  FROM no2
+       |  UNION ALL
+       |  SELECT $pass, tx_hash, memo, old_owner_id, new_owner_id,
+       |    token_id, CAST(amount_str AS DOUBLE) AS amount, intent_hash
+       |  FROM v)
+       |SELECT * FROM u
+       |ORDER BY related_receipt_id, event, token_id, old_owner_id""".stripMargin)
+
+  /** M8 — prod transfers union view. */
+  def m8Sql: String = unionSql(prodIn)
+
+  /** M9 — staging transfers union view. */
+  def m9Sql: String = unionSql(stagingIn)
+
+  /** M10 — transfers + first-non-empty-referral join + NUMERIC amount.
+    * The fixture has at most one non-empty referral per receipt, so MIN
+    * equals the Spark side's first-in-block-order pick. */
+  def m10Sql: String = withNe(
+    s"""${transferBody(prodIn)},
+       |refs AS (SELECT related_receipt_id, MIN(r) AS referral FROM (
+       |    SELECT ne.related_receipt_id,
+       |      json_extract_string(unnest(from_json(data, '["JSON"]')),
+       |        '$$.referral') AS r
+       |    FROM ne WHERE contract_id IN $prodIn AND standard = 'dip4'
+       |      AND event = 'token_diff') rr
+       |  WHERE r IS NOT NULL AND r != '' GROUP BY related_receipt_id)
+       |SELECT $pass, tx_hash, memo, old_owner_id, new_owner_id, intent_hash,
+       |  token_id, amount_str, CAST(amount_str AS DOUBLE) AS amount,
+       |  CAST(amount_str AS DECIMAL(38,0)) AS amount_numeric, refs.referral
+       |FROM v LEFT JOIN refs USING (related_receipt_id)
+       |ORDER BY related_receipt_id, intent_hash, token_id""".stripMargin)
+
+  /** Gold — G1-G8 over the M1/M2 CTEs + the assets VALUES. */
+  def goldSql: String = withNe(
+    s"""${NearFixtures.assetsCte},
+       |nb AS (SELECT ne.*, unnest(from_json(data, '["JSON"]')) AS dr
+       |  FROM ne WHERE standard = 'nep245' AND block_timestamp_ns >= 0),
+       |n AS (SELECT *,
+       |    block_timestamp_ns // 86400000000000 AS day,
+       |    coalesce(json_extract_string(dr, '$$.memo'), '') AS memo,
+       |    CASE WHEN event = 'mt_transfer'
+       |         THEN json_extract_string(dr, '$$.old_owner_id')
+       |         ELSE json_extract_string(dr, '$$.owner_id') END AS old_owner_id,
+       |    CASE WHEN event = 'mt_transfer'
+       |         THEN json_extract_string(dr, '$$.new_owner_id')
+       |         ELSE json_extract_string(dr, '$$.owner_id') END AS new_owner_id,
+       |    unnest(list_zip(
+       |      from_json(json_extract(dr, '$$.token_ids'), '["VARCHAR"]'),
+       |      from_json(json_extract(dr, '$$.amounts'), '["VARCHAR"]'))) AS pair
+       |  FROM nb),
+       |td AS (SELECT ne.related_receipt_id AS rid,
+       |    coalesce(json_extract_string(unnest(from_json(data, '["JSON"]')),
+       |      '$$.referral'), '') AS referral
+       |  FROM ne WHERE contract_id IN $prodIn AND standard = 'dip4'
+       |    AND event = 'token_diff' AND block_timestamp_ns >= 0),
+       |ad AS (SELECT price_updated_at_ns // 86400000000000 AS price_day,
+       |    defuse_asset_id, decimals, price, symbol, blockchain FROM na),
+       |j AS (SELECT n.block_timestamp_ns, n.day, n.block_hash, n.event,
+       |    n.memo, n.old_owner_id, n.new_owner_id,
+       |    pair[1] AS token_id,
+       |    (CAST(pair[2] AS DOUBLE) / pow(10, ad.decimals)) * ad.price
+       |      AS usd_value,
+       |    ad.symbol, ad.blockchain, td.referral
+       |  FROM n
+       |  LEFT JOIN td ON td.rid = n.related_receipt_id
+       |  LEFT JOIN ad ON n.day = ad.price_day
+       |    AND pair[1] = ad.defuse_asset_id
+       |  WHERE NOT (length(td.referral) = 0 AND length(n.memo) = 0)),
+       |dd AS (SELECT DISTINCT block_timestamp_ns, day, block_hash, event,
+       |    memo, old_owner_id, new_owner_id, token_id, usd_value, symbol,
+       |    blockchain, referral FROM j)
+       |SELECT day, symbol, coalesce(referral, 'Others') AS referral,
+       |  blockchain,
+       |  SUM(CASE WHEN event = 'mt_transfer' THEN usd_value END)
+       |    AS transfer_volume,
+       |  SUM(CASE WHEN event = 'mt_mint' THEN usd_value END) AS deposits,
+       |  SUM(CASE WHEN event = 'mt_burn' THEN usd_value END) * -1
+       |    AS withdraws,
+       |  SUM(CASE WHEN event = 'mt_mint' THEN usd_value
+       |      WHEN event = 'mt_burn' THEN usd_value * -1 END) AS netflow
+       |FROM dd
+       |WHERE symbol != '' AND blockchain != ''
+       |GROUP BY day, symbol, coalesce(referral, 'Others'), blockchain
+       |ORDER BY day, symbol, referral""".stripMargin)
+}
