@@ -65,6 +65,16 @@ object SparkEntry {
     "near_m9_staging_transfers" -> (NearQueries.m9StagingTransfers _),
     "near_m10_referral"        -> (NearQueries.m10Referral _),
     "near_gold_metrics"        -> (NearQueries.goldMetrics _),
+    // Sink layer (K1-K4) + resume (S3) round trips
+    "near_sink_roundtrip"      -> (NearQueries.sinkRoundtrip _),
+    "near_sink_resume"         -> (NearQueries.sinkResume _),
+    // Validation harness (SURVEY §2.7 V5-V8, V10-V11)
+    "near_v_fingerprints"      -> (NearQueries.vFingerprints _),
+    "near_v_domain"            -> (NearQueries.vDomain _),
+    "near_v_json_valid"        -> (NearQueries.vJsonValid _),
+    "near_v_drilldown"         -> (NearQueries.vDrilldown _),
+    "near_v_diff"              -> (NearQueries.vDiff _),
+    "near_v_tolerance"         -> (NearQueries.vTolerance _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -331,5 +341,18 @@ object SparkEntry {
     "near_m9_staging_transfers" -> graft.fixtures.NearOracles.m9Sql,
     "near_m10_referral"        -> graft.fixtures.NearOracles.m10Sql,
     "near_gold_metrics"        -> graft.fixtures.NearOracles.goldSql,
+    // After a duplicate re-insert, FINAL-read restores exactly the
+    // original rows; resume sees the max height, raw sees 2x rows.
+    "near_sink_roundtrip"      -> graft.fixtures.NearFixtures.eventsSql,
+    "near_sink_resume" ->
+      """SELECT CAST(161 AS BIGINT) AS last_height,
+        |  CAST(22 AS BIGINT) AS n_raw,
+        |  CAST(11 AS BIGINT) AS n_final""".stripMargin,
+    "near_v_fingerprints"      -> graft.fixtures.NearOracles.vFingerprintsSql,
+    "near_v_domain"            -> graft.fixtures.NearOracles.vDomainSql,
+    "near_v_json_valid"        -> graft.fixtures.NearOracles.vJsonValidSql,
+    "near_v_drilldown"         -> graft.fixtures.NearOracles.vDrilldownSql,
+    "near_v_diff"              -> graft.fixtures.NearOracles.vDiffSql,
+    "near_v_tolerance"         -> graft.fixtures.NearOracles.vToleranceSql,
   )
 }

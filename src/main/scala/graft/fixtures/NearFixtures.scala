@@ -354,28 +354,36 @@ object NearFixtures {
     s"ne(${eventCols.mkString(", ")}) AS (VALUES\n    $rows)"
   }
 
-  def transactionsSql: String = {
+  /** `nt(...) AS (VALUES ...)` CTE body for expected transactions. */
+  def transactionsCte: String = {
     val rows = expectedTransactions.map(t =>
       s"(${L(t.block_height)}, ${L(t.block_timestamp_ns)}, ${q(t.block_hash)}, " +
         s"${q(t.transaction_hash)}, ${q(t.signer_id)}, ${q(t.receiver_id)}, " +
         s"${q(t.actions)})").mkString(",\n    ")
-    "WITH nt(block_height, block_timestamp_ns, block_hash, transaction_hash, " +
-      "signer_id, receiver_id, actions) AS (VALUES\n    " + rows +
-      ")\nSELECT * FROM nt ORDER BY transaction_hash"
+    "nt(block_height, block_timestamp_ns, block_hash, transaction_hash, " +
+      s"signer_id, receiver_id, actions) AS (VALUES\n    $rows)"
   }
 
-  def receiptsSql: String = {
+  def transactionsSql: String =
+    s"WITH $transactionsCte\nSELECT * FROM nt ORDER BY transaction_hash"
+
+  /** `nr(...) AS (VALUES ...)` CTE body for expected receipts. */
+  def receiptsCte: String = {
     val rows = expectedReceipts.map(r =>
       s"(${L(r.block_height)}, ${L(r.block_timestamp_ns)}, ${q(r.block_hash)}, " +
         s"${q(r.parent_transaction_hash)}, ${q(r.receipt_id)}, " +
         s"${q(r.receiver_id)}, ${q(r.predecessor_id)}, ${q(r.actions)})")
       .mkString(",\n    ")
-    "WITH nr(block_height, block_timestamp_ns, block_hash, " +
+    "nr(block_height, block_timestamp_ns, block_hash, " +
       "parent_transaction_hash, receipt_id, receiver_id, predecessor_id, " +
-      "actions) AS (VALUES\n    " + rows + ")\nSELECT * FROM nr ORDER BY receipt_id"
+      s"actions) AS (VALUES\n    $rows)"
   }
 
-  def outcomesSql: String = {
+  def receiptsSql: String =
+    s"WITH $receiptsCte\nSELECT * FROM nr ORDER BY receipt_id"
+
+  /** `no_(...) AS (VALUES ...)` CTE body for expected outcomes. */
+  def outcomesCte: String = {
     val rows = expectedOutcomes.map { case (o, rid) =>
       s"(${L(o.block_height)}, ${L(o.block_timestamp_ns)}, ${q(o.block_hash)}, " +
         s"${q(o.parent_transaction_hash)}, ${q(o.executor_id)}, " +
@@ -383,11 +391,13 @@ object NearFixtures {
         s"${q(o.tokens_burnt)}, ${L(o.gas_burnt)}, " +
         s"${q(o.execution_outcome_id)}, ${q(rid)})"
     }.mkString(",\n    ")
-    "WITH no_(block_height, block_timestamp_ns, block_hash, " +
+    "no_(block_height, block_timestamp_ns, block_hash, " +
       "parent_transaction_hash, executor_id, receipt_ids, status, logs, " +
-      "tokens_burnt, gas_burnt, execution_outcome_id, receipt_id) AS (VALUES\n    " +
-      rows + ")\nSELECT * FROM no_ ORDER BY execution_outcome_id"
+      s"tokens_burnt, gas_burnt, execution_outcome_id, receipt_id) AS (VALUES\n    $rows)"
   }
+
+  def outcomesSql: String =
+    s"WITH $outcomesCte\nSELECT * FROM no_ ORDER BY execution_outcome_id"
 
   def eventsSql: String =
     s"WITH $eventsCte\nSELECT * FROM ne " +

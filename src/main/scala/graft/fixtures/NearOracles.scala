@@ -170,6 +170,103 @@ object NearOracles {
        |FROM v LEFT JOIN refs USING (related_receipt_id)
        |ORDER BY related_receipt_id, intent_hash, token_id""".stripMargin)
 
+  // ----------------------------------------------------- validation V5-V11
+
+  /** Portable 60-bit fingerprint (first 15 md5 nibbles as BIGINT) —
+    * bit-identical to Spark's conv(substring(md5(x),1,15),16,10). */
+  private def h60(x: String): String =
+    "CAST(list_sum(list_transform(range(1, 16), i -> " +
+      s"CAST(instr('0123456789abcdef', substring(md5($x), i, 1)) - 1 AS BIGINT)" +
+      " * CAST(pow(16, 15 - i) AS BIGINT))) AS BIGINT)"
+
+  /** Null-safe pipe-joined row image, mirroring Validation.rowImage. */
+  private def cws(cols: Seq[String]): String =
+    cols.map(c => s"coalesce(CAST($c AS VARCHAR), '')")
+      .mkString("concat_ws('|', ", ", ", ")")
+
+  private val eventImage = cws(NearFixtures.eventCols)
+
+  def vFingerprintsSql: String = {
+    val txCols = Seq("block_height", "block_timestamp_ns", "block_hash",
+      "transaction_hash", "signer_id", "receiver_id", "actions")
+    val rcCols = Seq("block_height", "block_timestamp_ns", "block_hash",
+      "parent_transaction_hash", "receipt_id", "receiver_id",
+      "predecessor_id", "actions")
+    val ocCols = Seq("block_height", "block_timestamp_ns", "block_hash",
+      "parent_transaction_hash", "executor_id",
+      "array_to_string(receipt_ids, ',')", "status", "logs", "tokens_burnt",
+      "gas_burnt", "execution_outcome_id", "receipt_id")
+    s"""WITH ${NearFixtures.eventsCte},
+       |${NearFixtures.transactionsCte},
+       |${NearFixtures.receiptsCte},
+       |${NearFixtures.outcomesCte},
+       |u AS (
+       |  SELECT 'events' AS table_name, COUNT(*) AS n_rows,
+       |    bit_xor(${h60(cws(Seq("related_receipt_id", "index_in_log")))}) AS pk_fingerprint,
+       |    bit_xor(${h60(eventImage)}) AS row_fingerprint FROM ne
+       |  UNION ALL
+       |  SELECT 'transactions', COUNT(*),
+       |    bit_xor(${h60(cws(Seq("transaction_hash")))}),
+       |    bit_xor(${h60(cws(txCols))}) FROM nt
+       |  UNION ALL
+       |  SELECT 'receipts', COUNT(*),
+       |    bit_xor(${h60(cws(Seq("receipt_id")))}),
+       |    bit_xor(${h60(cws(rcCols))}) FROM nr
+       |  UNION ALL
+       |  SELECT 'outcomes', COUNT(*),
+       |    bit_xor(${h60(cws(Seq("execution_outcome_id")))}),
+       |    bit_xor(${h60(cws(ocCols))}) FROM no_)
+       |SELECT * FROM u ORDER BY table_name""".stripMargin
+  }
+
+  def vDomainSql: String = withNe(
+    s"""r AS (SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(CASE WHEN contract_id NOT IN
+       |    ('defuse-alpha.near', 'intents.near', 'staging-intents.near')
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outside_domain FROM ne)
+       |SELECT * FROM r""".stripMargin)
+
+  def vJsonValidSql: String =
+    s"""WITH ${NearFixtures.eventsCte},
+       |${NearFixtures.receiptsCte},
+       |${NearFixtures.outcomesCte},
+       |u AS (
+       |  SELECT 'receipts.actions' AS checked, COUNT(*) AS n_rows,
+       |    CAST(SUM(CASE WHEN NOT json_valid(actions) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_invalid FROM nr
+       |  UNION ALL
+       |  SELECT 'outcomes.logs', COUNT(*),
+       |    CAST(SUM(CASE WHEN NOT json_valid(logs) THEN 1 ELSE 0 END)
+       |      AS BIGINT) FROM no_
+       |  UNION ALL
+       |  SELECT 'events.data', COUNT(*),
+       |    CAST(SUM(CASE WHEN NOT json_valid(data) THEN 1 ELSE 0 END)
+       |      AS BIGINT) FROM ne)
+       |SELECT * FROM u ORDER BY checked""".stripMargin
+
+  def vDrilldownSql: String = withNe(
+    s"""r AS (SELECT block_height, COUNT(*) AS n_rows,
+       |    bit_xor(${h60(eventImage)}) AS block_fingerprint
+       |  FROM ne GROUP BY block_height)
+       |SELECT * FROM r ORDER BY block_height""".stripMargin)
+
+  def vDiffSql: String =
+    """SELECT * FROM (VALUES
+      |    ('r10', CAST(1 AS BIGINT), 'mismatch'),
+      |    ('r6', CAST(3 AS BIGINT), 'only_a'))
+      |  AS d(related_receipt_id, index_in_log, status)
+      |ORDER BY related_receipt_id, index_in_log""".stripMargin
+
+  def vToleranceSql: String = withNe(
+    s"""${transferBody(prodIn)},
+       |c AS (SELECT CAST(amount_str AS DOUBLE) AS a,
+       |    CAST(CAST(amount_str AS DECIMAL(38,0)) AS DOUBLE) AS e FROM v)
+       |SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(CASE WHEN abs(a - e) / greatest(abs(e), 1e-300) > 1e-10
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_exceeding_tol,
+       |  MAX(abs(a - e) / greatest(abs(e), 1e-300)) AS max_rel_err
+       |FROM c""".stripMargin)
+
   /** Gold — G1-G8 over the M1/M2 CTEs + the assets VALUES. */
   def goldSql: String = withNe(
     s"""${NearFixtures.assetsCte},

@@ -156,6 +156,144 @@ object NearQueries {
         col("amount_numeric"), col("referral"))
       .orderBy(col("related_receipt_id"), col("intent_hash"), col("token_id"))
 
+  // ----------------------------------------------------------------- sink
+
+  private def freshSinkDir(name: String): String = {
+    val d = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_sink_$name")
+    graft.sink.ParquetSink.delete(d)
+    d.getAbsolutePath
+  }
+
+  private val eventPk = Seq("related_receipt_id", "index_in_log")
+
+  /** K1/K2/K4 round trip: append the bronze events TWICE (the
+    * duplicate re-insert ReplacingMergeTree absorbs), read back through
+    * FINAL dedup → exactly the original rows (oracle: the same pinned
+    * VALUES as near_bronze_events). */
+  def sinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sink.ParquetSink
+    val path = freshSinkDir("events_rt")
+    val ev = eventsDf(spark)
+    ParquetSink.writeBatch(ev, path, 0L, eventPk)
+    ParquetSink.writeBatch(ev, path, 1L, eventPk)
+    ParquetSink.readFinal(spark.read.parquet(path), eventPk)
+      .select(NearFixtures.eventCols.map(col): _*)
+      .orderBy(col("block_height"), col("receipt_index_in_block"),
+        col("index_in_log"))
+  }
+
+  /** S3 resume-from-last-height + raw-vs-FINAL row counts, before and
+    * after compaction. */
+  def sinkResume(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sink.ParquetSink
+    val path = freshSinkDir("events_resume")
+    val ev = eventsDf(spark)
+    ParquetSink.writeBatch(ev, path, 0L, eventPk)
+    ParquetSink.writeBatch(ev, path, 1L, eventPk)
+    val nRaw = spark.read.parquet(path).count()
+    val lastH = ParquetSink.lastHeight(spark, path).getOrElse(-1L)
+    ParquetSink.compact(spark, path, eventPk)
+    val nFinal = spark.read.parquet(path).count()
+    import spark.implicits._
+    Seq((lastH, nRaw, nFinal)).toDF("last_height", "n_raw", "n_final")
+  }
+
+  // ---------------------------------------------------------- validation
+
+  import graft.validate.Validation
+
+  private def txDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(NearFixtures.expectedTransactions).toDF()
+  }
+
+  private def receiptsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(NearFixtures.expectedReceipts).toDF()
+  }
+
+  private def outcomesFixtureDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    NearFixtures.expectedOutcomes.map { case (o, rid) =>
+      (o.block_height, o.block_timestamp_ns, o.block_hash,
+        o.parent_transaction_hash, o.executor_id, o.receipt_ids, o.status,
+        o.logs, o.tokens_burnt, o.gas_burnt, o.execution_outcome_id, rid)
+    }.toDF("block_height", "block_timestamp_ns", "block_hash",
+      "parent_transaction_hash", "executor_id", "receipt_ids", "status",
+      "logs", "tokens_burnt", "gas_burnt", "execution_outcome_id",
+      "receipt_id")
+  }
+
+  private def eventImageCols: Seq[org.apache.spark.sql.Column] =
+    NearFixtures.eventCols.map(col)
+
+  /** V7: portable order-independent fingerprints for all four bronze
+    * tables (count + bit_xor'd 60-bit PK/row hashes). */
+  def vFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Validation.tableFingerprint(eventsDf(spark), "events",
+      Seq(col("related_receipt_id"), col("index_in_log")), eventImageCols)
+    val tx = Validation.tableFingerprint(txDf(spark), "transactions",
+      Seq(col("transaction_hash")),
+      Seq("block_height", "block_timestamp_ns", "block_hash",
+        "transaction_hash", "signer_id", "receiver_id", "actions").map(col))
+    val rc = Validation.tableFingerprint(receiptsDf(spark), "receipts",
+      Seq(col("receipt_id")),
+      Seq("block_height", "block_timestamp_ns", "block_hash",
+        "parent_transaction_hash", "receipt_id", "receiver_id",
+        "predecessor_id", "actions").map(col))
+    val oc = Validation.tableFingerprint(outcomesFixtureDf(spark), "outcomes",
+      Seq(col("execution_outcome_id")),
+      Seq(col("block_height"), col("block_timestamp_ns"), col("block_hash"),
+        col("parent_transaction_hash"), col("executor_id"),
+        concat_ws(",", col("receipt_ids")), col("status"), col("logs"),
+        col("tokens_burnt"), col("gas_burnt"), col("execution_outcome_id"),
+        col("receipt_id")))
+    ev.unionByName(tx).unionByName(rc).unionByName(oc)
+      .orderBy(col("table_name"))
+  }
+
+  /** V5: every event's contract_id must be an account of interest. */
+  def vDomain(spark: SparkSession, dir: String): DataFrame =
+    Validation.domainCheck(eventsDf(spark), col("contract_id"), acc.all)
+
+  /** V6: JSON validity of the stringly-typed columns; r3's
+    * GlobalContractDistribution receipt has actions='' → 1 invalid. */
+  def vJsonValid(spark: SparkSession, dir: String): DataFrame =
+    Validation.jsonValidity(receiptsDf(spark), "receipts.actions",
+        col("actions"))
+      .unionByName(Validation.jsonValidity(outcomesFixtureDf(spark),
+        "outcomes.logs", col("logs")))
+      .unionByName(Validation.jsonValidity(eventsDf(spark), "events.data",
+        col("data")))
+      .orderBy(col("checked"))
+
+  /** V8: per-block event counts + order-independent fingerprints. */
+  def vDrilldown(spark: SparkSession, dir: String): DataFrame =
+    Validation.blockDrilldown(eventsDf(spark), eventImageCols)
+
+  /** V10: row-level diff vs a tampered copy — one mutated tx_hash and
+    * one deleted row must surface as exactly (mismatch, only_a). */
+  def vDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = eventsDf(spark)
+    val b = a
+      .withColumn("tx_hash",
+        when(col("related_receipt_id") === "r10" && col("index_in_log") === 1,
+          lit("TAMPERED")).otherwise(col("tx_hash")))
+      .filter(!(col("related_receipt_id") === "r6" && col("index_in_log") === 3))
+    Validation.diffReport(a, b,
+      Seq("related_receipt_id", "index_in_log"), NearFixtures.eventCols)
+  }
+
+  /** V11: the CH-parity Float64 amount vs the PG-parity exact NUMERIC
+    * path (both derived from the raw u128 string), compared with the
+    * reference's 1e-10 relative tolerance. */
+  def vTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val m6 = SilverTransforms.dip4Transfer(eventsDf(spark), acc)
+    Validation.toleranceCompare(m6, col("amount"),
+      col("amount_str").cast("decimal(38,0)").cast("double"))
+  }
+
   // --------------------------------------------------------------- gold
 
   def goldMetrics(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,102 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Table sink with the reference's storage semantics, Spark-first
+  * (SURVEY §2.2 K1-K4, §2.1 S3):
+  *
+  *  - K1 batched insert: one append per batch, wrapped in
+  *    [[withRetry]] (exponential backoff 250ms → ×2 → 60s cap, 10
+  *    attempts — indexer-clickhouse/src/database.rs:41-99).
+  *  - K2 ReplacingMergeTree/FINAL: appends carry an `insert_seq`
+  *    version column; [[readFinal]] is the read-side FINAL (latest
+  *    version per PK via row_number) and [[compact]] the merge.
+  *  - K4 auto partitions: writes are `partitionBy` a height bucket
+  *    derived from block_height — the monthly-range-partition analog
+  *    (indexer-explorer/src/database.rs:122-168); Spark creates
+  *    partition directories on demand, and height predicates prune them.
+  *  - S3 resume: [[lastHeight]] = max(block_height) over the sink
+  *    (indexer-clickhouse/src/database.rs:15-39).
+  *
+  * Scale notes: `sortWithinPartitions(pk)` before write clusters rows
+  * like the reference's ORDER BY key, giving parquet row-group min/max
+  * pruning on the PK; dedup-on-read shuffles once on the PK hash —
+  * identical profile to what ClickHouse pays at merge time.
+  */
+object ParquetSink {
+
+  /** Retry with exponential backoff — K1's policy. */
+  def withRetry[T](maxAttempts: Int = 10, initialDelayMs: Long = 250L,
+      maxDelayMs: Long = 60000L)(f: => T): T = {
+    var attempt = 0
+    var delay = initialDelayMs
+    var last: Throwable = null
+    while (attempt < maxAttempts) {
+      try return f
+      catch {
+        case e: Throwable =>
+          last = e
+          attempt += 1
+          if (attempt < maxAttempts) {
+            Thread.sleep(delay)
+            delay = math.min(delay * 2, maxDelayMs)
+          }
+      }
+    }
+    throw last
+  }
+
+  /** Append one batch, stamped with its insert sequence (the
+    * ReplacingMergeTree version column), partitioned by height bucket
+    * and clustered by PK within files. */
+  def writeBatch(df: DataFrame, path: String, insertSeq: Long,
+      pkCols: Seq[String], heightBucketSize: Long = 50L): Unit =
+    withRetry() {
+      df.withColumn("insert_seq", lit(insertSeq))
+        .withColumn("height_bucket",
+          expr(s"block_height DIV ${heightBucketSize}L"))
+        .repartition(col("height_bucket"))
+        .sortWithinPartitions(pkCols.map(col): _*)
+        .write.mode("append").partitionBy("height_bucket").parquet(path)
+    }
+
+  /** FINAL-semantics read: latest insert_seq per PK; ties broken by the
+    * full PK ordering so the survivor is deterministic. */
+  def readFinal(raw: DataFrame, pkCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(pkCols.map(col): _*)
+      .orderBy(col("insert_seq").desc)
+    raw.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Compaction job: rewrite the table as its FINAL image with a single
+    * version (the ReplacingMergeTree background merge, run on demand). */
+  def compact(spark: SparkSession, path: String, pkCols: Seq[String],
+      heightBucketSize: Long = 50L): Unit = {
+    val fin = readFinal(spark.read.parquet(path), pkCols)
+      .drop("insert_seq", "height_bucket")
+    val tmp = path + ".compact"
+    writeBatch(fin, tmp, 0L, pkCols, heightBucketSize)
+    val fs = new java.io.File(path)
+    delete(fs)
+    if (!new java.io.File(tmp).renameTo(fs))
+      throw new java.io.IOException(s"compaction rename failed: $tmp -> $path")
+  }
+
+  /** Resume height: max(block_height) over the sink, None if absent. */
+  def lastHeight(spark: SparkSession, path: String): Option[Long] =
+    if (!new java.io.File(path).exists()) None
+    else spark.read.parquet(path)
+      .agg(max(col("block_height"))).collect()(0) match {
+        case r if r.isNullAt(0) => None
+        case r => Some(r.getLong(0))
+      }
+
+  /** Recursive local delete (fixture/test plumbing). */
+  def delete(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(delete)
+    f.delete(): Unit
+  }
+}
