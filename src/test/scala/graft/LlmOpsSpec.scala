@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{Dedup, Multimodal, Similarity}
+
+/** LLM-pipeline operator invariants over the sf0.001 driver corpus. */
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("MinHash-LSH candidates achieve recall 1 vs exact Jaccard >= 0.8") {
+    // the oracle equivalence the correctness gate relies on: banded LSH
+    // followed by exact verification equals the exact all-pairs answer
+    val lsh = Dedup.dMinhashPairs(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.documents(spark, dir)
+      .withColumn("t", split(trim(col("text")), "\\s+"))
+      .withColumn("ss", expr("array_distinct(transform(sequence(0, size(t) - 3), " +
+        "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"))
+      .select("doc_id", "ss")
+    val exact = docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j",
+        size(array_intersect(col("a.ss"), col("b.ss"))).cast("double") /
+          size(array_distinct(concat(col("a.ss"), col("b.ss")))).cast("double"))
+      .filter(col("j") >= 0.8)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("exact dedup of a doubled corpus halves it with deterministic survivors") {
+    val d = Dedup.dExactDedup(spark, dir)
+    assert(d.count() === 500)
+    assert(d.filter(col("group_size") =!= 2).count() === 0)
+    // canonical id is always the min (original, not re-ingested, copy)
+    assert(d.filter(col("canonical_id") >= 100000L).count() === 0)
+  }
+
+  test("simhash signatures are deterministic and within 32 bits") {
+    val a = Dedup.dSimhash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Dedup.dSimhash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall { case (_, h) => h >= 0L && h < (1L << 32) })
+  }
+
+  test("cosine top-k neighbors are ordered and self-free") {
+    val t = Similarity.sCosineTopk(spark, dir).collect()
+    assert(t.length === 100) // 10 queries x k=10
+    t.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getLong(1))
+      assert(byRank.map(_.getDouble(3)).sliding(2)
+        .forall(w => w.length < 2 || w(0) >= w(1)))
+      assert(byRank.forall(_.getLong(2) != q))
+    }
+  }
+
+  test("IVF bucketed search only returns in-bucket neighbors") {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    Similarity.sAnnIvf(spark, dir).collect().foreach { r =>
+      assert(e(r.getLong(0)) === e(r.getLong(2)))
+    }
+  }
+
+  test("multimodal decode computes byte stats from the payload") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(spark, dir)
+    val feats = Multimodal.decodeFeatures(media).collect()
+    val texts = Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(feats.length === 500)
+    feats.take(20).foreach { f =>
+      val bytes = texts(f.doc_id).getBytes("UTF-8")
+      assert(f.n_bytes === bytes.length.toLong)
+      val mean = bytes.map(_ & 0xff).sum.toDouble / bytes.length
+      assert(math.abs(f.mean_byte - mean) < 1e-12)
+      assert(f.frames_sampled === ((bytes.length + 15) / 16).toLong)
+    }
+  }
+}

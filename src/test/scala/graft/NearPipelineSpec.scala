@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fixtures.NearFixtures
+import graft.queries.NearQueries
+import graft.silver.SilverTransforms
+import graft.state.ReceiptTxResolver
+import graft.bronze.BronzeExtractors
+
+/** SURVEY §5 invariants over the golden fixture corpus. */
+class NearPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private lazy val events = NearQueries.eventsDf(spark).cache()
+  private val acc = NearFixtures.accounts
+
+  test("M1 explode-count invariant: rows out = sum of |token_ids| per item") {
+    val m1 = SilverTransforms.nep245Events(events)
+    val expected = events.filter(col("standard") === "nep245")
+      .select(explode(expr(
+        "from_json(data, 'array<struct<token_ids:array<string>>>')")).as("i"))
+      .agg(sum(size(col("i.token_ids")))).collect()(0).getLong(0)
+    assert(m1.count() === expected)
+  }
+
+  test("M2 sign-split exclusivity: each row is positive XOR negative") {
+    val m2 = SilverTransforms.dip4TokenDiff(events, acc)
+    val bad = m2.filter(
+      !((col("diff_positive_token") =!= "" && col("diff_negative_token") === "" &&
+        col("diff_positive_amount") >= 0 && col("diff_negative_amount") === 0.0) ||
+        (col("diff_positive_token") === "" && col("diff_negative_token") =!= "" &&
+          col("diff_negative_amount") < 0 && col("diff_positive_amount") === 0.0)))
+    assert(bad.count() === 0)
+    assert(m2.count() === 4) // r1: 1 entry; r4: item1 has 2, item2 has 1
+  }
+
+  test("M6/M7 prod-staging split: no contract appears on both sides") {
+    val prod = SilverTransforms.dip4Transfer(events, acc)
+      .select("contract_id").distinct().collect().map(_.getString(0)).toSet
+    val staging = SilverTransforms.stagingDip4Transfer(events, acc)
+      .select("contract_id").distinct().collect().map(_.getString(0)).toSet
+    assert(prod.intersect(staging).isEmpty)
+    assert(prod.subsetOf(acc.prodContracts.toSet))
+    assert(staging.subsetOf(acc.stagingContracts.toSet))
+  }
+
+  test("M8/M9 union schema alignment and no cross-contamination") {
+    val nep = SilverTransforms.nep245Events(events)
+    val m8 = SilverTransforms.silverTransfers(nep,
+      SilverTransforms.dip4Transfer(events, acc), acc)
+    val m9 = SilverTransforms.stagingSilverTransfers(nep,
+      SilverTransforms.stagingDip4Transfer(events, acc), acc)
+    assert(m8.columns.toSeq === m9.columns.toSeq)
+    assert(m8.filter(col("contract_id").isin(acc.stagingContracts: _*))
+      .count() === 0)
+    assert(m9.filter(col("contract_id").isin(acc.prodContracts: _*))
+      .count() === 0)
+  }
+
+  test("resolver is deterministic: two runs produce identical rows") {
+    import spark.implicits._
+    val blocks = spark.createDataset(NearFixtures.blocks).toDF()
+    def run() = ReceiptTxResolver.resolve(
+      BronzeExtractors.transactions(blocks, acc),
+      BronzeExtractors.outcomes(blocks))
+      .collect().map(_.toString).sorted.toSeq
+    assert(run() === run())
+  }
+
+  test("resolver honors TTL: r9's hop (gap 60 > 50 blocks) is not resolved") {
+    import spark.implicits._
+    val blocks = spark.createDataset(NearFixtures.blocks).toDF()
+    val resolved = ReceiptTxResolver.resolve(
+      BronzeExtractors.transactions(blocks, acc),
+      BronzeExtractors.outcomes(blocks))
+    val ids = resolved.select("receipt_id").collect().map(_.getString(0)).toSet
+    assert(!ids.contains("r9"))
+    assert(!ids.contains("r7")) // never seeded
+    // ...but a wider TTL resolves r9 through the same chain
+    val wide = ReceiptTxResolver.resolve(
+      BronzeExtractors.transactions(blocks, acc),
+      BronzeExtractors.outcomes(blocks), ttlBlocks = 100L)
+    val wideIds = wide.select("receipt_id").collect().map(_.getString(0)).toSet
+    assert(wideIds.contains("r9"))
+  }
+
+  test("sink FINAL dedup is idempotent: third re-insert changes nothing") {
+    import graft.sink.ParquetSink
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_test_sink_idem")
+    ParquetSink.delete(dir)
+    val pk = Seq("related_receipt_id", "index_in_log")
+    ParquetSink.writeBatch(events, dir.getAbsolutePath, 0L, pk)
+    ParquetSink.writeBatch(events, dir.getAbsolutePath, 1L, pk)
+    val once = ParquetSink.readFinal(
+      spark.read.parquet(dir.getAbsolutePath), pk).count()
+    ParquetSink.writeBatch(events, dir.getAbsolutePath, 2L, pk)
+    val twice = ParquetSink.readFinal(
+      spark.read.parquet(dir.getAbsolutePath), pk).count()
+    assert(once === events.count())
+    assert(twice === once)
+    ParquetSink.delete(dir)
+  }
+
+  test("gold no-match rows: null referral becomes 'Others', empty-memo" +
+    " no-match rows are dropped (CH 3VL parity)") {
+    import spark.implicits._
+    val gold = NearQueries.goldMetrics(spark, "")
+    val referrals = gold.select("referral").collect().map(_.getString(0)).toSet
+    assert(referrals === Set("partner.near", "Others"))
+    // the staging mt_mint row (memo '', no token_diff match) must be gone
+    assert(gold.agg(sum("deposits")).as[Option[Double]].collect()(0)
+      .exists(_ > 0)) // only the day-2 memo'd mint survives
+  }
+}

