@@ -68,6 +68,8 @@ object SparkEntry {
     // Sink layer (K1-K4) + resume (S3) round trips
     "near_sink_roundtrip"      -> (NearQueries.sinkRoundtrip _),
     "near_sink_resume"         -> (NearQueries.sinkResume _),
+    // Streaming twin (T1 streaming semantics; S1-shape micro-batches)
+    "near_stream_events"       -> (NearQueries.streamEvents _),
     // Validation harness (SURVEY §2.7 V5-V8, V10-V11)
     "near_v_fingerprints"      -> (NearQueries.vFingerprints _),
     "near_v_domain"            -> (NearQueries.vDomain _),
@@ -348,6 +350,7 @@ object SparkEntry {
       """SELECT CAST(161 AS BIGINT) AS last_height,
         |  CAST(22 AS BIGINT) AS n_raw,
         |  CAST(11 AS BIGINT) AS n_final""".stripMargin,
+    "near_stream_events"       -> graft.fixtures.NearFixtures.eventsSql,
     "near_v_fingerprints"      -> graft.fixtures.NearOracles.vFingerprintsSql,
     "near_v_domain"            -> graft.fixtures.NearOracles.vDomainSql,
     "near_v_json_valid"        -> graft.fixtures.NearOracles.vJsonValidSql,

@@ -199,6 +199,19 @@ object NearQueries {
     Seq((lastH, nRaw, nFinal)).toDF("last_height", "n_raw", "n_final")
   }
 
+  // ------------------------------------------------------------ streaming
+
+  /** The streaming path (one block per micro-batch folded through the
+    * TTL'd state table) must emit exactly the batch pipeline's events —
+    * same oracle as near_bronze_events. */
+  def streamEvents(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.tune(spark)
+    graft.streaming.StreamRunner.runMicroBatched(spark, NearFixtures.blocks, acc)
+      .select(NearFixtures.eventCols.map(col): _*)
+      .orderBy(col("block_height"), col("receipt_index_in_block"),
+        col("index_in_log"))
+  }
+
   // ---------------------------------------------------------- validation
 
   import graft.validate.Validation

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.bronze.BronzeExtractors
+import graft.model.{AccountsConfig, NearModel}
+
+/** Streaming twin of [[graft.state.ReceiptTxResolver]] — the
+  * incremental, block-at-a-time semantics of the reference's Redis
+  * cache (indexer-common/src/cache/redis.rs:5-202), expressed as a
+  * micro-batch fold:
+  *
+  *   state ⊕ block = state′ (seed + propagate + TTL-expire), events(block)
+  *
+  * Each micro-batch sees ONLY its own block's rows (the CH-MV
+  * visibility contract, SURVEY §7.4 hazard 3) plus the carried state
+  * table (receipt_id, tx_hash, main, entry_height):
+  *
+  *  1. seeds: the block's transactions map their first receipt_id to
+  *     their own hash (T2; main tier iff accounts-of-interest),
+  *  2. propagation to fixpoint within the block: outcomes whose receipt
+  *     is in state′ map all spawned receipt_ids to the same tx, stamped
+  *     at this block's height (T3 — the Redis refresh-on-hop),
+  *  3. TTL: entries older than `ttlBlocks` are dropped (the Redis
+  *     `SET ... EX` expiry, 900 s ≈ 50 blocks),
+  *  4. the block's events resolve against state′; unresolved → dropped
+  *     (T5 warn-and-drop policy).
+  *
+  * The state table is the co-located Spark-native replacement for the
+  * reference's per-lookup Redis network hop: at scale it is a DataFrame
+  * partitioned on receipt_id, checkpointed per batch, and bounded by
+  * the TTL (old entries retire every batch), so it stays O(receipts in
+  * the last 50 blocks) regardless of stream length.
+  */
+object StreamingResolver {
+
+  val stateCols: Seq[String] =
+    Seq("receipt_id", "tx_hash", "main", "entry_height")
+
+  def emptyState(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, Boolean, Long)]
+      .toDF(stateCols: _*)
+  }
+
+  /** Fold one micro-batch (a DataFrame of Block rows, normally exactly
+    * one block) into the state; returns (state′, resolved events). */
+  def processBatch(
+      state: DataFrame,
+      batchBlocks: DataFrame,
+      accounts: AccountsConfig = AccountsConfig(),
+      ttlBlocks: Long = NearModel.TtlBlocks): (DataFrame, DataFrame) = {
+
+    val txs = BronzeExtractors.transactions(batchBlocks, accounts)
+    val outs = BronzeExtractors.outcomes(batchBlocks)
+
+    val seeds = txs
+      .filter(col("first_receipt_id").isNotNull)
+      .select(
+        col("first_receipt_id").as("receipt_id"),
+        col("transaction_hash").as("tx_hash"),
+        col("of_interest").as("main"),
+        col("block_height").as("entry_height"))
+
+    val edges = outs.select(
+      col("receipt_id").as("parent_receipt_id"),
+      explode(col("receipt_ids")).as("child_receipt_id"),
+      col("block_height").as("hop_height"))
+
+    // first write wins: existing state beats this block's seeds
+    var st = state.unionByName(seeds)
+      .groupBy(col("receipt_id"))
+      .agg(min_by(struct(col("tx_hash"), col("main"), col("entry_height")),
+        struct(col("entry_height"), col("tx_hash"))).as("v"))
+      .select(col("receipt_id"), col("v.tx_hash"), col("v.main"),
+        col("v.entry_height"))
+
+    // propagate to fixpoint within the block (local receipts can be
+    // seeded and executed in the same block)
+    var grew = true
+    while (grew) {
+      val next = edges
+        .join(st, edges("parent_receipt_id") === st("receipt_id"))
+        .filter(col("hop_height") >= col("entry_height") &&
+          col("hop_height") - col("entry_height") <= ttlBlocks)
+        .select(
+          col("child_receipt_id").as("receipt_id"),
+          col("tx_hash"), col("main"),
+          col("hop_height").as("entry_height"))
+        .join(st.select(col("receipt_id").as("done_id")),
+          col("receipt_id") === col("done_id"), "left_anti")
+        .groupBy(col("receipt_id"))
+        .agg(min_by(struct(col("tx_hash"), col("main"), col("entry_height")),
+          struct(col("entry_height"), col("tx_hash"))).as("v"))
+        .select(col("receipt_id"), col("v.tx_hash"), col("v.main"),
+          col("v.entry_height"))
+        .localCheckpoint()
+      if (next.isEmpty) grew = false
+      else st = st.unionByName(next)
+    }
+
+    // TTL expiry relative to the newest height in this batch
+    val maxHeight = batchBlocks
+      .agg(max(col("header.height"))).collect()(0).getLong(0)
+    val st2 = st
+      .filter(col("entry_height") >= maxHeight - ttlBlocks)
+      .localCheckpoint()
+
+    val events = BronzeExtractors.eventRows(outs, accounts)
+      .join(st2.select(col("receipt_id").as("related_receipt_id"),
+        col("tx_hash")), Seq("related_receipt_id"), "left")
+      .filter(col("tx_hash").isNotNull)
+
+    (st2, events)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fixtures.NearFixtures
+import graft.model.Block
+import graft.queries.NearQueries
+import graft.silver.SilverTransforms
+import graft.streaming.{StreamRunner, StreamingResolver}
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val acc = NearFixtures.accounts
+
+  test("streaming fold emits exactly the batch pipeline's bronze events") {
+    val streamed = StreamRunner.runMicroBatched(spark, NearFixtures.blocks, acc)
+      .select(NearFixtures.eventCols.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = NearQueries.bronzeEvents(spark, "")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+  }
+
+  test("per-micro-batch silver transforms equal whole-table silver " +
+    "(CH-MV visibility contract)") {
+    import spark.implicits._
+    var state = StreamingResolver.emptyState(spark)
+    val perBatch = NearFixtures.blocks.sortBy(_.header.height).map { b =>
+      val (st2, events) = StreamingResolver.processBatch(
+        state, spark.createDataset(Seq(b)).toDF(), acc)
+      state = st2
+      // the MV fires per insert batch and sees only that batch's rows
+      SilverTransforms.nep245Events(
+        events.select(NearFixtures.eventCols.map(col): _*)).localCheckpoint()
+    }
+    val streamedSilver = perBatch.reduce(_ unionByName _)
+      .collect().map(_.toString).sorted.toSeq
+    val batchSilver = SilverTransforms.nep245Events(NearQueries.eventsDf(spark))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamedSilver === batchSilver)
+  }
+
+  test("real Structured Streaming wiring: MemoryStream + foreachBatch, " +
+    "one block per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Block]
+    var state = StreamingResolver.emptyState(spark)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val query = source.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val (st2, events) = StreamingResolver.processBatch(state, batch, acc)
+          state = st2
+          collected += events
+            .select(NearFixtures.eventCols.map(col): _*).localCheckpoint()
+        }
+        ()
+      }
+      .start()
+    try {
+      // strictly ordered delivery: add one block, drain, repeat
+      NearFixtures.blocks.sortBy(_.header.height).foreach { b =>
+        source.addData(b)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamed = collected.reduce(_ unionByName _)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = NearQueries.bronzeEvents(spark, "")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+  }
+}
