@@ -68,6 +68,9 @@ object SparkEntry {
     // Sink layer (K1-K4) + resume (S3) round trips
     "near_sink_roundtrip"      -> (NearQueries.sinkRoundtrip _),
     "near_sink_resume"         -> (NearQueries.sinkResume _),
+    // Sources: S1/S2 block-file layout, S4 assets feed
+    "near_s1_file_source"      -> (NearQueries.s1FileSource _),
+    "near_s4_assets"           -> (NearQueries.s4Assets _),
     // Streaming twin (T1 streaming semantics; S1-shape micro-batches)
     "near_stream_events"       -> (NearQueries.streamEvents _),
     // Validation harness (SURVEY §2.7 V5-V8, V10-V11)
@@ -350,6 +353,10 @@ object SparkEntry {
       """SELECT CAST(161 AS BIGINT) AS last_height,
         |  CAST(22 AS BIGINT) AS n_raw,
         |  CAST(11 AS BIGINT) AS n_final""".stripMargin,
+    "near_s1_file_source"      -> graft.fixtures.NearFixtures.eventsSql,
+    "near_s4_assets" ->
+      (s"WITH ${graft.fixtures.NearFixtures.assetsCte}\n" +
+        "SELECT * FROM na ORDER BY defuse_asset_id, price_updated_at_ns"),
     "near_stream_events"       -> graft.fixtures.NearFixtures.eventsSql,
     "near_v_fingerprints"      -> graft.fixtures.NearOracles.vFingerprintsSql,
     "near_v_domain"            -> graft.fixtures.NearOracles.vDomainSql,

@@ -327,6 +327,21 @@ object NearFixtures {
     AssetRow("near", "wnear.near", 18L, "nep141:wnear.near", 3.5,
       T0 + 3 * Day, "WNEAR"))
 
+  /** The S4 HTTP feed body (`{"items":[...]}`, README.md:293-310) the
+    * assets loader parses — rendered from [[assetRows]] so the loader's
+    * output must equal the assets VALUES oracle. */
+  def assetsJsonPayload: String = {
+    val items = assetRows.map(a =>
+      s"""{"blockchain":"${a.blockchain}",""" +
+        s""""contract_address":"${a.contract_address}",""" +
+        s""""decimals":${a.decimals},""" +
+        s""""defuse_asset_id":"${a.defuse_asset_id}",""" +
+        s""""price":${a.price},""" +
+        s""""price_updated_at_ns":${a.price_updated_at_ns},""" +
+        s""""symbol":"${a.symbol}"}""").mkString(",")
+    s"""{"items":[$items]}"""
+  }
+
   // ------------------------------------------------------- SQL rendering
 
   private def q(s: String) = "'" + s.replace("'", "''") + "'"

@@ -199,6 +199,37 @@ object NearQueries {
     Seq((lastH, nRaw, nFinal)).toDF("last_height", "n_raw", "n_final")
   }
 
+  // -------------------------------------------------------------- sources
+
+  /** S1/S2: blocks round-tripped through the JSON block-file layout
+    * (one file per height) must extract to the same bronze events. */
+  def s1FileSource(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.BlockFileSource
+    graft.Tables.tune(spark)
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_blocks_src").getAbsolutePath
+    BlockFileSource.writeBlockFiles(spark, NearFixtures.blocks, path)
+    val b = BlockFileSource.readBlocks(spark, path)
+    val outs = BronzeExtractors.outcomes(b)
+    val res = ReceiptTxResolver.resolve(
+      BronzeExtractors.transactions(b, acc), outs)
+    ReceiptTxResolver.attachTxHash(
+      BronzeExtractors.eventRows(outs, acc), res, dropUnresolved = true)
+      .select(NearFixtures.eventCols.map(col): _*)
+      .orderBy(col("block_height"), col("receipt_index_in_block"),
+        col("index_in_log"))
+  }
+
+  /** S4: the daily asset-price feed body parsed through the
+    * explode(items) loader — must equal the assets dimension VALUES. */
+  def s4Assets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.tune(spark)
+    val raw = Seq(NearFixtures.assetsJsonPayload).toDF("payload")
+    GoldViews.loadAssetsFromJson(raw)
+      .orderBy(col("defuse_asset_id"), col("price_updated_at_ns"))
+  }
+
   // ------------------------------------------------------------ streaming
 
   /** The streaming path (one block per micro-batch folded through the

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Block
+
+/** Block-file source — the NEAR-Lake layout analog (SURVEY §2.1 S1/S2):
+  * one JSON document per block, filenames zero-padded by height so
+  * lexicographic file order IS height order (exactly how near-lake
+  * names S3 keys).
+  *
+  * Batch: `readBlocks` = a schema'd `spark.read.json` over the
+  * directory. Streaming: `readBlockStream` = `spark.readStream` with
+  * `maxFilesPerTrigger=1`, delivering one block per micro-batch in
+  * order — the pacing the reference gets from buffer_unordered(1). In
+  * production the path is `s3a://...` with the endpoint conf; the code
+  * is identical (SURVEY S2).
+  */
+object BlockFileSource {
+
+  val blockSchema = Encoders.product[Block].schema
+
+  /** Persist blocks as one pretty-named JSON file per block. */
+  def writeBlockFiles(spark: SparkSession, blocks: Seq[Block],
+      dir: String): Unit = {
+    import spark.implicits._
+    val d = new java.io.File(dir)
+    graft.sink.ParquetSink.delete(d)
+    d.mkdirs()
+    blocks.foreach { b =>
+      val json = Seq(b).toDS().toJSON.collect()(0)
+      val name = f"${b.header.height}%012d.json"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, name), json)
+    }
+  }
+
+  /** Batch read, ordered by height. */
+  def readBlocks(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(blockSchema).json(dir)
+      .orderBy(col("header.height"))
+
+  /** Streaming read: one block file per micro-batch, in height order
+    * (file sources list lexicographically; names are height-padded). */
+  def readBlockStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(blockSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(dir)
+}

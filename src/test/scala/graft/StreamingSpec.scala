@@ -42,6 +42,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedSilver === batchSilver)
   }
 
+  test("file-source streaming: one JSON block file per micro-batch " +
+    "folds to the batch result") {
+    import graft.sources.BlockFileSource
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_test_blocks").getAbsolutePath
+    BlockFileSource.writeBlockFiles(spark, NearFixtures.blocks, path)
+    var state = StreamingResolver.emptyState(spark)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val query = BlockFileSource.readBlockStream(spark, path).writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val (st2, events) = StreamingResolver.processBatch(state, batch, acc)
+          state = st2
+          collected += events
+            .select(NearFixtures.eventCols.map(col): _*).localCheckpoint()
+        }
+        ()
+      }
+      .start()
+    query.awaitTermination(120000L)
+    val streamed = collected.reduce(_ unionByName _)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = NearQueries.bronzeEvents(spark, "")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+  }
+
   test("real Structured Streaming wiring: MemoryStream + foreachBatch, " +
     "one block per micro-batch") {
     import spark.implicits._
