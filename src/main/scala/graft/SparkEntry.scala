@@ -80,6 +80,7 @@ object SparkEntry {
     "near_v_drilldown"         -> (NearQueries.vDrilldown _),
     "near_v_diff"              -> (NearQueries.vDiff _),
     "near_v_tolerance"         -> (NearQueries.vTolerance _),
+    "near_v_null_ratio"        -> (NearQueries.vNullRatio _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -364,5 +365,11 @@ object SparkEntry {
     "near_v_drilldown"         -> graft.fixtures.NearOracles.vDrilldownSql,
     "near_v_diff"              -> graft.fixtures.NearOracles.vDiffSql,
     "near_v_tolerance"         -> graft.fixtures.NearOracles.vToleranceSql,
+    // 13 events when unresolved rows are kept (11 resolved + r7 + r9)
+    "near_v_null_ratio" ->
+      """SELECT CAST(13 AS BIGINT) AS n_events,
+        |  CAST(2 AS BIGINT) AS n_null_tx,
+        |  CAST(2 AS DOUBLE) / CAST(13 AS DOUBLE) AS null_ratio,
+        |  FALSE AS within_tolerance""".stripMargin,
   )
 }

@@ -329,6 +329,23 @@ object NearQueries {
       Seq("related_receipt_id", "index_in_log"), NearFixtures.eventCols)
   }
 
+  /** V3: null-tx ratio gate on events extracted WITHOUT the drop policy
+    * (schema allows NULL tx_hash; validate.sh:124-139 tolerates ≤5% —
+    * the fixture deliberately exceeds it: 2 unresolvable of 13). */
+  def vNullRatio(spark: SparkSession, dir: String): DataFrame = {
+    val b = blocksDf(spark)
+    val outs = BronzeExtractors.outcomes(b)
+    val ev = ReceiptTxResolver.attachTxHash(
+      BronzeExtractors.eventRows(outs, acc), resolved(spark),
+      dropUnresolved = false)
+    ev.agg(
+      count(lit(1)).as("n_events"),
+      sum(when(col("tx_hash").isNull, 1L).otherwise(0L)).as("n_null_tx"))
+      .withColumn("null_ratio",
+        col("n_null_tx").cast("double") / col("n_events").cast("double"))
+      .withColumn("within_tolerance", col("null_ratio") <= 0.05)
+  }
+
   /** V11: the CH-parity Float64 amount vs the PG-parity exact NUMERIC
     * path (both derived from the raw u128 string), compared with the
     * reference's 1e-10 relative tolerance. */

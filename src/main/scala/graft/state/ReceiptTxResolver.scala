@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.model.NearModel
+import graft.model.{AccountsConfig, NearModel}
 
 /** Receipt → parent-transaction resolution (SURVEY.md §2.4, T1–T5).
   *
@@ -49,7 +49,8 @@ object ReceiptTxResolver {
       transactions: DataFrame,
       outcomes: DataFrame,
       ttlBlocks: Long = NearModel.TtlBlocks,
-      maxHops: Int = 32): DataFrame = {
+      maxHops: Int = 32,
+      accounts: AccountsConfig = AccountsConfig()): DataFrame = {
 
     val seeds = transactions
       .filter(col("first_receipt_id").isNotNull)
@@ -61,11 +62,17 @@ object ReceiptTxResolver {
 
     // child edges: parent receipt (the one this outcome executed) →
     // every spawned receipt, stamped with the block the hop happens in.
+    // hop_main models T4 promotion: children written by an outcome that
+    // touches accounts of interest land in the MAIN tier regardless of
+    // the parent's tier (set_many_receipts vs set_many_potentials,
+    // receipts_and_outcomes.rs:186-191,237-252,258-328).
     val edges = outcomes
       .select(
         col("receipt_id").as("parent_receipt_id"),
         explode(col("receipt_ids")).as("child_receipt_id"),
-        col("block_height").as("hop_height"))
+        col("block_height").as("hop_height"),
+        (col("receiver_id").isin(accounts.all: _*) ||
+          col("predecessor_id").isin(accounts.all: _*)).as("hop_main"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Deterministic "earliest write wins": one row per receipt chosen by
@@ -94,7 +101,7 @@ object ReceiptTxResolver {
           col("hop_height") - col("entry_height") <= ttlBlocks)
         .select(
           col("child_receipt_id").as("receipt_id"),
-          col("tx_hash"), col("main"),
+          col("tx_hash"), (col("main") || col("hop_main")).as("main"),
           col("hop_height").as("entry_height"))
         .join(resolved.select(col("receipt_id").as("done_id")),
           col("receipt_id") === col("done_id"), "left_anti"))

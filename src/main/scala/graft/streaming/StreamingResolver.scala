@@ -62,10 +62,13 @@ object StreamingResolver {
         col("of_interest").as("main"),
         col("block_height").as("entry_height"))
 
+    // hop_main models T4 promotion (see ReceiptTxResolver.resolve)
     val edges = outs.select(
       col("receipt_id").as("parent_receipt_id"),
       explode(col("receipt_ids")).as("child_receipt_id"),
-      col("block_height").as("hop_height"))
+      col("block_height").as("hop_height"),
+      (col("receiver_id").isin(accounts.all: _*) ||
+        col("predecessor_id").isin(accounts.all: _*)).as("hop_main"))
 
     // first write wins: existing state beats this block's seeds
     var st = state.unionByName(seeds)
@@ -85,7 +88,7 @@ object StreamingResolver {
           col("hop_height") - col("entry_height") <= ttlBlocks)
         .select(
           col("child_receipt_id").as("receipt_id"),
-          col("tx_hash"), col("main"),
+          col("tx_hash"), (col("main") || col("hop_main")).as("main"),
           col("hop_height").as("entry_height"))
         .join(st.select(col("receipt_id").as("done_id")),
           col("receipt_id") === col("done_id"), "left_anti")

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.fixtures.NearFixtures
+import graft.model._
 import graft.queries.NearQueries
 import graft.silver.SilverTransforms
 import graft.state.ReceiptTxResolver
@@ -82,6 +83,30 @@ class NearPipelineSpec extends AnyFunSuite {
       BronzeExtractors.outcomes(blocks), ttlBlocks = 100L)
     val wideIds = wide.select("receipt_id").collect().map(_.getString(0)).toSet
     assert(wideIds.contains("r9"))
+  }
+
+  test("T4 promotion: children written by an of-interest outcome join " +
+    "the MAIN tier even when the parent entry is potential") {
+    import spark.implicits._
+    val blocks = Seq(
+      Block(BlockHeader(200L, 1L, "T200"), Seq(Shard(Some(Chunk(Seq(
+        TxWithOutcome(TransactionView("txp", "out1.near", "out2.near", Nil),
+          "ocp",
+          OutcomeView("out1.near", Seq("ra"), "SuccessReceiptId", Nil,
+            "0", 1L))))), Nil))),
+      Block(BlockHeader(201L, 2L, "T201"), Seq(Shard(None, Seq(
+        OutcomeWithReceipt(
+          ReceiptView("ra", "intents.near", "out1.near", "Action", Nil, None),
+          "oa",
+          OutcomeView("intents.near", Seq("rb"), "SuccessValue", Nil,
+            "0", 1L)))))))
+    val df = spark.createDataset(blocks).toDF()
+    val res = ReceiptTxResolver.resolve(
+      BronzeExtractors.transactions(df, acc), BronzeExtractors.outcomes(df))
+    val tiers = res.collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(tiers("ra") === false) // potential seed keeps its first-write tier
+    assert(tiers("rb") === true)  // promoted: of-interest hop writes MAIN
   }
 
   test("sink FINAL dedup is idempotent: third re-insert changes nothing") {

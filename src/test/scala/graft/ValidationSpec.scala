@@ -43,6 +43,43 @@ class ValidationSpec extends AnyFunSuite {
     assert(e.getMessage === "boom 4")
   }
 
+  test("JdbcSink: upsert SQL, partition DDL, and month derivation") {
+    import graft.sink.JdbcSink
+    assert(JdbcSink.upsertSql("t", Seq("a", "b"), Seq("a")) ===
+      "INSERT INTO t (a, b) VALUES (?, ?) ON CONFLICT (a) DO NOTHING")
+    assert(JdbcSink.monthlyPartitionDdl("t", 2023, 12) ===
+      "CREATE TABLE IF NOT EXISTS t_y2023m12 PARTITION OF t " +
+        "FOR VALUES FROM ('2023-12-01') TO ('2024-01-01')")
+    val months = JdbcSink.monthsInBatch(
+      graft.queries.NearQueries.eventsDf(spark), "block_timestamp_ns")
+    assert(months === Seq((2023, 11))) // T0 = 2023-11-14, +3d same month
+  }
+
+  test("JdbcSink: missing-partition error triggers create-then-retry once") {
+    import graft.sink.JdbcSink
+    val executed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var failedOnce = false
+    JdbcSink.insertWithAutoPartitions(
+      execute = { sql =>
+        executed += sql
+        if (sql.startsWith("INSERT") && !failedOnce) {
+          failedOnce = true
+          throw new RuntimeException("no partition of relation \"t\" found")
+        }
+      },
+      insertSql = "INSERT INTO t (a) VALUES (?) ON CONFLICT (a) DO NOTHING",
+      parent = "t",
+      batchMonths = Seq((2023, 11)))
+    assert(executed.count(_.startsWith("INSERT")) === 2)
+    assert(executed.count(_.startsWith("CREATE TABLE")) === 1)
+    // an unrelated error propagates untouched
+    intercept[RuntimeException] {
+      JdbcSink.insertWithAutoPartitions(
+        _ => throw new RuntimeException("connection refused"),
+        "INSERT INTO t (a) VALUES (?)", "t", Nil)
+    }
+  }
+
   test("diffReport is empty for identical tables") {
     val ev = graft.queries.NearQueries.eventsDf(spark)
     val d = Validation.diffReport(ev, ev,
