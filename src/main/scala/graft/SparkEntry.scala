@@ -39,6 +39,7 @@ object SparkEntry {
     "t_text_stats"      -> (TextAnalysis.tTextStats _),
     "t_lang_id"         -> (TextAnalysis.tLangId _),
     "t_quality_score"   -> (TextAnalysis.tQualityScore _),
+    "t_token_count"     -> (TextAnalysis.tTokenCount _),
     "t_fingerprint"     -> (TextAnalysis.tFingerprint _),
     "d_exact_dedup"     -> (Dedup.dExactDedup _),
     "d_minhash_pairs"   -> ((s, d) => Dedup.dMinhashPairs(s, d)),
@@ -234,6 +235,13 @@ object SparkEntry {
         |              string_split_regex(trim(text), '\s+') AS t
         |            FROM documents) x) y
         |ORDER BY doc_id""".stripMargin,
+    "t_token_count" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS BIGINT) AS n_bpeish_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS DOUBLE)
+        |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS tokens_per_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |  md5(lower(trim(text))) AS norm_hash,

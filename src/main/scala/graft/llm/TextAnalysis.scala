@@ -91,6 +91,23 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Token counting with two tokenizers (per doc): whitespace words and
+    * a BPE-ish regex (letter runs / digit runs / single punctuation —
+    * the pre-tokenization split GPT-style BPE vocabularies assume).
+    * Identical `regexp_extract_all` semantics in the DuckDB oracle. */
+  def tTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    documents(spark, dir)
+      .withColumn("n_ws_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("n_bpeish_tokens",
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+          .cast("long"))
+      .withColumn("tokens_per_word",
+        col("n_bpeish_tokens").cast("double") / col("n_ws_tokens").cast("double"))
+      .select(col("doc_id"), col("lang"), col("n_ws_tokens"),
+        col("n_bpeish_tokens"), col("tokens_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprints per document: full md5 of the raw text, md5 of
     * the whitespace/case-normalized text (the exact-dedup key), a 64-bit
     * prefix fingerprint, and the distinct 3-token shingle count (the
