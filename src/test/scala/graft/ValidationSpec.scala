@@ -80,6 +80,22 @@ class ValidationSpec extends AnyFunSuite {
     }
   }
 
+  test("Metrics observe counters ride the job and render as Prometheus text") {
+    import graft.metrics.Metrics
+    Metrics.install(spark)
+    Metrics.reset()
+    val ev = graft.queries.NearQueries.eventsDf(spark)
+    Metrics.observed(ev, "events").count()
+    // listener callbacks are async; wait briefly for delivery
+    val deadline = System.nanoTime() + 10000000000L
+    while (Metrics.snapshot().isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(Metrics.snapshot().get("events_rows_total").contains(11L))
+    val prom = Metrics.renderPrometheus()
+    assert(prom.contains("# TYPE events_rows_total counter"))
+    assert(prom.contains("events_rows_total 11"))
+  }
+
   test("diffReport is empty for identical tables") {
     val ev = graft.queries.NearQueries.eventsDf(spark)
     val d = Validation.diffReport(ev, ev,
