@@ -44,8 +44,35 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // End-to-end ingest throughput in the reference's own unit
+    // (blocks/s; BASELINE: 0.4 current, 15 target): extraction +
+    // receipt->tx resolution + event emission + nep245 silver decode
+    // over synthetic chained blocks.
+    val nBlocks = sys.env.getOrElse("SPARK_GRAFT_BENCH_BLOCKS", "2000").toInt
+    val blocksPerSec = try {
+      import spark.implicits._
+      val blocks = spark.createDataset(
+        graft.fixtures.BlockGen.genBlocks(nBlocks)).toDF()
+        .repartition(cpus.toInt).persist()
+      blocks.count() // materialize input outside the timed section
+      val acc = graft.model.AccountsConfig()
+      val t0 = System.nanoTime()
+      val outs = graft.bronze.BronzeExtractors.outcomes(blocks)
+      val resolved = graft.state.ReceiptTxResolver.resolve(
+        graft.bronze.BronzeExtractors.transactions(blocks, acc), outs)
+      val events = graft.state.ReceiptTxResolver.attachTxHash(
+        graft.bronze.BronzeExtractors.eventRows(outs, acc), resolved)
+      graft.silver.SilverTransforms.nep245Events(events).count()
+      val bps = nBlocks / ((System.nanoTime() - t0) / 1e9)
+      blocks.unpersist()
+      bps
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ingest throughput FAILED: $e")
+      failures ::= "ingest_blocks_per_sec"
+      -1.0
+    }
     val failed = failures.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"ingest_blocks_per_sec":$blocksPerSec,"ingest_blocks_n":$nBlocks,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
