@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{Sessionize, WindowedActivity}
+import graft.streaming.Sessionize.Ev
+
+class SessionWindowSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("batch sessionization splits on gaps and matches a hand fold") {
+    import spark.implicits._
+    val evs = Seq(
+      Ev(1L, 0L, 1L), Ev(1L, 50L, 2L), Ev(1L, 80L, 3L), // session A (gaps 50,30)
+      Ev(1L, 200L, 4L),                                 // session B (gap 120)
+      Ev(2L, 10L, 5L)).toDS()                           // session C
+    val out = Sessionize.sessionsBatch(evs, gapUs = 60L)
+      .collect().sortBy(s => (s.user_id, s.session_start_us))
+    assert(out.map(s => (s.user_id, s.session_start_us, s.session_end_us,
+      s.n_events)).toSeq ===
+      Seq((1L, 0L, 80L, 3L), (1L, 200L, 200L, 1L), (2L, 10L, 10L, 1L)))
+  }
+
+  test("batch sessionization over the corpus: session event counts sum " +
+    "to the event count per user") {
+    import spark.implicits._
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"), col("event_id"))
+      .as[Ev]
+    val sessions = Sessionize.sessionsBatch(evs, gapUs = 3600L * 1000000L)
+    val perUserSessions = sessions.groupBy("user_id")
+      .agg(sum("n_events").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perUserEvents = evs.groupByKey(_.user_id).count().collect().toMap
+    assert(perUserSessions === perUserEvents)
+  }
+
+  test("streaming sessionization emits closed sessions through " +
+    "flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val query = Sessionize.sessionsStream(source.toDS(), gapUs = 60L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_out").start()
+    try {
+      // NOTE: no processAllAvailable here — once a processing-time
+      // timeout is armed the stateful query is never "idle" and that
+      // call spins. Poll the sink for the expected closed session;
+      // whether the events coalesce into one micro-batch or two, the
+      // gap split closes session A identically.
+      source.addData(Ev(1L, 0L, 1L), Ev(1L, 50L, 2L))
+      source.addData(Ev(1L, 200L, 3L)) // gap 150 > 60 closes session A
+      val expected = Sessionize.Session(1L, 0L, 50L, 2L)
+      val deadline = System.nanoTime() + 90000000000L
+      def closed() = spark.table("sessions_out").as[Sessionize.Session]
+        .collect().toSeq
+      while (!closed().contains(expected) && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(closed().contains(expected))
+    } finally query.stop()
+  }
+
+  test("watermarked hourly window equals the integer-bucket batch twin") {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val windowed = WindowedActivity.hourlyCounts(ev)
+      .select(unix_micros(col("hour_start")).as("us"), col("event_type"),
+        col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val bucketed = graft.queries.EventQueries.gHourlyActivity(spark, dir)
+      .select(expr("hour_bucket DIV 1000").as("us"), col("event_type"),
+        col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(windowed === bucketed)
+  }
+
+  test("watermarked hourly window runs as a real stream (complete mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class E(ts: Long, event_type: String)
+    val source = MemoryStream[(Long, String)]
+    val query = WindowedActivity.hourlyCounts(
+      source.toDF().toDF("ts", "event_type"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hourly_out").start()
+    try {
+      val h = 3600L * 1000000000L
+      source.addData((1L, "a"), (h + 1L, "a"), (h + 2L, "b"))
+      query.processAllAvailable()
+      val rows = spark.table("hourly_out")
+        .select(unix_micros(col("hour_start")), col("event_type"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set((0L, "a", 1L), (3600000000L, "a", 1L),
+        (3600000000L, "b", 1L)))
+    } finally query.stop()
+  }
+}
