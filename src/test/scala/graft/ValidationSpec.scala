@@ -96,6 +96,29 @@ class ValidationSpec extends AnyFunSuite {
     assert(prom.contains("events_rows_total 11"))
   }
 
+  test("salted join equals the plain join on a skewed key distribution") {
+    import spark.implicits._
+    import graft.operators.SkewJoin
+    // hot key: 90% of the large side lands on one join key
+    val large = (0 until 2000).map(i =>
+      (i.toLong, if (i % 10 == 0) s"k${i % 7}" else "hot")).toDF("id", "k")
+    val small = Seq(("hot", 1.0), ("k0", 2.0), ("k3", 3.0), ("absent", 9.0))
+      .toDF("k", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.toString).getOrElse("null")))
+      .sorted.toSeq
+    val plainInner = canon(large.join(small, Seq("k")))
+    val saltedInner = canon(
+      SkewJoin.saltedJoin(large, small, Seq("k"), "id", 8))
+    assert(saltedInner === plainInner)
+    val plainLeft = canon(large.join(small, Seq("k"), "left"))
+    val saltedLeft = canon(
+      SkewJoin.saltedJoin(large, small, Seq("k"), "id", 8, "left"))
+    assert(saltedLeft === plainLeft)
+  }
+
   test("diffReport is empty for identical tables") {
     val ev = graft.queries.NearQueries.eventsDf(spark)
     val d = Validation.diffReport(ev, ev,
