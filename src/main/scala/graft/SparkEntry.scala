@@ -72,6 +72,8 @@ object SparkEntry {
     // Sources: S1/S2 block-file layout, S4 assets feed
     "near_s1_file_source"      -> (NearQueries.s1FileSource _),
     "near_s4_assets"           -> (NearQueries.s4Assets _),
+    // Full product path with restart (runner + resume + state window)
+    "near_runner_events"       -> (NearQueries.runnerEvents _),
     // Streaming twin (T1 streaming semantics; S1-shape micro-batches)
     "near_stream_events"       -> (NearQueries.streamEvents _),
     // Validation harness (SURVEY §2.7 V5-V8, V10-V11)
@@ -366,6 +368,7 @@ object SparkEntry {
     "near_s4_assets" ->
       (s"WITH ${graft.fixtures.NearFixtures.assetsCte}\n" +
         "SELECT * FROM na ORDER BY defuse_asset_id, price_updated_at_ns"),
+    "near_runner_events"       -> graft.fixtures.NearFixtures.eventsSql,
     "near_stream_events"       -> graft.fixtures.NearFixtures.eventsSql,
     "near_v_fingerprints"      -> graft.fixtures.NearOracles.vFingerprintsSql,
     "near_v_domain"            -> graft.fixtures.NearOracles.vDomainSql,

@@ -230,6 +230,31 @@ object NearQueries {
       .orderBy(col("defuse_asset_id"), col("price_updated_at_ns"))
   }
 
+  // --------------------------------------------------------------- runner
+
+  /** The full product path with a restart in the middle: ingest blocks
+    * 100-102 into a fresh warehouse, then resume and ingest 160-161.
+    * The FINAL events table must equal the single-run expectation
+    * (same pinned VALUES oracle) — proving sink resume + the persisted
+    * TTL-window resolution state across restarts. */
+  def runnerEvents(spark: SparkSession, dir: String): DataFrame = {
+    import graft.runner.BatchRunner
+    import graft.sources.BlockFileSource
+    graft.Tables.tune(spark)
+    val warehouse = freshSinkDir("runner_wh")
+    val blocksDir = freshSinkDir("runner_blocks")
+    val ordered = NearFixtures.blocks.sortBy(_.header.height)
+    BlockFileSource.writeBlockFiles(spark, ordered.take(3), blocksDir)
+    BatchRunner.run(spark, blocksDir, warehouse, acc)
+    BlockFileSource.writeBlockFiles(spark, ordered, blocksDir)
+    BatchRunner.run(spark, blocksDir, warehouse, acc)
+    BatchRunner.tableFinal(spark, warehouse, "events",
+      Seq("related_receipt_id", "index_in_log"))
+      .select(NearFixtures.eventCols.map(col): _*)
+      .orderBy(col("block_height"), col("receipt_index_in_block"),
+        col("index_in_log"))
+  }
+
   // ------------------------------------------------------------ streaming
 
   /** The streaming path (one block per micro-batch folded through the

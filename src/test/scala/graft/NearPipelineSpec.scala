@@ -127,6 +127,48 @@ class NearPipelineSpec extends AnyFunSuite {
     ParquetSink.delete(dir)
   }
 
+  test("runner restart: two-stage ingest equals one-shot ingest and " +
+    "resumes from the sink height") {
+    import graft.runner.BatchRunner
+    import graft.sources.BlockFileSource
+    val ordered = NearFixtures.blocks.sortBy(_.header.height)
+    def freshDir(n: String) = {
+      val d = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_test_$n")
+      graft.sink.ParquetSink.delete(d)
+      d.getAbsolutePath
+    }
+    // one-shot
+    val wh1 = freshDir("runner_oneshot")
+    val bd1 = freshDir("runner_oneshot_blocks")
+    BlockFileSource.writeBlockFiles(spark, ordered, bd1)
+    val s1 = BatchRunner.run(spark, bd1, wh1, acc)
+    assert(s1.exists(_.fromHeight.isEmpty))
+    // two-stage with restart
+    val wh2 = freshDir("runner_twostage")
+    val bd2 = freshDir("runner_twostage_blocks")
+    BlockFileSource.writeBlockFiles(spark, ordered.take(3), bd2)
+    BatchRunner.run(spark, bd2, wh2, acc)
+    BlockFileSource.writeBlockFiles(spark, ordered, bd2)
+    // resume reads max(height) from the TRANSACTIONS table (mirroring
+    // indexer-clickhouse/src/database.rs:15-39): block 102 carries no
+    // transactions, so the resume point is 101 and block 102 is
+    // REPROCESSED — its re-inserted rows collapse under FINAL dedup
+    // (the idempotence the reference gets from ReplacingMergeTree).
+    val s2b = BatchRunner.run(spark, bd2, wh2, acc)
+    assert(s2b.exists(_.fromHeight.contains(101L)))
+    // a third run re-processes only the trailing tx-less block (161 >
+    // resume point 160); its re-inserts are idempotent no-ops
+    val s3 = BatchRunner.run(spark, bd2, wh2, acc)
+    assert(s3.exists(s => s.fromHeight.contains(160L) && s.nBlocks == 1L))
+    val pk = Seq("related_receipt_id", "index_in_log")
+    def img(wh: String) = BatchRunner.tableFinal(spark, wh, "events", pk)
+      .select(NearFixtures.eventCols.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    assert(img(wh2) === img(wh1))
+    assert(img(wh1).size === 11)
+  }
+
   test("gold no-match rows: null referral becomes 'Others', empty-memo" +
     " no-match rows are dropped (CH 3VL parity)") {
     import spark.implicits._
