@@ -43,6 +43,7 @@ object SparkEntry {
     "t_fingerprint"     -> (TextAnalysis.tFingerprint _),
     "d_exact_dedup"     -> (Dedup.dExactDedup _),
     "d_minhash_pairs"   -> ((s, d) => Dedup.dMinhashPairs(s, d)),
+    "d_ngram_pairs"     -> ((s, d) => Dedup.dNgramPairs(s, d)),
     "d_simhash"         -> (Dedup.dSimhash _),
     "s_cosine_topk"     -> ((s, d) => Similarity.sCosineTopk(s, d)),
     "s_cosine_pairs"    -> ((s, d) => Similarity.sCosinePairs(s, d)),
@@ -274,6 +275,19 @@ object SparkEntry {
         |    CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
         |      CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM p
+        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "d_ngram_pairs" ->
+      """WITH cg AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(length(text) - 14, 1)),
+        |    i -> substring(text, i, 16))) AS gs
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE) AS jaccard
+        |  FROM cg a JOIN cg b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM p
         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     "d_simhash" ->

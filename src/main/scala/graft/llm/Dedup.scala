@@ -76,24 +76,63 @@ object Dedup {
     * band recall at the threshold is ≈1 (see object scaladoc).
     */
   def dMinhashPairs(spark: SparkSession, dir: String,
-                    threshold: Double = 0.8): DataFrame = {
+                    threshold: Double = 0.8): DataFrame =
+    lshVerifiedPairs(withShingles(spark, dir), threshold)
+
+  /** Near-dup pairs over character 16-gram sets — the n-gram-Jaccard
+    * dedup family.
+    *
+    * Two deliberate differences from the token pipeline: grams span
+    * ~3 words so per-doc minima are doc-specific (8-char grams from a
+    * small shared vocabulary make every document contain the globally
+    * minimal gram — signatures collide corpus-wide and candidates
+    * explode); and grams are produced ROW-WISE (explode the positions,
+    * then one codegen'd substring per row) instead of building per-doc
+    * arrays with an interpreted transform lambda — the dense char-gram
+    * case is ~10× the token-shingle volume, so staying inside
+    * WholeStageCodegen matters. */
+  def dNgramPairs(spark: SparkSession, dir: String,
+                  threshold: Double = 0.8, n: Int = 16): DataFrame = {
+    val gramRows = documents(spark, dir)
+      .repartition(col("doc_id")) // parallelize (see withShingles)
+      .filter(length(col("text")) >= n)
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(1, length(text) - ${n - 1})")).as("i"))
+      .select(col("doc_id"), expr(s"substring(text, i, $n)").as("s"))
+      .distinct()
+    lshVerifiedPairsFromRows(gramRows, threshold)
+  }
+
+  /** Banded-LSH candidates + exact-Jaccard verify over a (doc_id, ss)
+    * shingle-SET relation (token pipeline entry point). The array
+    * relation is persisted BEFORE the explode: its shingle transform is
+    * an interpreted lambda, and exploding the raw expression re-runs it
+    * per output row. */
+  private def lshVerifiedPairs(shingled: DataFrame,
+                               threshold: Double): DataFrame = {
+    val docs = shingled.persist()
+    lshVerifiedPairsFromRows(
+      docs.select(col("doc_id"), explode(col("ss")).as("s")), threshold)
+  }
+
+  /** Banded-LSH candidates + exact-Jaccard verify over (doc_id, s)
+    * shingle ROWS (distinct per doc).
+    *
+    * Signatures are ONE hash-partitioned groupBy computing all 32
+    * per-seed minima as partial (map-side combined) aggregates — every
+    * expression codegen'd, no interpreted lambda in the hot path. The
+    * gram relation feeds three plan branches (signatures + both sides
+    * of the candidate verify), so it is persisted — the SURVEY §4
+    * "compute once, project twice" pattern. Docs with no shingles drop
+    * out; they cannot be shingle near-dups. */
+  private def lshVerifiedPairsFromRows(gramRows: DataFrame,
+                                       threshold: Double): DataFrame = {
     val numHashes = 32
     val bands = 16
     val rows = numHashes / bands
-    // The shingle-set relation feeds three plan branches (signatures +
-    // both sides of the candidate verify). Without materialization each
-    // branch re-derives it — persist() (memory-and-disk, spillable at
-    // scale) is the SURVEY §4 "compute once, project twice" pattern.
-    val docs = withShingles(spark, dir).persist()
+    val grams = gramRows.persist()
 
-    // Signatures as a codegen-friendly plan: explode shingles once,
-    // then ONE hash-partitioned groupBy computing all 32 per-seed mins
-    // as partial (map-side combined) aggregates — every expression is
-    // codegen'd (xxhash64(seed, shingle) per column), no interpreted
-    // lambda in the hot path. Docs with <3 tokens have no shingles and
-    // drop out here; they cannot be shingle near-dups.
-    val sig = docs
-      .select(col("doc_id"), explode(col("ss")).as("s"))
+    val sig = grams
       .groupBy(col("doc_id"))
       .agg(min(xxhash64(lit(0), col("s"))).as("h0"),
         (1 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i")): _*)
@@ -112,9 +151,12 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
+    val sets = grams.groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("ss")).persist()
+
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
           size(array_distinct(concat(col("ss_a"), col("ss_b")))).cast("double"))
