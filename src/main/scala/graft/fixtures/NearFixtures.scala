@@ -243,7 +243,9 @@ object NearFixtures {
       "system", "[]"),
     ReceiptRow(102L, T0 + 2000000000L, "B102", "tx4", "r8",
       "staging-intents.near", "eve.near", """{"value":1}"""),
-    ReceiptRow(160L, T0 + 3 * Day, "B160", "tx3", "r3", "defuse-alpha.near",
+    // r3's seed entry (height 100) is TTL-expired by its execution at
+    // 160 (gap 60 > 50) — the lookup misses, parent stays ''
+    ReceiptRow(160L, T0 + 3 * Day, "B160", "", "r3", "defuse-alpha.near",
       "dave.near", ""),
     ReceiptRow(161L, T0 + 3 * Day + 1000000000L, "B161", "", "r9",
       "intents.near", "defuse-alpha.near", "[]"),
@@ -251,13 +253,20 @@ object NearFixtures {
       "intents.near", "alice.near",
       """[{"action_type":"FunctionCall","params":{"method_name":"execute"}}]"""))
 
-  /** JSON-encode a log array exactly like Spark's to_json (standard JSON
-    * string escaping, no spaces), `[]` when empty (P12). */
+  /** JSON-encode a log array exactly like Spark's to_json — i.e.
+    * Jackson's escaping: short escapes for \b \t \n \f \r, uppercase
+    * `\u00XX` for other control chars, no spaces; `[]` when empty
+    * (P12). */
   def jsonLogs(logs: Seq[String]): String = {
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case '\b' => "\\b"
+      case '\t' => "\\t"
+      case '\n' => "\\n"
+      case '\f' => "\\f"
+      case '\r' => "\\r"
+      case c if c < ' ' => f"\\u${c.toInt}%04X"
       case c => c.toString
     }
     if (logs.isEmpty) "[]"
@@ -287,7 +296,7 @@ object NearFixtures {
     (ExecutionOutcomeRow(102L, T0 + 2000000000L, "B102", "tx4",
       "staging-intents.near", Nil, "success_value",
       jsonLogs(logsOf("o6")), "0", 7L, "o6"), "r8"),
-    (ExecutionOutcomeRow(160L, T0 + 3 * Day, "B160", "tx3",
+    (ExecutionOutcomeRow(160L, T0 + 3 * Day, "B160", "", // r3 TTL-expired
       "defuse-alpha.near", Seq("r9"), "success_value", "[]", "0", 9L, "o7"),
       "r3"),
     (ExecutionOutcomeRow(161L, T0 + 3 * Day + 1000000000L, "B161", "",

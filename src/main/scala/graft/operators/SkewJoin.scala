@@ -27,6 +27,13 @@ object SkewJoin {
       saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    // right/full-outer would multiply unmatched small-side rows by
+    // saltFactor (one survivor per replica) — only join types where the
+    // replicated side never surfaces unmatched are allowed
+    val allowed = Set("inner", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "leftanti", "left_anti")
+    require(allowed.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left join types only, got $joinType")
     val salted = large.withColumn("__salt",
       pmod(xxhash64(col(largeUniqueCol)), lit(saltFactor.toLong)))
     val replicated = small.withColumn("__salt",

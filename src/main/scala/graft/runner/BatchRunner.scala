@@ -41,15 +41,18 @@ object BatchRunner {
     // transactions table (indexer-clickhouse/src/database.rs:15-39)
     val resume = ParquetSink.lastHeight(spark, s"$warehouse/transactions")
     val all = BlockFileSource.readBlocks(spark, blocksDir)
-    val blocks = resume match {
+    // one materialized read of the (possibly remote) block files; every
+    // downstream branch reads the checkpoint, not the source
+    val blocks = (resume match {
       case Some(h) => all.filter(col("header.height") > h)
       case None => all
-    }
+    }).localCheckpoint()
     if (blocks.isEmpty) return None
-    val Array(fromNew, toHeight) = blocks
-      .agg(min(col("header.height")), max(col("header.height")))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-    val nBlocks = blocks.count()
+    val agg0 = blocks
+      .agg(min(col("header.height")), max(col("header.height")),
+        count(lit(1))).collect()(0)
+    val (fromNew, toHeight, nBlocks) =
+      (agg0.getLong(0), agg0.getLong(1), agg0.getLong(2))
 
     val txs = BronzeExtractors.transactions(blocks, accounts)
       .localCheckpoint()
@@ -84,8 +87,6 @@ object BatchRunner {
     // bronze tables
     val txRows = txs.filter(col("of_interest"))
       .drop("first_receipt_id", "of_interest")
-    ParquetSink.writeBatch(txRows, s"$warehouse/transactions", toHeight,
-      Seq("transaction_hash"))
 
     val ofInt = BronzeExtractors.outcomesOfInterest(outs, accounts)
     val receiptRows = ReceiptTxResolver.attachParentTx(
@@ -108,6 +109,13 @@ object BatchRunner {
     ParquetSink.writeBatch(SilverTransforms.dip4TokenDiff(events, accounts),
       s"$warehouse/silver_token_diff", toHeight,
       eventsPk ++ Seq("diff_positive_token", "diff_negative_token"))
+
+    // The transactions table is the RESUME MARKER (lastHeight reads it),
+    // so it commits LAST: a crash anywhere above leaves the resume point
+    // untouched and the whole batch is re-processed idempotently
+    // (FINAL dedup absorbs the re-inserts).
+    ParquetSink.writeBatch(txRows, s"$warehouse/transactions", toHeight,
+      Seq("transaction_hash"))
 
     Some(RunSummary(resume, toHeight, nBlocks, events.count(),
       txRows.count(), receiptRows.count(), outcomeRows.count()))

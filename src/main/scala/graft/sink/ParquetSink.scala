@@ -62,11 +62,14 @@ object ParquetSink {
         .write.mode("append").partitionBy("height_bucket").parquet(path)
     }
 
-  /** FINAL-semantics read: latest insert_seq per PK; ties broken by the
-    * full PK ordering so the survivor is deterministic. */
+  /** FINAL-semantics read: latest insert_seq per PK. Equal-seq
+    * duplicates (a retried write that leaked files, a replayed batch
+    * reusing its seq) tie-break on a full-row hash, so the survivor is
+    * deterministic even when the duplicates differ in non-PK columns. */
   def readFinal(raw: DataFrame, pkCols: Seq[String]): DataFrame = {
+    val rowHash = xxhash64(raw.columns.sorted.map(col): _*)
     val w = Window.partitionBy(pkCols.map(col): _*)
-      .orderBy(col("insert_seq").desc)
+      .orderBy(col("insert_seq").desc, rowHash.asc)
     raw.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

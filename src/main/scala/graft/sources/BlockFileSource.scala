@@ -20,18 +20,24 @@ object BlockFileSource {
 
   val blockSchema = Encoders.product[Block].schema
 
-  /** Persist blocks as one pretty-named JSON file per block. */
+  /** Persist blocks as one height-named JSON file per block. Spark's
+    * file stream source orders pending files by MODIFICATION TIME (not
+    * filename), so each file's mtime is stamped from its height —
+    * otherwise two files written within one mtime-granularity tick
+    * could stream out of height order. */
   def writeBlockFiles(spark: SparkSession, blocks: Seq[Block],
       dir: String): Unit = {
     import spark.implicits._
     val d = new java.io.File(dir)
     graft.sink.ParquetSink.delete(d)
     d.mkdirs()
+    val t0 = System.currentTimeMillis()
     blocks.foreach { b =>
       val json = Seq(b).toDS().toJSON.collect()(0)
       val name = f"${b.header.height}%012d.json"
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(dir, name), json)
+      val p = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.writeString(p, json)
+      p.toFile.setLastModified(t0 + b.header.height * 1000L): Unit
     }
   }
 
@@ -40,8 +46,10 @@ object BlockFileSource {
     spark.read.schema(blockSchema).json(dir)
       .orderBy(col("header.height"))
 
-  /** Streaming read: one block file per micro-batch, in height order
-    * (file sources list lexicographically; names are height-padded). */
+  /** Streaming read: one block file per micro-batch. Height order holds
+    * because the file source processes files oldest-mtime-first and the
+    * writer stamps mtimes from heights (see [[writeBlockFiles]]); a
+    * production S3 layout gets the same property from upload order. */
   def readBlockStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(blockSchema)
       .option("maxFilesPerTrigger", 1)

@@ -1,6 +1,6 @@
 package graft.state
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -117,26 +117,45 @@ object ReceiptTxResolver {
     resolved
   }
 
+  /** An entry is readable at `atHeight` only while its TTL holds —
+    * the Redis `SET ... EX` expiry seen by lookups (T1). Without this,
+    * the batch path would resolve receipts the reference's (and the
+    * streaming twin's) expired cache would miss. */
+  private def entryLive(atHeight: Column, ttlBlocks: Long): Column =
+    atHeight >= col("entry_height") &&
+      atHeight - col("entry_height") <= ttlBlocks
+
   /** Attach tx_hash to event rows; `dropUnresolved=true` reproduces the
     * reference's warn-and-drop policy (T5, events.rs:206-213), false
-    * keeps NULL tx_hash (schema allows it; ≤5% gate in validate.sh:129). */
+    * keeps NULL tx_hash (schema allows it; ≤5% gate in validate.sh:129).
+    * Entries expired at the event's block resolve as unresolved. */
   def attachTxHash(
       eventRows: DataFrame,
       resolved: DataFrame,
-      dropUnresolved: Boolean = true): DataFrame = {
+      dropUnresolved: Boolean = true,
+      ttlBlocks: Long = NearModel.TtlBlocks): DataFrame = {
     val mapping = resolved.select(
-      col("receipt_id").as("related_receipt_id"), col("tx_hash"))
+      col("receipt_id").as("related_receipt_id"),
+      col("tx_hash").as("__tx"), col("entry_height"))
     val joined = eventRows.join(mapping, Seq("related_receipt_id"), "left")
+      .withColumn("tx_hash",
+        when(entryLive(col("block_height"), ttlBlocks), col("__tx")))
+      .drop("__tx", "entry_height")
     if (dropUnresolved) joined.filter(col("tx_hash").isNotNull) else joined
   }
 
   /** Attach parent_transaction_hash to receipt/outcome rows; unresolved
-    * rows keep '' (ClickHouse non-null String default — SURVEY §1.3). */
-  def attachParentTx(rows: DataFrame, resolved: DataFrame): DataFrame = {
+    * (or TTL-expired at the row's block) keep '' (ClickHouse non-null
+    * String default — SURVEY §1.3). */
+  def attachParentTx(rows: DataFrame, resolved: DataFrame,
+      ttlBlocks: Long = NearModel.TtlBlocks): DataFrame = {
     val mapping = resolved.select(
-      col("receipt_id").as("__rid"), col("tx_hash").as("__tx"))
+      col("receipt_id").as("__rid"), col("tx_hash").as("__tx"),
+      col("entry_height"))
     rows.join(mapping, rows("receipt_id") === col("__rid"), "left")
-      .withColumn("parent_transaction_hash", coalesce(col("__tx"), lit("")))
-      .drop("__rid", "__tx")
+      .withColumn("parent_transaction_hash",
+        coalesce(when(entryLive(rows("block_height"), ttlBlocks),
+          col("__tx")), lit("")))
+      .drop("__rid", "__tx", "entry_height")
   }
 }

@@ -70,13 +70,18 @@ object StreamingResolver {
       (col("receiver_id").isin(accounts.all: _*) ||
         col("predecessor_id").isin(accounts.all: _*)).as("hop_main"))
 
-    // first write wins: existing state beats this block's seeds
-    var st = state.unionByName(seeds)
+    // first write wins: existing state beats this block's seeds. The
+    // min_by key includes NOT main so (height, tx) ties deterministically
+    // keep the MAIN-tier entry — same ordering as the batch resolver's
+    // firstWrite (entry_height, tx_hash, main desc).
+    def firstWrite(df: DataFrame): DataFrame = df
       .groupBy(col("receipt_id"))
       .agg(min_by(struct(col("tx_hash"), col("main"), col("entry_height")),
-        struct(col("entry_height"), col("tx_hash"))).as("v"))
+        struct(col("entry_height"), col("tx_hash"), not(col("main")))).as("v"))
       .select(col("receipt_id"), col("v.tx_hash"), col("v.main"),
         col("v.entry_height"))
+
+    var st = firstWrite(state.unionByName(seeds))
 
     // propagate to fixpoint within the block (local receipts can be
     // seeded and executed in the same block)
@@ -92,14 +97,9 @@ object StreamingResolver {
           col("hop_height").as("entry_height"))
         .join(st.select(col("receipt_id").as("done_id")),
           col("receipt_id") === col("done_id"), "left_anti")
-        .groupBy(col("receipt_id"))
-        .agg(min_by(struct(col("tx_hash"), col("main"), col("entry_height")),
-          struct(col("entry_height"), col("tx_hash"))).as("v"))
-        .select(col("receipt_id"), col("v.tx_hash"), col("v.main"),
-          col("v.entry_height"))
-        .localCheckpoint()
-      if (next.isEmpty) grew = false
-      else st = st.unionByName(next)
+      val nextDeduped = firstWrite(next).localCheckpoint()
+      if (nextDeduped.isEmpty) grew = false
+      else st = st.unionByName(nextDeduped)
     }
 
     // TTL expiry relative to the newest height in this batch

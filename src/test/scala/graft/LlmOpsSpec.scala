@@ -16,8 +16,12 @@ class LlmOpsSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val docs = Tables.documents(spark, dir)
       .withColumn("t", split(trim(col("text")), "\\s+"))
-      .withColumn("ss", expr("array_distinct(transform(sequence(0, size(t) - 3), " +
-        "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"))
+      // same <3-token guard as the pipeline: sequence(0, negative)
+      // counts DOWN and would fabricate bogus shingles
+      .withColumn("ss", when(size(col("t")) >= 3,
+        expr("array_distinct(transform(sequence(0, size(t) - 3), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"))
+        .otherwise(expr("CAST(array() AS array<string>)")))
       .select("doc_id", "ss")
     val exact = docs.as("a").crossJoin(docs.as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))

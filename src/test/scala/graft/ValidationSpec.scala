@@ -128,7 +128,12 @@ class ValidationSpec extends AnyFunSuite {
 
   test("jsonLogs escaping round-trips through Spark's JSON parser") {
     import spark.implicits._
-    val gen = Gen.listOfN(3, Gen.asciiPrintableStr.map(_.take(30)))
+    // mix in control chars so the short-escape branches (\n \t \r \b \f
+    // and \u00XX) are exercised, not just printable ASCII
+    val gen = Gen.listOfN(3, Gen.listOf(Gen.frequency(
+      8 -> Gen.asciiPrintableChar,
+      2 -> Gen.oneOf('\n', '\t', '\r', '\b', '\f', '', '')))
+      .map(_.mkString.take(30)))
     val samples = (0 until 25).flatMap(i =>
       gen.apply(Gen.Parameters.default, Seed(i.toLong)))
     assert(samples.nonEmpty)
