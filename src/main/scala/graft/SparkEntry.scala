@@ -23,6 +23,7 @@ object SparkEntry {
     "q1_pricing_summary"   -> (TpchQueries.q1PricingSummary _),
     "q3_shipping_priority" -> (TpchQueries.q3ShippingPriority _),
     "q5_local_supplier"    -> (TpchQueries.q5LocalSupplier _),
+    "q9_product_profit"    -> (TpchQueries.q9ProductProfit _),
     "p_filter_project"     -> (TpchQueries.pFilterProject _),
     "k_latest_order_per_customer" -> (TpchQueries.kLatestOrderPerCustomer _),
     "v_orphan_orders"      -> (TpchQueries.vOrphanOrders _),
@@ -124,6 +125,16 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name, p_brand,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, p_brand
+        |ORDER BY n_name, p_brand""".stripMargin,
     "p_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         |FROM lineitem

@@ -77,6 +77,24 @@ object TpchQueries {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** TPC-H Q9 shape: revenue by supplier nation and part brand —
+    * lineitem ⋈ part ⋈ supplier ⋈ nation, covering the remaining
+    * dimension tables; nation broadcast, the rest AQE. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val l = lineitem(spark, dir)
+    val p = part(spark, dir)
+    val s = supplier(spark, dir)
+    val n = nation(spark, dir)
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"), col("p_brand"))
+  }
+
   /** Filter + projection pushdown showcase (SURVEY P3–P5 `isin` pattern):
     * both predicates reach the parquet scan, only 4 columns are read. */
   def pFilterProject(spark: SparkSession, dir: String): DataFrame = {
