@@ -109,6 +109,33 @@ class NearPipelineSpec extends AnyFunSuite {
     assert(tiers("rb") === true)  // promoted: of-interest hop writes MAIN
   }
 
+  test("attach-time TTL boundary: an entry is readable exactly ttl " +
+    "blocks after its write, and not one block later") {
+    import spark.implicits._
+    val resolved = Seq(("rx", "txx", true, 100L))
+      .toDF("receipt_id", "tx_hash", "main", "entry_height")
+    def eventAt(h: Long) = Seq((h, "rx")).toDF("block_height", "related_receipt_id")
+    val atTtl = ReceiptTxResolver.attachTxHash(eventAt(150L), resolved)
+    assert(atTtl.count() === 1) // gap 50 == ttl: still live
+    val pastTtl = ReceiptTxResolver.attachTxHash(eventAt(151L), resolved)
+    assert(pastTtl.count() === 0) // gap 51: expired, dropped
+    val parentAt = ReceiptTxResolver.attachParentTx(
+      eventAt(151L).withColumn("receipt_id", col("related_receipt_id")),
+      resolved)
+    assert(parentAt.select("parent_transaction_hash")
+      .collect()(0).getString(0) === "")
+  }
+
+  test("M1-M5 timestamp lower bound excludes earlier events " +
+    "(the MVs' ts >= const predicate)") {
+    val cutoff = NearFixtures.T0 + 3 * NearFixtures.Day
+    val bounded = SilverTransforms.nep245Events(events, cutoff)
+    assert(bounded.select("block_height").distinct()
+      .collect().map(_.getLong(0)).toSet === Set(161L))
+    assert(SilverTransforms.nep245Events(events).count() >
+      bounded.count())
+  }
+
   test("sink FINAL dedup is idempotent: third re-insert changes nothing") {
     import graft.sink.ParquetSink
     val dir = new java.io.File(
