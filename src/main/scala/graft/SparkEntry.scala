@@ -74,6 +74,8 @@ object SparkEntry {
     // Sources: S1/S2 block-file layout, S4 assets feed
     "near_s1_file_source"      -> (NearQueries.s1FileSource _),
     "near_s4_assets"           -> (NearQueries.s4Assets _),
+    // Reference-named SQL view surface
+    "near_sql_gold"            -> (NearQueries.sqlGoldMetrics _),
     // Full product path with restart (runner + resume + state window)
     "near_runner_events"       -> (NearQueries.runnerEvents _),
     // Streaming twin (T1 streaming semantics; S1-shape micro-batches)
@@ -393,6 +395,7 @@ object SparkEntry {
     "near_s4_assets" ->
       (s"WITH ${graft.fixtures.NearFixtures.assetsCte}\n" +
         "SELECT * FROM na ORDER BY defuse_asset_id, price_updated_at_ns"),
+    "near_sql_gold"            -> graft.fixtures.NearOracles.goldSql,
     "near_runner_events"       -> graft.fixtures.NearFixtures.eventsSql,
     "near_stream_events"       -> graft.fixtures.NearFixtures.eventsSql,
     "near_v_fingerprints"      -> graft.fixtures.NearOracles.vFingerprintsSql,

@@ -230,6 +230,18 @@ object NearQueries {
       .orderBy(col("defuse_asset_id"), col("price_updated_at_ns"))
   }
 
+  // ------------------------------------------------------------ SQL views
+
+  /** The gold view consumed through the registered SQL surface — a
+    * reference user's `SELECT ... FROM gold_view_intents_metrics` runs
+    * unchanged; same oracle as the programmatic gold query. */
+  def sqlGoldMetrics(spark: SparkSession, dir: String): DataFrame = {
+    graft.api.NearViews.register(spark, eventsDf(spark), assetsDf(spark), acc)
+    spark.sql(
+      """SELECT * FROM gold_view_intents_metrics
+        |ORDER BY day, symbol, referral""".stripMargin)
+  }
+
   // --------------------------------------------------------------- runner
 
   /** The full product path with a restart in the middle: ingest blocks

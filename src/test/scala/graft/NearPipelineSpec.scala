@@ -154,6 +154,25 @@ class NearPipelineSpec extends AnyFunSuite {
     ParquetSink.delete(dir)
   }
 
+  test("SQL view surface: reference-named views answer reference-shaped " +
+    "SQL identically to the DataFrame API") {
+    import spark.implicits._
+    val assets = spark.createDataset(NearFixtures.assetRows).toDF()
+    graft.api.NearViews.register(spark, events, assets, acc)
+    // silver union view by its ClickHouse name
+    val sqlRows = spark.sql(
+      "SELECT related_receipt_id, token_id, amount FROM silver_transfers")
+      .collect().map(_.toString).sorted.toSeq
+    val apiRows = SilverTransforms.silverTransfers(
+      SilverTransforms.nep245Events(events),
+      SilverTransforms.dip4Transfer(events, acc), acc)
+      .select("related_receipt_id", "token_id", "amount")
+      .collect().map(_.toString).sorted.toSeq
+    assert(sqlRows === apiRows)
+    assert(spark.sql("SELECT count(*) FROM silver_dip4_public_keys")
+      .collect()(0).getLong(0) === 1L)
+  }
+
   test("runner restart: two-stage ingest equals one-shot ingest and " +
     "resumes from the sink height") {
     import graft.runner.BatchRunner
