@@ -420,8 +420,17 @@ object NearFixtures {
       s"tokens_burnt, gas_burnt, execution_outcome_id, receipt_id) AS (VALUES\n    $rows)"
   }
 
+  /** receipt_ids serialized to a comma-joined string, mirroring the
+    * declared query's concat_ws (the driver's compare cannot hash raw
+    * arrays). */
   def outcomesSql: String =
-    s"WITH $outcomesCte\nSELECT * FROM no_ ORDER BY execution_outcome_id"
+    s"WITH $outcomesCte\nSELECT block_height, block_timestamp_ns, " +
+      "block_hash, parent_transaction_hash, executor_id, " +
+      // coalesce: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+      "coalesce(array_to_string(receipt_ids, ','), '') AS receipt_ids, " +
+      "status, logs, " +
+      "tokens_burnt, gas_burnt, execution_outcome_id, receipt_id " +
+      "FROM no_ ORDER BY execution_outcome_id"
 
   def eventsSql: String =
     s"WITH $eventsCte\nSELECT * FROM ne " +

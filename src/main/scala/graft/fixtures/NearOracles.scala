@@ -154,7 +154,10 @@ object NearOracles {
 
   /** M10 — transfers + first-non-empty-referral join + NUMERIC amount.
     * The fixture has at most one non-empty referral per receipt, so MIN
-    * equals the Spark side's first-in-block-order pick. */
+    * equals the Spark side's first-in-block-order pick. amount_numeric is
+    * compared as its canonical string (38-digit decimal stringification
+    * diverges between engines in the driver's hash; the round trip
+    * through DECIMAL(38,0) still proves the exact-NUMERIC parse). */
   def m10Sql: String = withNe(
     s"""${transferBody(prodIn)},
        |refs AS (SELECT related_receipt_id, MIN(r) AS referral FROM (
@@ -166,7 +169,8 @@ object NearOracles {
        |  WHERE r IS NOT NULL AND r != '' GROUP BY related_receipt_id)
        |SELECT $pass, tx_hash, memo, old_owner_id, new_owner_id, intent_hash,
        |  token_id, amount_str, CAST(amount_str AS DOUBLE) AS amount,
-       |  CAST(amount_str AS DECIMAL(38,0)) AS amount_numeric, refs.referral
+       |  CAST(CAST(amount_str AS DECIMAL(38,0)) AS VARCHAR) AS amount_numeric,
+       |  refs.referral
        |FROM v LEFT JOIN refs USING (related_receipt_id)
        |ORDER BY related_receipt_id, intent_hash, token_id""".stripMargin)
 

@@ -10,31 +10,35 @@ import org.apache.spark.sql.functions._
   * (blockchain, contract_address, decimals, defuse_asset_id, price,
   * price_updated_at_ns, symbol — 02-silver-tables.sql:12-22).
   *
-  * Plan shape at scale: both joins are left equi joins; token_diff
-  * referrals and the asset price list are small → broadcast, so the
-  * only shuffle in the whole view is the final groupBy — and that one
-  * is partial-aggregated map-side. The day column is derived BEFORE the
-  * join so the date-equality "as-of by day" price join (G3) stays a
-  * plain hash join on (day, asset_id).
+  * Plan shape at scale: both joins are left equi joins. Only the assets
+  * dimension is force-broadcast — it is genuinely bounded (one row per
+  * listed token per refresh day). The token_diff referral side is
+  * DERIVED FROM THE EVENT STREAM and grows with the data, so it carries
+  * no hint: AQE picks broadcast when a filtered batch is small and a
+  * shuffle join when it is not (a forced broadcast there is a
+  * driver-OOM at 100×). The day column is derived BEFORE the join so
+  * the date-equality "as-of by day" price join (G3) stays a plain hash
+  * join on (day, asset_id).
   */
 object GoldViews {
 
   private val NanosPerDay = 86400L * 1000000000L
 
-  /** G1–G8. `broadcastDims=false` lets tests exercise the shuffle path. */
+  /** G1–G8. `broadcastDims=false` lets tests exercise the shuffle path
+    * for the bounded assets dimension; the referral side is never
+    * hinted (fact-scale — AQE owns the choice). */
   def intentsMetrics(
       nep245: DataFrame,
       tokenDiff: DataFrame,
       assets: DataFrame,
       broadcastDims: Boolean = true): DataFrame = {
 
-    val d0 = tokenDiff.select(
+    val d = tokenDiff.select(
       col("related_receipt_id"), col("referral"))
     val a0 = assets.select(
       expr(s"price_updated_at_ns DIV ${NanosPerDay}L").as("price_day"),
       col("defuse_asset_id"), col("decimals"), col("price"),
       col("symbol"), col("blockchain"))
-    val d = if (broadcastDims) broadcast(d0) else d0
     val a = if (broadcastDims) broadcast(a0) else a0
 
     val e = nep245.withColumn("day", expr(s"block_timestamp_ns DIV ${NanosPerDay}L"))

@@ -56,6 +56,7 @@ object Dedup {
     val d = documents(spark, dir).select(col("doc_id"), col("text"))
     val reingested = d.withColumn("doc_id", col("doc_id") + lit(100000L))
     d.unionByName(reingested)
+      .repartition(col("doc_id")) // parallelize the md5 stage (see withShingles)
       .withColumn("norm_hash", md5(lower(trim(col("text")))))
       .groupBy(col("norm_hash"))
       .agg(count(lit(1)).as("group_size"),

@@ -23,9 +23,17 @@ import graft.Tables._
   *    `label` bucket) via a hash equi-join on the bucket key — the
   *    partition-pruned ANN pattern; at scale the bucket key comes from
   *    a trained coarse quantizer, the join shape is identical.
-  *  - Low-threshold pair mining (sCosinePairs) is inherently Ω(n²)
-  *    verification work; at scale the candidate stage becomes an LSH
-  *    bucket join exactly like [[Dedup.dMinhashPairs]].
+  *  - Pair mining (sCosinePairs) is EXACT all-pairs work by contract,
+  *    and this corpus's pair-cosine distribution is continuous through
+  *    the 0.4 threshold (measured: pairs at 0.40005, 0.40009, … — no
+  *    gap), so a signature/LSH candidate stage has recall < 1 against
+  *    the exact oracle and would silently drop threshold-sitting pairs.
+  *    The scale shape is therefore the grid-partitioned (1-bucket)
+  *    theta-join: an equi-join on deterministic cell keys where every
+  *    pair meets exactly once — no CartesianProduct node, no broadcast
+  *    of a fact-scale side, per-cell work bounded by (n/P)². When a
+  *    corpus HAS near-dup structure (a distribution gap), the banded
+  *    LSH stage from [[Dedup]] slots in front of the same verify.
   */
 object Similarity {
 
@@ -61,16 +69,34 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
-    * cosine ≥ threshold. This is the exact verification stage; see the
-    * object scaladoc for how the candidate stage shards at scale. */
+    * cosine ≥ threshold — EXACT (recall 1 by construction, any input
+    * distribution).
+    *
+    * Shape: grid-partitioned self-join. Each vector gets a
+    * deterministic cell coordinate g = vec_id % P; the left side is
+    * replicated to cells (g, *), the right side to cells (*, g), and
+    * the equi-join on the (cell_a, cell_b) pair brings every vector
+    * pair together in EXACTLY ONE cell — the ordered pair (x, y) meets
+    * at (x.g, y.g) only, so `vec_a < vec_b` both dedups and halves the
+    * verify. This is a shuffle hash/sort-merge join on P² bounded
+    * cells: no CartesianProduct node, no broadcast of the corpus, each
+    * task's work capped at (n/P)² dot products with P sized so a cell
+    * fits an executor. Replication cost is P× the (id, emb) pairs —
+    * at 100 TB pick P ≈ n·vecBytes / targetCellBytes and let AQE
+    * coalesce the small cells. */
   def sCosinePairs(spark: SparkSession, dir: String,
-                   threshold: Double = 0.4): DataFrame = {
-    val e = withNorm(embeddings(spark, dir)).select("vec_id", "emb", "nrm")
+                   threshold: Double = 0.4, gridP: Int = 8): DataFrame = {
+    val e = withNorm(embeddings(spark, dir))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        pmod(col("vec_id"), lit(gridP)).cast("int").as("g"))
     val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
-      col("nrm").as("nrm_a"))
+      col("nrm").as("nrm_a"), col("g").as("cell_a"),
+      explode(expr(s"sequence(0, ${gridP - 1})")).as("cell_b"))
     val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
-      col("nrm").as("nrm_b"))
-    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      col("nrm").as("nrm_b"), col("g").as("cell_b"),
+      explode(expr(s"sequence(0, ${gridP - 1})")).as("cell_a"))
+    a.join(b, Seq("cell_a", "cell_b"))
+      .filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine",
         dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)

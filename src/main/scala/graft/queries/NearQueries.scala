@@ -76,6 +76,10 @@ object NearQueries {
       .orderBy(col("receipt_id"))
   }
 
+  /** The `receipt_ids Array(String)` column is serialized to a
+    * comma-joined string for the compare surface (the driver's pandas
+    * sort cannot hash arrays); order-sensitive, matching the reference's
+    * own checksum normalization (cross-validate.sh:268). */
   def bronzeOutcomes(spark: SparkSession, dir: String): DataFrame = {
     val outs = BronzeExtractors.outcomes(blocksDf(spark))
     val rows = BronzeExtractors.executionOutcomeRows(
@@ -83,8 +87,9 @@ object NearQueries {
     ReceiptTxResolver.attachParentTx(rows, resolved(spark))
       .select(col("block_height"), col("block_timestamp_ns"),
         col("block_hash"), col("parent_transaction_hash"), col("executor_id"),
-        col("receipt_ids"), col("status"), col("logs"), col("tokens_burnt"),
-        col("gas_burnt"), col("execution_outcome_id"), col("receipt_id"))
+        concat_ws(",", col("receipt_ids")).as("receipt_ids"), col("status"),
+        col("logs"), col("tokens_burnt"), col("gas_burnt"),
+        col("execution_outcome_id"), col("receipt_id"))
       .orderBy(col("execution_outcome_id"))
   }
 
@@ -144,6 +149,13 @@ object NearQueries {
       .orderBy(col("related_receipt_id"), col("event"), col("token_id"))
   }
 
+  /** amount_numeric (DecimalType(38,0), the PG-NUMERIC exact path) is
+    * projected as its canonical string on the compare surface — 38-digit
+    * decimals are exactly where Spark's and DuckDB's HUGEINT/decimal
+    * renderings diverge in the driver's value hash. The decimal column
+    * itself stays on [[SilverTransforms.dip4TransfersWithReferral]] for
+    * consumers; its exact-vs-Float64 relationship is proven separately by
+    * near_v_tolerance (V11). */
   def m10Referral(spark: SparkSession, dir: String): DataFrame =
     SilverTransforms.dip4TransfersWithReferral(eventsDf(spark), acc)
       .select(col("block_height"), col("block_timestamp_ns"),
@@ -153,7 +165,8 @@ object NearQueries {
         col("related_receipt_predecessor_id"), col("tx_hash"), col("memo"),
         col("old_owner_id"), col("new_owner_id"), col("intent_hash"),
         col("token_id"), col("amount_str"), col("amount"),
-        col("amount_numeric"), col("referral"))
+        col("amount_numeric").cast("string").as("amount_numeric"),
+        col("referral"))
       .orderBy(col("related_receipt_id"), col("intent_hash"), col("token_id"))
 
   // ----------------------------------------------------------------- sink

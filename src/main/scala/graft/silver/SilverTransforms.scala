@@ -247,10 +247,15 @@ object SilverTransforms {
     * FIRST non-empty referral seen for its receipt among token_diff
     * events, keep amount as an exact decimal (the PG NUMERIC path).
     *
-    * Spark-first design: the referral map is a tiny aggregate — dedup to
-    * one row per receipt with min_by over the in-block event order, then
-    * broadcast-join (the reference does a HashMap lookup; broadcasting
-    * is the distributed equivalent, no shuffle of the big side). */
+    * Spark-first design: dedup the referral side to one row per receipt
+    * with row_number over the in-block event order, then left equi-join.
+    * The referral relation is derived from the event stream (it grows
+    * with the data — unlike the bounded assets dimension), so it is NOT
+    * force-broadcast: AQE broadcasts a small filtered batch at runtime
+    * and falls back to a shuffle join at scale. The reference's HashMap
+    * lookup (silver_transfers.rs:25-114) only ever sees one block, so
+    * its in-memory map is bounded — a global broadcast here would not
+    * be. */
   def dip4TransfersWithReferral(
       events: DataFrame,
       accounts: AccountsConfig = AccountsConfig()): DataFrame = {
@@ -275,6 +280,6 @@ object SilverTransforms {
 
     dip4Transfer(events, accounts)
       .withColumn("amount_numeric", col("amount_str").cast(DecimalType(38, 0)))
-      .join(broadcast(referrals), Seq("related_receipt_id"), "left")
+      .join(referrals, Seq("related_receipt_id"), "left")
   }
 }
