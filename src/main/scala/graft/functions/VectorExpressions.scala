@@ -37,13 +37,17 @@ case class DotProduct(left: Expression, right: Expression)
 
   // A null ELEMENT propagates to a null result — matching the
   // aggregate(zip_with(...)) fold (null product poisons the sum) and
-  // the DuckDB list fold, instead of silently reading garbage.
+  // the DuckDB list fold, instead of silently reading garbage. Ragged
+  // inputs (different lengths) are also null: zip_with null-pads the
+  // shorter array, which poisons the fold the same way — a truncated
+  // partial sum would be a silent wrong value.
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -60,8 +64,11 @@ case class DotProduct(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
          |double $acc = 0.0;
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |}
          |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
          |    ${ev.isNull} = true;
@@ -79,10 +86,17 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
-  /** Register session-scoped SQL functions (idempotent). After this,
-    * `expr("dot_product(a, b)")` resolves to the codegen'd expression. */
+  /** Register session-scoped SQL functions (idempotent — a session that
+    * already has `dot_product` is left untouched, so repeated
+    * `Tables.tune` calls don't spam "function replaced" warnings).
+    * After this, `expr("dot_product(a, b)")` resolves to the codegen'd
+    * expression. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    val registry = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product")
+    if (!registry.functionExists(id)) {
+      registry.createOrReplaceTempFunction(
+        "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    }
   }
 }

@@ -1,8 +1,9 @@
 package graft.metrics
 
 import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.util.QueryExecutionListener
@@ -13,8 +14,7 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * `observe` API (zero extra actions — metrics ride the existing job),
   * gathered by a QueryExecutionListener, and rendered in the Prometheus
   * text exposition format the reference's `/metrics` endpoint serves.
-  * Serving over HTTP is a deployment concern left out here; any servlet
-  * returning [[renderPrometheus]] completes the parity.
+  * [[MetricsServer]] serves it over HTTP with optional basic auth.
   */
 object Metrics {
 
@@ -23,8 +23,20 @@ object Metrics {
   /** Attach named row counters to a DataFrame; they are recorded when
     * any action runs the plan. */
   def observed(df: DataFrame, metricPrefix: String): DataFrame =
-    df.observe(s"graft_$metricPrefix",
+    observedAgg(df, metricPrefix,
       count(lit(1)).as(s"${metricPrefix}_rows_total"))
+
+  private val obsSeq = new AtomicLong()
+
+  /** Attach arbitrary aggregate counters (each a LongType aggregate with
+    * a stable alias — the alias IS the Prometheus counter name). The
+    * observation name is made unique per call so the same operator can
+    * appear more than once inside one query plan; the listener merges
+    * values BY FIELD NAME, so repeated attachments sum into one counter,
+    * exactly like a Prometheus counter labelled per operator. */
+  def observedAgg(df: DataFrame, group: String, metrics: Column*): DataFrame =
+    df.observe(s"graft_${group}_${obsSeq.incrementAndGet()}",
+      metrics.head, metrics.tail: _*)
 
   /** Install the collector once per session (idempotent). */
   def install(spark: SparkSession): Unit = synchronized {

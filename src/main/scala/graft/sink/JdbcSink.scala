@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * monthly-partition auto-creation loop
   * (indexer-explorer/src/database.rs:54-242).
   *
-  * The container ships no database server, so the side-effecting
-  * executor is a function parameter — production passes a JDBC
-  * statement runner inside `foreachBatch`; tests pass a recorder. All
-  * decision logic (SQL assembly, month derivation, the
-  * detect-create-retry protocol) lives here and is unit-tested.
+  * The side-effecting executor is a function parameter — production
+  * passes a JDBC statement runner inside `foreachBatch`; tests pass a
+  * recorder. All decision logic (SQL assembly, month derivation, the
+  * detect-create-retry protocol) lives here. The error predicates and
+  * the partition DDL default to PostgreSQL's (the reference's target)
+  * and are pluggable so the same protocol runs against any JDBC engine
+  * — the suite executes it end-to-end on embedded Derby (live
+  * connection, real transactions, real SQLExceptions): duplicate-key =
+  * DO NOTHING for K3, missing-monthly-table → CREATE → retry for K4.
   */
 object JdbcSink {
 
@@ -46,19 +50,40 @@ object JdbcSink {
       .distinct().collect()
       .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
 
+  /** K3 on engines without `ON CONFLICT` (e.g. Derby): a duplicate-key
+    * violation on insert IS the "DO NOTHING" outcome. SQLState 23505 is
+    * the SQL-standard unique-violation code (PG and Derby agree). */
+  def isDuplicateKeyError(e: java.sql.SQLException): Boolean =
+    e.getSQLState == "23505"
+
+  /** Wrap an executor so duplicate-key violations are swallowed —
+    * idempotent re-insert for dialects whose INSERT can't say
+    * `ON CONFLICT DO NOTHING` inline. */
+  def idempotent(execute: String => Unit): String => Unit =
+    sql => try execute(sql) catch {
+      case e: java.sql.SQLException if isDuplicateKeyError(e) => ()
+    }
+
   /** K4 protocol: attempt the insert; on a missing-partition error,
     * create every partition the batch could need and retry ONCE (the
-    * reference's exact flow). Any other error propagates. */
+    * reference's exact flow). Any other error propagates.
+    *
+    * `isMissingPartition` / `partitionDdl` default to PostgreSQL
+    * declarative partitioning; engines without it (Derby) plug in the
+    * table-per-month twin — missing-table error, plain CREATE TABLE —
+    * and the protocol is unchanged. */
   def insertWithAutoPartitions(
       execute: String => Unit,
       insertSql: String,
       parent: String,
-      batchMonths: Seq[(Int, Int)]): Unit =
+      batchMonths: Seq[(Int, Int)],
+      isMissingPartition: String => Boolean = isMissingPartitionError,
+      partitionDdl: (String, Int, Int) => String = monthlyPartitionDdl): Unit =
     try execute(insertSql)
     catch {
-      case e: Exception if isMissingPartitionError(e.getMessage) =>
+      case e: Exception if isMissingPartition(e.getMessage) =>
         batchMonths.foreach { case (y, m) =>
-          execute(monthlyPartitionDdl(parent, y, m))
+          execute(partitionDdl(parent, y, m))
         }
         execute(insertSql)
     }

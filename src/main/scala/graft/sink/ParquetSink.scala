@@ -75,17 +75,39 @@ object ParquetSink {
   }
 
   /** Compaction job: rewrite the table as its FINAL image with a single
-    * version (the ReplacingMergeTree background merge, run on demand). */
+    * version (the ReplacingMergeTree background merge, run on demand).
+    *
+    * Crash-safe swap: the live directory is renamed ASIDE (`path.old`)
+    * before the compacted copy is renamed into place, then the old copy
+    * is deleted — every crash point leaves either the original or the
+    * compacted table recoverable on disk (a delete-then-rename would
+    * lose the whole table, including the resume marker, if the process
+    * died between the two steps). A leftover `path.old` from a previous
+    * crash is cleared first; a crash that left no live `path` but a
+    * `path.old` is rolled back by restoring the old copy. */
   def compact(spark: SparkSession, path: String, pkCols: Seq[String],
       heightBucketSize: Long = 50L): Unit = {
+    val live = new java.io.File(path)
+    val old = new java.io.File(path + ".old")
+    // Recover from a prior interrupted compaction: old exists but the
+    // live directory is gone → the old copy IS the table; restore it.
+    if (old.exists() && !live.exists()) {
+      if (!old.renameTo(live))
+        throw new java.io.IOException(s"compaction recovery failed: $old -> $path")
+    } else if (old.exists()) {
+      delete(old) // both present → the live dir won; drop the leftover
+    }
     val fin = readFinal(spark.read.parquet(path), pkCols)
       .drop("insert_seq", "height_bucket")
     val tmp = path + ".compact"
     writeBatch(fin, tmp, 0L, pkCols, heightBucketSize)
-    val fs = new java.io.File(path)
-    delete(fs)
-    if (!new java.io.File(tmp).renameTo(fs))
+    if (!live.renameTo(old))
+      throw new java.io.IOException(s"compaction rename failed: $path -> $old")
+    if (!new java.io.File(tmp).renameTo(live)) {
+      old.renameTo(live) // roll back so the table stays readable
       throw new java.io.IOException(s"compaction rename failed: $tmp -> $path")
+    }
+    delete(old)
   }
 
   /** Resume height: max(block_height) over the sink, None if absent. */

