@@ -282,12 +282,29 @@ object NearQueries {
 
   // ------------------------------------------------------------ streaming
 
-  /** The streaming path (one block per micro-batch folded through the
-    * TTL'd state table) must emit exactly the batch pipeline's events —
-    * same oracle as near_bronze_events. */
+  /** The streaming path run by the REAL engine: a Structured Streaming
+    * query (file source, maxFilesPerTrigger=1 → foreachBatch fold →
+    * ParquetSink) with a checkpoint, STOPPED after the first three
+    * blocks and restarted once the rest of the chain lands — the
+    * resumed query must pick up exactly the unseen files and the final
+    * events table must equal the batch pipeline's (same oracle as
+    * near_bronze_events). */
   def streamEvents(spark: SparkSession, dir: String): DataFrame = {
+    import graft.runner.BatchRunner
+    import graft.sources.BlockFileSource
+    import graft.streaming.StreamRunner
     graft.Tables.tune(spark)
-    graft.streaming.StreamRunner.runMicroBatched(spark, NearFixtures.blocks, acc)
+    val warehouse = freshSinkDir("stream_wh")
+    val blocksDir = freshSinkDir("stream_blocks")
+    val ordered = NearFixtures.blocks.sortBy(_.header.height)
+    BlockFileSource.writeBlockFiles(spark, ordered.take(3), blocksDir)
+    StreamRunner.runStream(spark, blocksDir, warehouse, acc)
+    // mid-stream restart: all files present, same checkpoint — only
+    // the unconsumed ones stream, against the reloaded state table
+    BlockFileSource.writeBlockFiles(spark, ordered, blocksDir)
+    StreamRunner.runStream(spark, blocksDir, warehouse, acc)
+    BatchRunner.tableFinal(spark, warehouse, "events",
+      Seq("related_receipt_id", "index_in_log"))
       .select(NearFixtures.eventCols.map(col): _*)
       .orderBy(col("block_height"), col("receipt_index_in_block"),
         col("index_in_log"))

@@ -1,7 +1,11 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import graft.model.{AccountsConfig, Block, NearModel}
+import graft.sink.ParquetSink
+import graft.sources.BlockFileSource
 
 /** Micro-batch driver for the streaming path: blocks arrive one per
   * micro-batch in height order (the reference's buffer_unordered(1)
@@ -9,15 +13,87 @@ import graft.model.{AccountsConfig, Block, NearModel}
   * mod.rs:31-40), each folded through
   * [[StreamingResolver.processBatch]].
   *
-  * [[runMicroBatched]] drives the fold directly (deterministic, used by
-  * the correctness gate); the ScalaTest suite additionally wires the
-  * same fold through a real MemoryStream + foreachBatch query to prove
-  * the Structured Streaming integration. In production the source
-  * would be `readStream` over block files with maxFilesPerTrigger=1
-  * (SURVEY §2.1 S1/S2) and the state/events tables would be written
-  * via [[graft.sink.ParquetSink]] each batch.
+  * [[runStream]] is the product shape — a real Structured Streaming
+  * query (`readBlockStream` file source → `foreachBatch` fold →
+  * [[graft.sink.ParquetSink]]) with a checkpointLocation, so a stopped
+  * or crashed runner restarts where it left off. [[runMicroBatched]]
+  * drives the same fold directly without the streaming engine
+  * (deterministic single-JVM twin, used by unit suites).
   */
 object StreamRunner {
+
+  private val eventsPk = Seq("related_receipt_id", "index_in_log")
+  private val statePk = Seq("receipt_id")
+
+  /** Run the streaming pipeline over every block file currently in
+    * `blocksDir` that the checkpoint has not consumed yet, then stop
+    * (`Trigger.AvailableNow` — admission control still honors
+    * maxFilesPerTrigger=1, so each micro-batch is exactly one block in
+    * mtime=height order). Call again after new files land — the SAME
+    * checkpoint resumes from the first unseen file, which IS the
+    * reference's resume-from-last-height loop (S3) in Structured
+    * Streaming form.
+    *
+    * Restart-safety, in layers:
+    *  - which blocks were consumed: the file-source checkpoint
+    *    (offsets + file log) — Spark's exactly-once source contract;
+    *  - resolver state: a warehouse table with ReplacingMergeTree
+    *    semantics, re-read FINAL on start. Entries a TTL expiry
+    *    removed from the in-memory fold may resurface on reload, but
+    *    the next `processBatch` re-expires them before any event
+    *    lookup, so resurrection is invisible (same contract as the
+    *    reference's Redis `SET ... EX` after a warm restart);
+    *  - a crash AFTER the sink writes but BEFORE the checkpoint
+    *    commits replays that micro-batch; both sinks re-insert the
+    *    same PKs and FINAL dedup absorbs them (K2) — the reference's
+    *    at-least-once + ReplacingMergeTree pairing exactly.
+    */
+  def runStream(
+      spark: SparkSession,
+      blocksDir: String,
+      warehouse: String,
+      accounts: AccountsConfig = AccountsConfig(),
+      ttlBlocks: Long = NearModel.TtlBlocks): Unit = {
+    val statePath = s"$warehouse/resolver_state"
+    val eventsPath = s"$warehouse/events"
+
+    // Reload persisted state (empty on first start). The TTL window
+    // bounds this table's live size; FINAL keeps one row per receipt.
+    var state =
+      if (new java.io.File(statePath).exists())
+        ParquetSink.readFinal(spark.read.parquet(statePath), statePk)
+          .select(StreamingResolver.stateCols.map(col): _*)
+          .localCheckpoint()
+      else StreamingResolver.emptyState(spark)
+
+    val query = BlockFileSource.readBlockStream(spark, blocksDir)
+      .writeStream
+      .option("checkpointLocation", s"$warehouse/_stream_checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // one materialized read of the micro-batch; the fold's branches
+        // (txs, outcomes, max-height) all reuse it
+        val blocks = batch.localCheckpoint()
+        if (!blocks.isEmpty) {
+          val (st2, events) = StreamingResolver.processBatch(
+            state, blocks, accounts, ttlBlocks)
+          val maxH = blocks.agg(max(col("header.height")))
+            .collect()(0).getLong(0)
+          ParquetSink.writeBatch(
+            events.localCheckpoint(), eventsPath, maxH, eventsPk)
+          // state commits AFTER events: a crash between the two replays
+          // the batch against the OLD state — identical rows, FINAL-
+          // deduped — never against a state that skipped the batch
+          // (block_height = entry_height drives the sink's bucketing)
+          ParquetSink.writeBatch(
+            st2.withColumn("block_height", col("entry_height")),
+            statePath, maxH, statePk)
+          state = st2
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
 
   /** Fold the blocks one-per-micro-batch; returns the accumulated
     * resolved bronze events exactly as the stream emitted them. */

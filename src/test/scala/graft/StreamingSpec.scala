@@ -71,6 +71,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("runStream: checkpointed restart resumes unseen files; a wiped " +
+    "checkpoint replays everything and FINAL dedup absorbs it") {
+    def tmp(name: String): String = {
+      val d = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_test_$name")
+      graft.sink.ParquetSink.delete(d)
+      d.getAbsolutePath
+    }
+    val warehouse = tmp("rs_wh")
+    val blocksDir = tmp("rs_blocks")
+    val ordered = NearFixtures.blocks.sortBy(_.header.height)
+    import graft.sources.BlockFileSource
+    import graft.runner.BatchRunner
+
+    def eventsNow(): Seq[String] =
+      BatchRunner.tableFinal(spark, warehouse, "events",
+        Seq("related_receipt_id", "index_in_log"))
+        .select(NearFixtures.eventCols.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+
+    val batch = NearQueries.bronzeEvents(spark, "")
+      .collect().map(_.toString).sorted.toSeq
+
+    // first run: a prefix of the chain
+    BlockFileSource.writeBlockFiles(spark, ordered.take(3), blocksDir)
+    StreamRunner.runStream(spark, blocksDir, warehouse, acc)
+    val afterPrefix = eventsNow()
+    assert(afterPrefix.nonEmpty && afterPrefix.size < batch.size)
+
+    // restart: full chain present, same checkpoint → only unseen files
+    BlockFileSource.writeBlockFiles(spark, ordered, blocksDir)
+    StreamRunner.runStream(spark, blocksDir, warehouse, acc)
+    assert(eventsNow() === batch)
+
+    // idle restart: nothing new → no-op, table unchanged
+    StreamRunner.runStream(spark, blocksDir, warehouse, acc)
+    assert(eventsNow() === batch)
+
+    // crash-replay: wipe ONLY the checkpoint (worst-case at-least-once
+    // redelivery of every block); re-inserted PKs dedup through FINAL
+    graft.sink.ParquetSink.delete(
+      new java.io.File(s"$warehouse/_stream_checkpoint"))
+    StreamRunner.runStream(spark, blocksDir, warehouse, acc)
+    assert(eventsNow() === batch)
+  }
+
   test("real Structured Streaming wiring: MemoryStream + foreachBatch, " +
     "one block per micro-batch") {
     import spark.implicits._
