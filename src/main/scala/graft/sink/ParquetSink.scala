@@ -87,27 +87,59 @@ object ParquetSink {
     * `path.old` is rolled back by restoring the old copy. */
   def compact(spark: SparkSession, path: String, pkCols: Seq[String],
       heightBucketSize: Long = 50L): Unit = {
-    val live = new java.io.File(path)
-    val old = new java.io.File(path + ".old")
-    // Recover from a prior interrupted compaction: old exists but the
-    // live directory is gone → the old copy IS the table; restore it.
-    if (old.exists() && !live.exists()) {
-      if (!old.renameTo(live))
-        throw new java.io.IOException(s"compaction recovery failed: $old -> $path")
-    } else if (old.exists()) {
-      delete(old) // both present → the live dir won; drop the leftover
-    }
+    recoverSwap(path)
     val fin = readFinal(spark.read.parquet(path), pkCols)
       .drop("insert_seq", "height_bucket")
     val tmp = path + ".compact"
     writeBatch(fin, tmp, 0L, pkCols, heightBucketSize)
-    if (!live.renameTo(old))
-      throw new java.io.IOException(s"compaction rename failed: $path -> $old")
-    if (!new java.io.File(tmp).renameTo(live)) {
-      old.renameTo(live) // roll back so the table stays readable
-      throw new java.io.IOException(s"compaction rename failed: $tmp -> $path")
+    swapTmpIntoLive(tmp, path)
+  }
+
+  /** Full-replace snapshot write — the dimension-table refresh twin of
+    * [[compact]] (S4's `REFRESH EVERY 1 DAY` materialization): the new
+    * image lands in a tmp directory first, then the same crash-safe
+    * rename dance swaps it live, so a reader never sees a half-written
+    * snapshot and a crash never loses the previous one. */
+  def replaceSnapshot(df: DataFrame, path: String): Unit = {
+    recoverSwap(path)
+    val tmp = path + ".refresh"
+    delete(new java.io.File(tmp))
+    withRetry() { df.write.mode("overwrite").parquet(tmp) }
+    swapTmpIntoLive(tmp, path)
+  }
+
+  /** Recover from a prior interrupted swap: `path.old` present without
+    * a live directory means the old copy IS the table — restore it; a
+    * leftover beside a live directory lost the race — drop it. */
+  private def recoverSwap(path: String): Unit = {
+    val live = new java.io.File(path)
+    val old = new java.io.File(path + ".old")
+    if (old.exists() && !live.exists()) {
+      if (!old.renameTo(live))
+        throw new java.io.IOException(s"swap recovery failed: $old -> $path")
+    } else if (old.exists()) {
+      delete(old)
     }
-    delete(old)
+  }
+
+  /** Rename the live directory aside, the tmp copy into place, then
+    * drop the old copy — every crash point leaves a readable table
+    * ([[recoverSwap]] rolls an interrupted run forward or back). A
+    * missing live directory (first snapshot) is a plain rename. */
+  private def swapTmpIntoLive(tmp: String, path: String): Unit = {
+    val live = new java.io.File(path)
+    val old = new java.io.File(path + ".old")
+    if (live.exists()) {
+      if (!live.renameTo(old))
+        throw new java.io.IOException(s"swap rename failed: $path -> $old")
+      if (!new java.io.File(tmp).renameTo(live)) {
+        old.renameTo(live) // roll back so the table stays readable
+        throw new java.io.IOException(s"swap rename failed: $tmp -> $path")
+      }
+      delete(old)
+    } else if (!new java.io.File(tmp).renameTo(live)) {
+      throw new java.io.IOException(s"swap rename failed: $tmp -> $path")
+    }
   }
 
   /** Resume height: max(block_height) over the sink, None if absent. */

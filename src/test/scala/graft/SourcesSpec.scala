@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fixtures.NearFixtures
+import graft.sink.ParquetSink
+import graft.sources.{AssetsRefresher, BlockFileSource}
+
+/** A stand-in object store: a Hadoop FileSystem registered under its
+  * own URI scheme (`lake://`), exactly how `s3a://` plugs into Spark —
+  * `fs.<scheme>.impl` conf resolves the class, and every reader goes
+  * through the FileSystem abstraction, never java.io. Backed by the
+  * local disk so the test runs with zero egress; the point is that the
+  * block reader sees ONLY the scheme-agnostic API (S2: the reference
+  * reads near-lake from S3/GCS via endpoint conf,
+  * indexer-clickhouse/src/main.rs:100-127). */
+class LakeFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "lake"
+  override def getUri: java.net.URI = java.net.URI.create("lake:///")
+}
+
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val acc = NearFixtures.accounts
+
+  private def tmp(name: String): String = {
+    val d = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_test_$name")
+    ParquetSink.delete(d)
+    d.getAbsolutePath
+  }
+
+  test("S2: block source reads an object-store scheme through the " +
+    "Hadoop FS abstraction (batch and the full runner path)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.lake.impl", classOf[LakeFileSystem].getName)
+    val blocksDir = tmp("lake_blocks")
+    BlockFileSource.writeBlockFiles(spark, NearFixtures.blocks, blocksDir)
+    val lakePath = s"lake://$blocksDir"
+
+    // batch read over the lake:// URI equals the local read
+    val viaLake = BlockFileSource.readBlocks(spark, lakePath)
+      .select(col("header.height")).collect().map(_.getLong(0)).toSeq
+    val viaFile = BlockFileSource.readBlocks(spark, blocksDir)
+      .select(col("header.height")).collect().map(_.getLong(0)).toSeq
+    assert(viaLake === viaFile && viaLake.nonEmpty)
+
+    // the product runner ingests straight from the lake:// URI
+    val warehouse = tmp("lake_wh")
+    val summary = graft.runner.BatchRunner.run(spark, lakePath, warehouse, acc)
+    assert(summary.nonEmpty && summary.get.nEvents > 0)
+    val events = graft.runner.BatchRunner
+      .tableFinal(spark, warehouse, "events",
+        Seq("related_receipt_id", "index_in_log"))
+      .select(NearFixtures.eventCols.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.queries.NearQueries.bronzeEvents(spark, "")
+      .collect().map(_.toString).sorted.toSeq
+    assert(events === batch)
+  }
+
+  test("S4: scheduled refresh replaces the assets snapshot on each tick") {
+    import spark.implicits._
+    graft.Tables.tune(spark)
+    val table = tmp("assets_dim")
+    // the feed answers with a changing price: tick n sees price = n
+    val calls = new java.util.concurrent.atomic.AtomicInteger()
+    val fetch = () => {
+      val n = calls.incrementAndGet()
+      val payload = NearFixtures.assetsJsonPayload
+        .replace("\"price\":1.0", s""""price":$n.0""")
+      Seq(payload).toDF("payload")
+    }
+    val query = AssetsRefresher.start(spark, fetch, table, every = "1 second")
+    try {
+      val deadline = System.nanoTime() + 60000000000L
+      def usdcPrice(): Option[Double] =
+        if (!new java.io.File(table).exists()) None
+        else spark.read.parquet(table)
+          .filter(col("symbol") === "USDC")
+          .agg(max(col("price"))).collect()(0) match {
+            case r if r.isNullAt(0) => None
+            case r => Some(r.getDouble(0))
+          }
+      // wait until at least two refreshes landed (price advanced past 1)
+      while (usdcPrice().forall(_ < 2.0) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(usdcPrice().exists(_ >= 2.0),
+        s"no second refresh after ${calls.get()} fetches")
+    } finally query.stop()
+    // the final image is a complete, readable snapshot of the last fetch
+    val snap = spark.read.parquet(table)
+    assert(snap.count() === NearFixtures.assetRows.size.toLong)
+    assert(snap.columns.sorted.toSeq === Seq("blockchain", "contract_address",
+      "decimals", "defuse_asset_id", "price", "price_updated_at_ns", "symbol"))
+    assert(!new java.io.File(table + ".old").exists())
+    assert(!new java.io.File(table + ".refresh").exists())
+  }
+
+  test("replaceSnapshot: crash between swap steps leaves a recoverable table") {
+    import spark.implicits._
+    val table = tmp("snap_swap")
+    ParquetSink.replaceSnapshot(Seq((1, "v1")).toDF("id", "v"), table)
+    // simulate the worst crash point: live renamed aside, new copy lost
+    assert(new java.io.File(table).renameTo(new java.io.File(table + ".old")))
+    ParquetSink.replaceSnapshot(Seq((2, "v2")).toDF("id", "v"), table)
+    val vs = spark.read.parquet(table).select("v")
+      .collect().map(_.getString(0)).toSeq
+    assert(vs === Seq("v2"))
+    assert(!new java.io.File(table + ".old").exists())
+  }
+}
