@@ -36,6 +36,8 @@ object SparkEntry {
     "k_latest_event_per_user" -> (EventQueries.kLatestEventPerUser _),
     "v_error_ratio"        -> (EventQueries.vErrorRatio _),
     "w_event_gaps"         -> (EventQueries.wEventGaps _),
+    "w_sessionize"         -> (EventQueries.wSessionize _),
+    "w_hourly_window"      -> (EventQueries.wHourlyWindow _),
     // LLM training-data pipeline (brief: first-class deliverables)
     "t_text_stats"      -> (TextAnalysis.tTextStats _),
     "t_lang_id"         -> (TextAnalysis.tLangId _),
@@ -212,6 +214,30 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |ORDER BY user_id, epoch_us(ts), event_id""".stripMargin,
+    // gaps-and-islands twin of the flatMapGroupsWithState operator:
+    // a break opens where the gap to the previous event exceeds 30 min
+    "w_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+        |m AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(ts_us) AS session_start_us,
+        |  MAX(ts_us) AS session_end_us, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+    "w_hourly_window" ->
+      """SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS hour_start_us,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t_text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,

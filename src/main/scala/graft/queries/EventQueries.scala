@@ -101,6 +101,36 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Gap-based sessionization (30-minute inactivity closes a session)
+    * through the REAL stateful operator —
+    * [[graft.streaming.Sessionize.sessionsBatch]] runs
+    * `flatMapGroupsWithState` in batch execution, one state record per
+    * user sharded by the groupBy hash (its streaming twin reuses the
+    * same state function with a processing-time timeout). µs-truncated
+    * time for oracle parity (see kLatestEventPerUser). */
+  def wSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.Sessionize
+    val evs = events(spark, dir)
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_id"))
+      .as[Sessionize.Ev]
+    Sessionize.sessionsBatch(evs, gapUs = 30L * 60L * 1000000L).toDF()
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
+  /** Hourly tumbling windows through the REAL `window()` operator
+    * ([[graft.streaming.WindowedActivity.hourlyCounts]] — the same
+    * code serves `readStream` with a watermark); epoch-aligned window
+    * starts exposed as µs so the boundaries are engine-exact. The
+    * integer-bucketing twin gHourlyActivity pins the same numbers
+    * without the operator. */
+  def wHourlyWindow(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.WindowedActivity.hourlyCounts(events(spark, dir))
+      .select(unix_micros(col("hour_start")).as("hour_start_us"),
+        col("event_type"), col("n"))
+      .orderBy(col("hour_start_us"), col("event_type"))
+
   /** Sessionization-lite: per user, order events by ts and attach the
     * previous event's type and the gap in nanos (lag window) — the
     * analytic-function family the reference lacks but a training-data

@@ -31,6 +31,14 @@ object BatchRunner {
 
   private val eventsPk = Seq("related_receipt_id", "index_in_log")
 
+  /** The reference's ReplacingMergeTree ORDER BY keys for the silver
+    * tables (02-silver-tables.sql:53,125) — same-key re-inserts (and
+    * same-key rows, as in the reference) collapse at FINAL. */
+  val nep245Pk: Seq[String] = Seq("block_height", "related_receipt_id",
+    "event", "old_owner_id", "new_owner_id", "token_id")
+  val tokenDiffPk: Seq[String] = Seq("block_height", "related_receipt_id",
+    "intent_hash")
+
   /** Process every block in `blocksDir` newer than the sink's resume
     * height; returns None when there is nothing new. */
   def run(spark: SparkSession, blocksDir: String, warehouse: String,
@@ -103,12 +111,13 @@ object BatchRunner {
       .localCheckpoint()
     ParquetSink.writeBatch(events, s"$warehouse/events", toHeight, eventsPk)
 
-    // silver: the MV cascade fires on the inserted batch only
+    // silver: the MV cascade fires on the inserted batch only; dedup
+    // keys are the reference's ReplacingMergeTree ORDER BY keys
+    // (02-silver-tables.sql:53,125)
     ParquetSink.writeBatch(SilverTransforms.nep245Events(events),
-      s"$warehouse/silver_nep245", toHeight, eventsPk :+ "token_id")
+      s"$warehouse/silver_nep245", toHeight, BatchRunner.nep245Pk)
     ParquetSink.writeBatch(SilverTransforms.dip4TokenDiff(events, accounts),
-      s"$warehouse/silver_token_diff", toHeight,
-      eventsPk ++ Seq("diff_positive_token", "diff_negative_token"))
+      s"$warehouse/silver_token_diff", toHeight, BatchRunner.tokenDiffPk)
 
     // The transactions table is the RESUME MARKER (lastHeight reads it),
     // so it commits LAST: a crash anywhere above leaves the resume point

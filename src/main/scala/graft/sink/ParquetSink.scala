@@ -99,7 +99,10 @@ object ParquetSink {
     * [[compact]] (S4's `REFRESH EVERY 1 DAY` materialization): the new
     * image lands in a tmp directory first, then the same crash-safe
     * rename dance swaps it live, so a reader never sees a half-written
-    * snapshot and a crash never loses the previous one. */
+    * snapshot and a crash never loses the previous one. A reader that
+    * races the swap itself can see a listed file vanish — transient;
+    * re-read (wrap in [[withRetry]]) or pin the snapshot by reading it
+    * once into a checkpoint before joining. */
   def replaceSnapshot(df: DataFrame, path: String): Unit = {
     recoverSwap(path)
     val tmp = path + ".refresh"
@@ -110,8 +113,10 @@ object ParquetSink {
 
   /** Recover from a prior interrupted swap: `path.old` present without
     * a live directory means the old copy IS the table — restore it; a
-    * leftover beside a live directory lost the race — drop it. */
-  private def recoverSwap(path: String): Unit = {
+    * leftover beside a live directory lost the race — drop it. Public:
+    * an operator restarting after a crash (or a test stopping a
+    * refresh loop mid-tick) calls this before reading. */
+  def recoverSwap(path: String): Unit = {
     val live = new java.io.File(path)
     val old = new java.io.File(path + ".old")
     if (old.exists() && !live.exists()) {

@@ -74,19 +74,50 @@ object StreamRunner {
         // (txs, outcomes, max-height) all reuse it
         val blocks = batch.localCheckpoint()
         if (!blocks.isEmpty) {
-          val (st2, events) = StreamingResolver.processBatch(
+          import graft.bronze.BronzeExtractors
+          import graft.silver.SilverTransforms
+          import graft.state.ReceiptTxResolver
+          val (st2, events0) = StreamingResolver.processBatch(
             state, blocks, accounts, ttlBlocks)
+          val events = events0.localCheckpoint()
           val maxH = blocks.agg(max(col("header.height")))
             .collect()(0).getLong(0)
+
+          // full product-table parity with BatchRunner: the CH-MV
+          // cascade fires on this micro-batch's rows only
+          val txs = BronzeExtractors.transactions(blocks, accounts)
+          val outs = BronzeExtractors.outcomes(blocks)
+          val ofInt = BronzeExtractors.outcomesOfInterest(outs, accounts)
           ParquetSink.writeBatch(
-            events.localCheckpoint(), eventsPath, maxH, eventsPk)
-          // state commits AFTER events: a crash between the two replays
-          // the batch against the OLD state — identical rows, FINAL-
-          // deduped — never against a state that skipped the batch
+            ReceiptTxResolver.attachParentTx(
+              BronzeExtractors.receiptRows(ofInt), st2, ttlBlocks),
+            s"$warehouse/receipts", maxH, Seq("receipt_id"))
+          ParquetSink.writeBatch(
+            ReceiptTxResolver.attachParentTx(
+              BronzeExtractors.executionOutcomeRows(ofInt), st2, ttlBlocks),
+            s"$warehouse/execution_outcomes", maxH,
+            Seq("execution_outcome_id"))
+          ParquetSink.writeBatch(events, eventsPath, maxH, eventsPk)
+          ParquetSink.writeBatch(SilverTransforms.nep245Events(events),
+            s"$warehouse/silver_nep245", maxH,
+            graft.runner.BatchRunner.nep245Pk)
+          ParquetSink.writeBatch(
+            SilverTransforms.dip4TokenDiff(events, accounts),
+            s"$warehouse/silver_token_diff", maxH,
+            graft.runner.BatchRunner.tokenDiffPk)
+          // state commits AFTER the event-derived tables: a crash in
+          // between replays the batch against the OLD state — identical
+          // rows, FINAL-deduped — never against a state that skipped it
           // (block_height = entry_height drives the sink's bucketing)
           ParquetSink.writeBatch(
             st2.withColumn("block_height", col("entry_height")),
             statePath, maxH, statePk)
+          // transactions last — the lastHeight resume marker consumers
+          // read stays behind every other table (BatchRunner parity)
+          ParquetSink.writeBatch(
+            txs.filter(col("of_interest"))
+              .drop("first_receipt_id", "of_interest"),
+            s"$warehouse/transactions", maxH, Seq("transaction_hash"))
           state = st2
         }
       }

@@ -115,6 +115,27 @@ class StreamingSpec extends AnyFunSuite {
       new java.io.File(s"$warehouse/_stream_checkpoint"))
     StreamRunner.runStream(spark, blocksDir, warehouse, acc)
     assert(eventsNow() === batch)
+
+    // full product-table parity: the streamed warehouse FINAL must
+    // equal a single batch run's, table by table
+    val batchWh = tmp("rs_wh_batch")
+    BatchRunner.run(spark, blocksDir, batchWh, acc)
+    val tables = Seq(
+      "transactions" -> Seq("transaction_hash"),
+      "receipts" -> Seq("receipt_id"),
+      "execution_outcomes" -> Seq("execution_outcome_id"),
+      "events" -> Seq("related_receipt_id", "index_in_log"),
+      "silver_nep245" -> BatchRunner.nep245Pk,
+      "silver_token_diff" -> BatchRunner.tokenDiffPk)
+    tables.foreach { case (name, pk) =>
+      def img(wh: String): Seq[String] = {
+        val t = BatchRunner.tableFinal(spark, wh, name, pk)
+        t.select(t.columns.sorted.map(col): _*)
+          .collect().map(_.toString).sorted.toSeq
+      }
+      assert(img(warehouse) === img(batchWh), s"table $name diverges")
+      assert(img(warehouse).nonEmpty, s"table $name is empty")
+    }
   }
 
   test("real Structured Streaming wiring: MemoryStream + foreachBatch, " +
