@@ -38,6 +38,7 @@ object SparkEntry {
     "w_event_gaps"         -> (EventQueries.wEventGaps _),
     "w_sessionize"         -> (EventQueries.wSessionize _),
     "w_hourly_window"      -> (EventQueries.wHourlyWindow _),
+    "j_salted_user_events" -> (EventQueries.jSaltedUserEvents _),
     // LLM training-data pipeline (brief: first-class deliverables)
     "t_text_stats"      -> (TextAnalysis.tTextStats _),
     "t_lang_id"         -> (TextAnalysis.tLangId _),
@@ -238,6 +239,13 @@ object SparkEntry {
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the UNSALTED join — salting must be invisible in the result
+    "j_salted_user_events" ->
+      """SELECT e.user_id, e.event_id, e.event_type, d.first_event_id
+        |FROM events e
+        |JOIN (SELECT user_id, MIN(event_id) AS first_event_id
+        |      FROM events GROUP BY user_id) d USING (user_id)
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
     "t_text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,

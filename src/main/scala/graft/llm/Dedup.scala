@@ -26,25 +26,27 @@ import TextAnalysis.tokens
   */
 object Dedup {
 
-  /** Distinct 3-token shingle set; empty when the doc has <3 tokens
-    * (`sequence(0, size-3)` would count down for short docs, so guard). */
-  private def shingleExpr =
-    when(size(col("t")) >= 3,
-      expr("array_distinct(transform(sequence(0, size(t) - 3), " +
-        "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"))
-      .otherwise(expr("CAST(array() AS array<string>)"))
-
-  /** Shingle computation is the expensive narrow stage; a small local
-    * parquet arrives as ONE split, which would serialize it on a single
-    * core. Repartition by doc_id first so it parallelizes — at real
-    * scale the scan already has many splits and this is a cheap
+  /** 3-token shingles as ROWS — explode the start positions, then one
+    * codegen'd concat per row (an interpreted `transform` lambda
+    * building per-doc arrays costs ~10× and re-evaluates per output
+    * row when exploded — VERDICT r2/r3 lesson). Duplicates are fine:
+    * every consumer aggregates with duplicate-insensitive functions.
+    * Docs with <3 tokens produce no rows (`sequence` would count down,
+    * so guard).
+    *
+    * The repartition: a small local parquet arrives as ONE split,
+    * which would serialize this narrow stage on a single core — at
+    * real scale the scan already has many splits and this is a cheap
     * hash-exchange of (id, text) pairs. */
-  private def withShingles(spark: SparkSession, dir: String): DataFrame =
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .repartition(col("doc_id"))
       .withColumn("t", tokens(col("text")))
-      .withColumn("ss", shingleExpr)
-      .select("doc_id", "ss")
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(0, size(t) - 3)")).as("i"))
+      .select(col("doc_id"),
+        expr("concat_ws(' ', t[i], t[i+1], t[i+2])").as("s"))
 
   /** Exact deduplication over a re-ingested (duplicated) corpus: the
     * documents table unioned with a shifted-id copy of itself models the
@@ -78,7 +80,7 @@ object Dedup {
     */
   def dMinhashPairs(spark: SparkSession, dir: String,
                     threshold: Double = 0.8): DataFrame =
-    lshVerifiedPairs(withShingles(spark, dir), threshold)
+    lshVerifiedPairsFromRows(shingleRows(spark, dir), threshold)
 
   /** Near-dup pairs over character 16-gram sets — the n-gram-Jaccard
     * dedup family.
@@ -100,46 +102,41 @@ object Dedup {
       .select(col("doc_id"), col("text"),
         explode(expr(s"sequence(1, length(text) - ${n - 1})")).as("i"))
       .select(col("doc_id"), expr(s"substring(text, i, $n)").as("s"))
-      .distinct()
+    // no distinct pass: the per-doc aggregation downstream is built
+    // from duplicate-insensitive aggregates (min, collect_set), so
+    // deduping the gram rows first would only add a full shuffle of
+    // the largest relation in the pipeline
     lshVerifiedPairsFromRows(gramRows, threshold)
   }
 
-  /** Banded-LSH candidates + exact-Jaccard verify over a (doc_id, ss)
-    * shingle-SET relation (token pipeline entry point). The array
-    * relation is persisted BEFORE the explode: its shingle transform is
-    * an interpreted lambda, and exploding the raw expression re-runs it
-    * per output row. */
-  private def lshVerifiedPairs(shingled: DataFrame,
-                               threshold: Double): DataFrame = {
-    val docs = shingled.persist()
-    lshVerifiedPairsFromRows(
-      docs.select(col("doc_id"), explode(col("ss")).as("s")), threshold)
-  }
-
   /** Banded-LSH candidates + exact-Jaccard verify over (doc_id, s)
-    * shingle ROWS (distinct per doc).
+    * shingle ROWS (duplicates allowed — every downstream aggregate is
+    * duplicate-insensitive).
     *
-    * Signatures are ONE hash-partitioned groupBy computing all 32
-    * per-seed minima as partial (map-side combined) aggregates — every
-    * expression codegen'd, no interpreted lambda in the hot path. The
-    * gram relation feeds three plan branches (signatures + both sides
-    * of the candidate verify), so it is persisted — the SURVEY §4
-    * "compute once, project twice" pattern. Docs with no shingles drop
+    * The gram relation — the largest in the pipeline — is shuffled
+    * exactly ONCE: a single hash-partitioned groupBy computes all 32
+    * per-seed minima AND the exact shingle set (min / collect_set both
+    * absorb duplicate grams), every minhash expression codegen'd, no
+    * interpreted lambda in the hot path. The small per-doc result is
+    * what persists for the three downstream branches (banding + both
+    * sides of the candidate verify) — the SURVEY §4 "compute once,
+    * project twice" pattern one level up. Docs with no shingles drop
     * out; they cannot be shingle near-dups. */
   private def lshVerifiedPairsFromRows(gramRows: DataFrame,
                                        threshold: Double): DataFrame = {
     val numHashes = 32
     val bands = 16
     val rows = numHashes / bands
-    val grams = gramRows.persist()
 
-    val sig = grams
+    val perDoc = gramRows
       .groupBy(col("doc_id"))
       .agg(min(xxhash64(lit(0), col("s"))).as("h0"),
-        (1 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i")): _*)
-      .persist() // both sides of the band self-join read it
+        ((1 until numHashes).map(i =>
+          min(xxhash64(lit(i), col("s"))).as(s"h$i")) :+
+          collect_set(col("s")).as("ss")): _*)
+      .persist()
 
-    val banded = sig.select(col("doc_id"),
+    val banded = perDoc.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)): _*))
         .as(Seq("band", "bucket")))
@@ -152,8 +149,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val sets = grams.groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("ss")).persist()
+    val sets = perDoc.select(col("doc_id"), col("ss"))
 
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), "doc_a")

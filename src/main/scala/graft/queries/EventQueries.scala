@@ -131,6 +131,24 @@ object EventQueries {
         col("event_type"), col("n"))
       .orderBy(col("hour_start_us"), col("event_type"))
 
+  /** Skew-resilient dimension join through
+    * [[graft.operators.SkewJoin.saltedJoin]]: the event stream (large,
+    * hot user keys) against a per-user dimension, join key salted to
+    * `(user_id, hash(event_id) % 8)` so a hot user's rows spread over 8
+    * shuffle partitions. Salting MUST NOT change the result — the
+    * oracle is the plain unsalted join. */
+  def jSaltedUserEvents(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SkewJoin
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val dim = e.groupBy(col("user_id"))
+      .agg(min(col("event_id")).as("first_event_id"))
+    SkewJoin.saltedJoin(e, dim, Seq("user_id"), "event_id", saltFactor = 8)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("first_event_id"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Sessionization-lite: per user, order events by ts and attach the
     * previous event's type and the gap in nanos (lag window) — the
     * analytic-function family the reference lacks but a training-data
