@@ -53,6 +53,8 @@ object SparkEntry {
     "s_cosine_pairs"    -> ((s, d) => Similarity.sCosinePairs(s, d)),
     "s_ann_ivf"         -> ((s, d) => Similarity.sAnnIvf(s, d)),
     "mm_media_features" -> (Multimodal.mmMediaFeatures _),
+    "mm_resize"         -> (Multimodal.mmResize _),
+    "mm_frame_sample"   -> (Multimodal.mmFrameSample _),
     // NEAR layer end-to-end over the deterministic fixture corpus
     // (SURVEY §2.3-§2.6: P1-P13, T2-T5, M1-M10, G1-G8)
     "near_bronze_events"       -> (NearQueries.bronzeEvents _),
@@ -400,6 +402,42 @@ object SparkEntry {
         |    / CAST(length(text) AS DOUBLE) AS mean_byte,
         |  CAST((length(text) + 15) // 16 AS BIGINT) AS frames_sampled
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // nearest-neighbor 16x16 resize replayed with integer index math:
+    // out pixel p=(y*16+x) reads source index (y*h//16)*w + (x*w//16),
+    // positions past the payload read 0; mean over 256 = sum/2^8, exact
+    "mm_resize" ->
+      """WITH px AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    (n_chars % 64) + 16 AS w, ((n_chars // 64) % 64) + 16 AS h,
+        |    unnest(range(0, 256)) AS p
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    ((p // 16) * h // 16) * w + ((p % 16) * w // 16) + 1 AS idx,
+        |    text, len
+        |  FROM px)
+        |SELECT doc_id, CAST(256 AS BIGINT) AS n_bytes,
+        |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        |  CAST(SUM(CASE WHEN idx <= len
+        |    THEN ascii(substring(text, idx, 1)) ELSE 0 END) AS DOUBLE) / 256
+        |    AS mean_byte
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // every 4th 64-byte frame (full frames only); window mean =
+    // sum/2^6, exact in both engines
+    "mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, length(text) // 64, 4)) AS frame_idx
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, frame_idx, text,
+        |    unnest(range(1, 65)) AS j
+        |  FROM f)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(SUM(ascii(substring(text, frame_idx * 64 + j, 1)))
+        |    AS DOUBLE) / 64 AS mean_byte
+        |FROM b GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // NEAR fixture oracles: bronze/resolver = pinned VALUES golden rows;
     // silver/gold = independent DuckDB JSON SQL re-implementations.
     "near_bronze_events"       -> graft.fixtures.NearFixtures.eventsSql,

@@ -83,4 +83,84 @@ object Multimodal {
         col("height"), col("mean_byte"), col("frames_sampled"))
       .orderBy(col("doc_id"))
   }
+
+  /** Nearest-neighbor resize to a `tw`×`th` grid — binary in, binary
+    * out, so the stage composes with [[decodeFeatures]] (and any other
+    * media op) without ever leaving the executor.
+    *
+    * STUB decode as above: the payload is treated as a 1-byte-per-pixel
+    * `width`×`height` image (positions past the payload read as 0 —
+    * deterministic padding); a real implementation swaps the pixel
+    * arithmetic for a codec call, the `mapPartitions` shape and the
+    * payload-stays-opaque contract are the real thing. Integer-only
+    * index math so an oracle can replay it exactly. */
+  def resize(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real codec init would happen once, here
+      rows.map { r =>
+        val out = new Array[Byte](tw * th)
+        var y = 0
+        while (y < th) {
+          val sy = y * r.height / th
+          var x = 0
+          while (x < tw) {
+            val idx = sy * r.width + (x * r.width / tw)
+            out(y * tw + x) =
+              if (idx < r.payload.length) r.payload(idx) else 0
+            x += 1
+          }
+          y += 1
+        }
+        MediaRow(r.doc_id, r.media_type, tw, th, out)
+      }
+    }
+  }
+
+  /** One sampled frame: position plus its byte-window mean. */
+  final case class FrameSample(doc_id: Long, frame_idx: Long,
+      mean_byte: Double)
+
+  /** Frame sampling for "video" payloads: cut the payload into
+    * consecutive `frameBytes` windows (full frames only) and keep every
+    * `every`-th — the flatMap batch shape of real frame extraction (one
+    * input row fans out to 0..n frame rows inside the partition, frames
+    * never gather on the driver). `frameBytes` a power of two keeps the
+    * window mean exact in both engines. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64,
+      every: Int = 4): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real codec init would happen once, here
+      rows.flatMap { r =>
+        val nFrames = r.payload.length / frameBytes
+        Iterator.range(0, nFrames, every).map { f =>
+          var sum = 0L
+          var i = f * frameBytes
+          val end = i + frameBytes
+          while (i < end) { sum += (r.payload(i) & 0xff); i += 1 }
+          FrameSample(r.doc_id, f.toLong, sum.toDouble / frameBytes)
+        }
+      }
+    }
+  }
+
+  /** Declared query: decode → resize 16×16 → feature-extract, the
+    * composed media pipeline. Every output is integer-derived (mean
+    * over 256 = sum/2^8), so the oracle replays it bit-exactly. */
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    decodeFeatures(resize(mediaTable(spark, dir), 16, 16))
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+        col("mean_byte"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Declared query: every 4th 64-byte frame per document, one row per
+    * sampled frame. */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    sampleFrames(mediaTable(spark, dir))
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
 }

@@ -70,6 +70,34 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal resize pads past-payload pixels and frame sampling " +
+    "skips partial frames") {
+    import spark.implicits._
+    // 4x4 "image" whose payload has only 10 of 16 pixels
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/fake", 4, 4,
+        Array.tabulate(10)(i => (i + 1).toByte)),
+      Multimodal.MediaRow(2L, "video/fake", 1, 1,
+        Array.tabulate(200)(i => (i % 7).toByte)),
+      Multimodal.MediaRow(3L, "audio/fake", 1, 1, Array.emptyByteArray)
+    ).toDS()
+
+    // nearest-neighbor 2x2 from 4x4: out (x,y) reads src (2x, 2y) ->
+    // indexes 0,2,8,10; index >= payload length reads 0
+    val r = Multimodal.resize(media, 2, 2).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(r(1L).payload.toSeq === Seq[Byte](1, 3, 9, 0))
+    assert(r(3L).payload.toSeq === Seq[Byte](0, 0, 0, 0))
+    assert(r.values.forall(m => m.width == 2 && m.height == 2))
+
+    // 200 bytes / 64 = 3 full frames; every 4th -> frame 0 only;
+    // empty payload -> no rows (never a partial frame)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, every = 4)
+      .collect().map(f => (f.doc_id, f.frame_idx))
+    // doc 1 has 10 bytes < one frame and doc 3 is empty -> no rows
+    assert(frames.toSet === Set((2L, 0L)))
+  }
+
   test("multimodal decode computes byte stats from the payload") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, dir)
