@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Multimodal
+import graft.operators.SkewJoin
+import graft.streaming.Sessionize
+
+/** Randomized invariants over the operator library (raw scalacheck Gen
+  * with fixed seeds — deterministic, no scalatestplus dependency).
+  * Each property pits a Spark operator against an independent plain-
+  * Scala model on adversarial inputs (ties, duplicates, empties, hot
+  * keys) that the fixed corpora underexercise. */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def sample[A](gen: Gen[A], seed: Long): A =
+    gen.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("saltedJoin equals the plain join for every allowed join type") {
+    import spark.implicits._
+    val rowGen = for {
+      k <- Gen.chooseNum(0L, 5L) // few keys -> hot keys guaranteed
+      v <- Gen.chooseNum(0, 100)
+    } yield (k, v)
+    val largeGen = Gen.listOfN(200, rowGen)
+    val smallGen = Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 7L), Gen.alphaStr))
+    (0 until 5).foreach { i =>
+      val large = sample(largeGen, i.toLong).zipWithIndex
+        .map { case ((k, v), id) => (k, v, id.toLong) }
+        .toDF("k", "v", "row_id")
+      val small = sample(smallGen, 100L + i).distinctBy(_._1)
+        .toDF("k", "name")
+      Seq("inner", "left", "left_semi", "left_anti").foreach { jt =>
+        val salted = SkewJoin
+          .saltedJoin(large, small, Seq("k"), "row_id", 4, jt)
+          .collect().map(_.toString).sorted.toSeq
+        val plain = large.join(small, Seq("k"), jt)
+          .collect().map(_.toString).sorted.toSeq
+        assert(salted === plain, s"seed $i join type $jt")
+      }
+    }
+  }
+
+  test("batch sessionization equals a plain-Scala gaps model under ties " +
+    "and duplicates") {
+    import spark.implicits._
+    val gapUs = 100L
+    val evGen = Gen.listOfN(120, for {
+      u <- Gen.chooseNum(0L, 3L)
+      t <- Gen.chooseNum(0L, 2000L) // dense -> tied timestamps likely
+    } yield (u, t))
+    (0 until 5).foreach { i =>
+      val evs = sample(evGen, 7000L + i).zipWithIndex
+        .map { case ((u, t), id) => Sessionize.Ev(u, t, id.toLong) }
+      val got = Sessionize.sessionsBatch(evs.toDS(), gapUs)
+        .collect().map(s =>
+          (s.user_id, s.session_start_us, s.session_end_us, s.n_events))
+        .sorted.toSeq
+      // model: sort by (ts, event_id), split where the gap exceeds gapUs
+      val want = evs.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e.ts_us, e.event_id))
+        val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
+          case (acc @ cur :: rest, e) =>
+            if (e.ts_us - cur.head.ts_us <= gapUs) (e :: cur) :: rest
+            else List(e) :: acc
+          case (Nil, e) => List(List(e))
+        }
+        sessions.map(s =>
+          (u, s.last.ts_us, s.head.ts_us, s.size.toLong))
+      }.sorted
+      assert(got === want, s"seed $i")
+    }
+  }
+
+  test("dot_product equals the zip_with fold on random vectors with " +
+    "nulls and ragged lengths") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val vecGen = Gen.listOfN(8,
+      Gen.oneOf(Gen.const[Option[Double]](None),
+        Gen.chooseNum(-10.0, 10.0).map(Some(_))))
+    val pairGen = for {
+      a <- vecGen
+      aLen <- Gen.chooseNum(0, 8)
+      b <- vecGen
+      bLen <- Gen.chooseNum(0, 8)
+    } yield (a.take(aLen), b.take(bLen))
+    val pairs = (0 until 40).map(i => sample(pairGen, 900L + i))
+      .toDF("a", "b")
+    val r = pairs.select(
+      expr("dot_product(a, b)").as("dp"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, " +
+        "(acc, v) -> acc + v)").as("hof")).collect()
+    r.zipWithIndex.foreach { case (row, i) =>
+      val dp = if (row.isNullAt(0)) None else Some(row.getDouble(0))
+      val hof = if (row.isNullAt(1)) None else Some(row.getDouble(1))
+      assert(dp === hof, s"row $i")
+    }
+  }
+
+  test("resize then resize-to-same-size is identity on exact-fit payloads") {
+    import spark.implicits._
+    val mediaGen = Gen.listOfN(6, for {
+      w <- Gen.chooseNum(1, 12)
+      h <- Gen.chooseNum(1, 12)
+      bytes <- Gen.listOfN(w * h, Gen.chooseNum(0, 255))
+    } yield (w, h, bytes))
+    (0 until 3).foreach { i =>
+      val rows = sample(mediaGen, 300L + i).zipWithIndex.map {
+        case ((w, h, bs), id) =>
+          Multimodal.MediaRow(id.toLong, "image/fake", w, h,
+            bs.map(_.toByte).toArray)
+      }
+      val ds = rows.toDS()
+      // identity: nearest-neighbor with tw=w, th=h maps pixel (x,y)->(x,y)
+      val same = Multimodal.resize(ds, rows.head.width, rows.head.height)
+      val back = same.filter(col("doc_id") === 0L).collect()(0)
+      assert(back.payload.toSeq === rows.head.payload.toSeq)
+      // downsample never reads out of bounds and always fills the grid
+      val small = Multimodal.resize(ds, 3, 3).collect()
+      assert(small.forall(_.payload.length == 9))
+    }
+  }
+}
