@@ -49,14 +49,20 @@ class SourcesSpec extends AnyFunSuite {
     val warehouse = tmp("lake_wh")
     val summary = graft.runner.BatchRunner.run(spark, lakePath, warehouse, acc)
     assert(summary.nonEmpty && summary.get.nEvents > 0)
-    val events = graft.runner.BatchRunner
-      .tableFinal(spark, warehouse, "events",
+    val batch = graft.queries.NearQueries.bronzeEvents(spark, "")
+      .collect().map(_.toString).sorted.toSeq
+    def eventsOf(wh: String): Seq[String] = graft.runner.BatchRunner
+      .tableFinal(spark, wh, "events",
         Seq("related_receipt_id", "index_in_log"))
       .select(NearFixtures.eventCols.map(col): _*)
       .collect().map(_.toString).sorted.toSeq
-    val batch = graft.queries.NearQueries.bronzeEvents(spark, "")
-      .collect().map(_.toString).sorted.toSeq
-    assert(events === batch)
+    assert(eventsOf(warehouse) === batch)
+
+    // the STREAMING source lists and reads through the same FS
+    // abstraction — the checkpointed query consumes lake:// files
+    val streamWh = tmp("lake_stream_wh")
+    graft.streaming.StreamRunner.runStream(spark, lakePath, streamWh, acc)
+    assert(eventsOf(streamWh) === batch)
   }
 
   test("S4: scheduled refresh replaces the assets snapshot on each tick") {
