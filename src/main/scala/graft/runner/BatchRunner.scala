@@ -20,8 +20,10 @@ import graft.state.ReceiptTxResolver
   * themselves warehouse tables; a restart replays only the last
   * `ttlBlocks` of them — exactly the reference's "warm the cache ~20
   * blocks before the range" procedure, made deterministic. State reads
-  * prune on block_height, so the replayed slice is O(TTL window)
-  * regardless of chain length.
+  * prune height-bucket PARTITIONS (readFinalSince) and each run drops
+  * the buckets its TTL can never read again, so both the replayed
+  * slice and the stored state stay O(TTL window) regardless of chain
+  * length.
   */
 object BatchRunner {
 
@@ -82,13 +84,13 @@ object BatchRunner {
     // Replay window: state that could still matter for the OLDEST new
     // block. Expiry within the resolve is the resolver's own per-hop
     // TTL check — this bound only caps how much history is re-read.
+    // readFinalSince prunes to the window's height-bucket PARTITIONS,
+    // so the scan is O(TTL window) regardless of chain length.
     val minStateHeight = fromNew - ttlBlocks
-    val seedState = ParquetSink.readFinal(
-      spark.read.parquet(s"$warehouse/state_seeds"), Seq("transaction_hash"))
-      .filter(col("block_height") >= minStateHeight)
-    val edgeState = ParquetSink.readFinal(
-      spark.read.parquet(s"$warehouse/state_edges"), Seq("receipt_id"))
-      .filter(col("block_height") >= minStateHeight)
+    val seedState = ParquetSink.readFinalSince(spark,
+      s"$warehouse/state_seeds", Seq("transaction_hash"), minStateHeight)
+    val edgeState = ParquetSink.readFinalSince(spark,
+      s"$warehouse/state_edges", Seq("receipt_id"), minStateHeight)
     val resolved = ReceiptTxResolver.resolve(
       seedState, edgeState, ttlBlocks, accounts = accounts)
 
@@ -98,16 +100,17 @@ object BatchRunner {
 
     val ofInt = BronzeExtractors.outcomesOfInterest(outs, accounts)
     val receiptRows = ReceiptTxResolver.attachParentTx(
-      BronzeExtractors.receiptRows(ofInt), resolved)
+      BronzeExtractors.receiptRows(ofInt), resolved, ttlBlocks)
     ParquetSink.writeBatch(receiptRows, s"$warehouse/receipts", toHeight,
       Seq("receipt_id"))
     val outcomeRows = ReceiptTxResolver.attachParentTx(
-      BronzeExtractors.executionOutcomeRows(ofInt), resolved)
+      BronzeExtractors.executionOutcomeRows(ofInt), resolved, ttlBlocks)
     ParquetSink.writeBatch(outcomeRows, s"$warehouse/execution_outcomes",
       toHeight, Seq("execution_outcome_id"))
 
     val events = ReceiptTxResolver.attachTxHash(
-      BronzeExtractors.eventRows(outs, accounts), resolved)
+      BronzeExtractors.eventRows(outs, accounts), resolved,
+      ttlBlocks = ttlBlocks)
       .localCheckpoint()
     ParquetSink.writeBatch(events, s"$warehouse/events", toHeight, eventsPk)
 
@@ -126,8 +129,20 @@ object BatchRunner {
     ParquetSink.writeBatch(txRows, s"$warehouse/transactions", toHeight,
       Seq("transaction_hash"))
 
-    Some(RunSummary(resume, toHeight, nBlocks, events.count(),
-      txRows.count(), receiptRows.count(), outcomeRows.count()))
+    // Summary counts materialize BEFORE the trim — receipt/outcome rows
+    // re-derive from the state-window reads the trim is about to prune.
+    val summary = RunSummary(resume, toHeight, nBlocks, events.count(),
+      txRows.count(), receiptRows.count(), outcomeRows.count())
+
+    // Retention: the NEXT run replays from (toHeight+1) - ttl at the
+    // earliest, so state partitions strictly below that bound can never
+    // be read again — drop them (partition-level, no rewrite). Runs
+    // after the commit point: a crash before this re-trims next run.
+    val retainFrom = toHeight + 1 - ttlBlocks
+    ParquetSink.dropBucketsBelow(s"$warehouse/state_seeds", retainFrom)
+    ParquetSink.dropBucketsBelow(s"$warehouse/state_edges", retainFrom)
+
+    Some(summary)
   }
 
   /** FINAL view of a warehouse table (read path for every consumer). */

@@ -147,14 +147,56 @@ object ParquetSink {
     }
   }
 
-  /** Resume height: max(block_height) over the sink, None if absent. */
-  def lastHeight(spark: SparkSession, path: String): Option[Long] =
-    if (!new java.io.File(path).exists()) None
-    else spark.read.parquet(path)
-      .agg(max(col("block_height"))).collect()(0) match {
-        case r if r.isNullAt(0) => None
-        case r => Some(r.getLong(0))
+  /** Windowed FINAL read with PARTITION PRUNING: a `block_height >= h`
+    * predicate alone cannot prune the `height_bucket` partitions
+    * (Catalyst cannot invert the DIV), so the bucket bound is supplied
+    * explicitly — the scan touches only the TTL-window directories no
+    * matter how long the table's history is. */
+  def readFinalSince(spark: SparkSession, path: String, pkCols: Seq[String],
+      minHeight: Long, heightBucketSize: Long = 50L): DataFrame =
+    readFinal(
+      spark.read.parquet(path)
+        .filter(col("height_bucket") >= lit(minHeight / heightBucketSize) &&
+          col("block_height") >= lit(minHeight)),
+      pkCols)
+
+  /** Retention trim — drop whole height-bucket partition directories
+    * strictly below `minHeight`'s bucket (the ClickHouse
+    * partition-DROP/TTL analog): state tables stay O(TTL window)
+    * instead of O(chain length). Directory-level, no rewrite. */
+  def dropBucketsBelow(path: String, minHeight: Long,
+      heightBucketSize: Long = 50L): Unit = {
+    val keep = minHeight / heightBucketSize
+    val dir = new java.io.File(path)
+    if (dir.exists()) {
+      dir.listFiles().foreach { f =>
+        if (f.isDirectory && f.getName.startsWith("height_bucket=")) {
+          val b = f.getName.stripPrefix("height_bucket=").toLong
+          if (b < keep) delete(f)
+        }
       }
+    }
+  }
+
+  /** Resume height: max(block_height) over the sink, None if absent.
+    * Reads ONLY the max height-bucket partition (found by directory
+    * listing) — the resume probe stays O(one bucket) on an arbitrarily
+    * long table. */
+  def lastHeight(spark: SparkSession, path: String): Option[Long] = {
+    val dir = new java.io.File(path)
+    if (!dir.exists()) return None
+    val buckets = dir.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("height_bucket="))
+      .map(_.getName.stripPrefix("height_bucket=").toLong)
+    val scan = spark.read.parquet(path)
+    val probe =
+      if (buckets.isEmpty) scan
+      else scan.filter(col("height_bucket") === lit(buckets.max))
+    probe.agg(max(col("block_height"))).collect()(0) match {
+      case r if r.isNullAt(0) => None
+      case r => Some(r.getLong(0))
+    }
+  }
 
   /** Recursive local delete (fixture/test plumbing). */
   def delete(f: java.io.File): Unit = {

@@ -215,6 +215,54 @@ class NearPipelineSpec extends AnyFunSuite {
     assert(img(wh1).size === 11)
   }
 
+  test("state-window reads prune height-bucket partitions and retention " +
+    "drops buckets the TTL can never read again") {
+    import graft.runner.BatchRunner
+    import graft.sink.ParquetSink
+    import graft.sources.BlockFileSource
+    val ordered = NearFixtures.blocks.sortBy(_.header.height)
+    def freshDir(n: String) = {
+      val d = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_test_$n")
+      ParquetSink.delete(d)
+      d.getAbsolutePath
+    }
+    def buckets(table: String): Set[Long] =
+      new java.io.File(table).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("height_bucket="))
+        .map(_.getName.stripPrefix("height_bucket=").toLong).toSet
+
+    val wh = freshDir("runner_retention")
+    val bd = freshDir("runner_retention_blocks")
+    // every in-fixture resolution hop/lookup spans <= 2 blocks, so a
+    // 10-block TTL resolves identically to the default 50 — but makes
+    // the retention bound bite between the 100-102 and 160-161 groups
+    BlockFileSource.writeBlockFiles(spark, ordered.take(3), bd)
+    BatchRunner.run(spark, bd, wh, acc, ttlBlocks = 10L)
+    assert(buckets(s"$wh/state_seeds") === Set(2L)) // heights 100-102
+    BlockFileSource.writeBlockFiles(spark, ordered, bd)
+    BatchRunner.run(spark, bd, wh, acc, ttlBlocks = 10L)
+    // retainFrom = 161 + 1 - 10 = 152 -> bucket 2 can never be read
+    // again and is dropped; bucket 3 (160-161) stays
+    assert(buckets(s"$wh/state_seeds") === Set(3L))
+    assert(buckets(s"$wh/state_edges") === Set(3L))
+    // the trimmed warehouse still serves the full FINAL events image
+    val pk = Seq("related_receipt_id", "index_in_log")
+    val events = BatchRunner.tableFinal(spark, wh, "events", pk)
+      .select(NearFixtures.eventCols.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.queries.NearQueries.bronzeEvents(spark, "")
+      .collect().map(_.toString).sorted.toSeq
+    assert(events === batch)
+    // and the windowed read truly prunes: the scan carries a partition
+    // filter on height_bucket, not just a data filter on block_height
+    val plan = ParquetSink.readFinalSince(spark, s"$wh/state_seeds",
+      Seq("transaction_hash"), 152L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("height_bucket"), plan)
+  }
+
   test("gold no-match rows: null referral becomes 'Others', empty-memo" +
     " no-match rows are dropped (CH 3VL parity)") {
     import spark.implicits._
