@@ -80,8 +80,9 @@ object StreamRunner {
           val (st2, events0) = StreamingResolver.processBatch(
             state, blocks, accounts, ttlBlocks)
           val events = events0.localCheckpoint()
-          val maxH = blocks.agg(max(col("header.height")))
-            .collect()(0).getLong(0)
+          val hAgg = blocks.agg(min(col("header.height")),
+            max(col("header.height"))).collect()(0)
+          val (minH, maxH) = (hAgg.getLong(0), hAgg.getLong(1))
 
           // full product-table parity with BatchRunner: the CH-MV
           // cascade fires on this micro-batch's rows only
@@ -107,11 +108,16 @@ object StreamRunner {
             graft.runner.BatchRunner.tokenDiffPk)
           // state commits AFTER the event-derived tables: a crash in
           // between replays the batch against the OLD state — identical
-          // rows, FINAL-deduped — never against a state that skipped it
-          // (block_height = entry_height drives the sink's bucketing)
+          // rows, FINAL-deduped — never against a state that skipped it.
+          // Only THIS batch's entries are appended (first-write-wins
+          // means pre-existing entries never change, so the table + the
+          // trim below stay O(TTL window), not O(stream length));
+          // block_height = entry_height drives the sink's bucketing.
           ParquetSink.writeBatch(
-            st2.withColumn("block_height", col("entry_height")),
+            st2.filter(col("entry_height") >= minH)
+              .withColumn("block_height", col("entry_height")),
             statePath, maxH, statePk)
+          ParquetSink.dropBucketsBelow(statePath, maxH - ttlBlocks)
           // transactions last — the lastHeight resume marker consumers
           // read stays behind every other table (BatchRunner parity)
           ParquetSink.writeBatch(
