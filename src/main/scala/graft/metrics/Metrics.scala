@@ -18,7 +18,15 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object Metrics {
 
-  private val counters = new ConcurrentHashMap[String, Long]()
+  /** Latest values per OBSERVATION NAME (one entry per observedAgg
+    * attachment): re-running the same plan in another action re-reports
+    * the same name and overwrites — counters are action-idempotent —
+    * while distinct attachments (unique names) sum at [[snapshot]].
+    * Without this, a caller running N actions over one observed plan
+    * (the batch runner executes its resolve subtree ~5 times) would
+    * inflate every counter N-fold. */
+  private val observations =
+    new ConcurrentHashMap[String, Map[String, Long]]()
 
   /** Attach named row counters to a DataFrame; they are recorded when
     * any action runs the plan. */
@@ -31,8 +39,8 @@ object Metrics {
   /** Attach arbitrary aggregate counters (each a LongType aggregate with
     * a stable alias — the alias IS the Prometheus counter name). The
     * observation name is made unique per call so the same operator can
-    * appear more than once inside one query plan; the listener merges
-    * values BY FIELD NAME, so repeated attachments sum into one counter,
+    * appear more than once inside one query plan; the rendered counter
+    * sums the latest value of every attachment sharing the field name,
     * exactly like a Prometheus counter labelled per operator. */
   def observedAgg(df: DataFrame, group: String, metrics: Column*): DataFrame =
     df.observe(s"graft_${group}_${obsSeq.incrementAndGet()}",
@@ -53,11 +61,11 @@ object Metrics {
         durationNs: Long): Unit = {
       qe.observedMetrics.foreach { case (name, row) =>
         if (name.startsWith("graft_")) {
-          row.schema.fieldNames.zipWithIndex.foreach { case (f, i) =>
-            if (!row.isNullAt(i)) {
-              counters.merge(f, row.getLong(i), (a, b) => a + b): Unit
-            }
-          }
+          val values = row.schema.fieldNames.zipWithIndex.flatMap {
+            case (f, i) =>
+              if (row.isNullAt(i)) None else Some(f -> row.getLong(i))
+          }.toMap
+          observations.put(name, values): Unit
         }
       }
     }
@@ -65,9 +73,12 @@ object Metrics {
         exception: Exception): Unit = ()
   }
 
-  def snapshot(): Map[String, Long] = counters.asScala.toMap
+  /** Field name → sum over the latest value of each attachment. */
+  def snapshot(): Map[String, Long] =
+    observations.asScala.values.flatten
+      .groupBy(_._1).map { case (f, kvs) => f -> kvs.map(_._2).sum }
 
-  def reset(): Unit = counters.clear()
+  def reset(): Unit = observations.clear()
 
   /** Prometheus text exposition format (metrics.rs serves the same). */
   def renderPrometheus(): String =

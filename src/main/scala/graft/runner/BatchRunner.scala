@@ -33,13 +33,15 @@ object BatchRunner {
 
   private val eventsPk = Seq("related_receipt_id", "index_in_log")
 
-  /** The reference's ReplacingMergeTree ORDER BY keys for the silver
-    * tables (02-silver-tables.sql:53,125) — same-key re-inserts (and
-    * same-key rows, as in the reference) collapse at FINAL. */
-  val nep245Pk: Seq[String] = Seq("block_height", "related_receipt_id",
-    "event", "old_owner_id", "new_owner_id", "token_id")
-  val tokenDiffPk: Seq[String] = Seq("block_height", "related_receipt_id",
-    "intent_hash")
+  /** Write-side CLUSTERING keys for the silver MV tables (row-group
+    * locality, the prefix of the reference's ORDER BY). Dedup is NOT by
+    * these keys: silver rows have no natural unique key in the written
+    * schema — one intent legitimately emits several per-token diff rows
+    * sharing the reference's full ORDER BY (02-silver-tables.sql:125) —
+    * so the read side uses [[ParquetSink.readFinalWholeRow]]: replayed
+    * batches collapse, distinct legs survive (a deliberate divergence
+    * from ClickHouse FINAL, which would drop them). */
+  val silverClusterKeys: Seq[String] = Seq("block_height", "related_receipt_id")
 
   /** Process every block in `blocksDir` newer than the sink's resume
     * height; returns None when there is nothing new. */
@@ -70,27 +72,36 @@ object BatchRunner {
 
     // persist this batch's resolver inputs, then resolve over the
     // TTL-window slice of the full state history
-    ParquetSink.writeBatch(
-      txs.select(col("block_height"), col("block_timestamp_ns"),
-        col("block_hash"), col("transaction_hash"), col("signer_id"),
-        col("receiver_id"), col("actions"), col("first_receipt_id"),
-        col("of_interest")),
+    val seedsProj = txs.select(col("block_height"), col("block_timestamp_ns"),
+      col("block_hash"), col("transaction_hash"), col("signer_id"),
+      col("receiver_id"), col("actions"), col("first_receipt_id"),
+      col("of_interest"))
+    ParquetSink.writeBatch(seedsProj,
       s"$warehouse/state_seeds", toHeight, Seq("transaction_hash"))
-    ParquetSink.writeBatch(
-      outs.select(col("block_height"), col("receipt_id"),
-        col("receiver_id"), col("predecessor_id"), col("receipt_ids")),
+    val edgesProj = outs.select(col("block_height"), col("receipt_id"),
+      col("receiver_id"), col("predecessor_id"), col("receipt_ids"))
+    ParquetSink.writeBatch(edgesProj,
       s"$warehouse/state_edges", toHeight, Seq("receipt_id"))
 
     // Replay window: state that could still matter for the OLDEST new
     // block. Expiry within the resolve is the resolver's own per-hop
     // TTL check — this bound only caps how much history is re-read.
     // readFinalSince prunes to the window's height-bucket PARTITIONS,
-    // so the scan is O(TTL window) regardless of chain length.
+    // so the scan is O(TTL window) regardless of chain length. A state
+    // table with no data files yet (a first batch carrying no
+    // transactions/outcomes writes nothing) reads as empty — parquet
+    // schema inference cannot.
     val minStateHeight = fromNew - ttlBlocks
-    val seedState = ParquetSink.readFinalSince(spark,
-      s"$warehouse/state_seeds", Seq("transaction_hash"), minStateHeight)
-    val edgeState = ParquetSink.readFinalSince(spark,
-      s"$warehouse/state_edges", Seq("receipt_id"), minStateHeight)
+    val seedState =
+      if (ParquetSink.hasData(s"$warehouse/state_seeds"))
+        ParquetSink.readFinalSince(spark,
+          s"$warehouse/state_seeds", Seq("transaction_hash"), minStateHeight)
+      else seedsProj.limit(0)
+    val edgeState =
+      if (ParquetSink.hasData(s"$warehouse/state_edges"))
+        ParquetSink.readFinalSince(spark,
+          s"$warehouse/state_edges", Seq("receipt_id"), minStateHeight)
+      else edgesProj.limit(0)
     val resolved = ReceiptTxResolver.resolve(
       seedState, edgeState, ttlBlocks, accounts = accounts)
 
@@ -114,13 +125,13 @@ object BatchRunner {
       .localCheckpoint()
     ParquetSink.writeBatch(events, s"$warehouse/events", toHeight, eventsPk)
 
-    // silver: the MV cascade fires on the inserted batch only; dedup
-    // keys are the reference's ReplacingMergeTree ORDER BY keys
-    // (02-silver-tables.sql:53,125)
+    // silver: the MV cascade fires on the inserted batch only
+    // (whole-row dedup on read — see silverClusterKeys)
     ParquetSink.writeBatch(SilverTransforms.nep245Events(events),
-      s"$warehouse/silver_nep245", toHeight, BatchRunner.nep245Pk)
+      s"$warehouse/silver_nep245", toHeight, BatchRunner.silverClusterKeys)
     ParquetSink.writeBatch(SilverTransforms.dip4TokenDiff(events, accounts),
-      s"$warehouse/silver_token_diff", toHeight, BatchRunner.tokenDiffPk)
+      s"$warehouse/silver_token_diff", toHeight,
+      BatchRunner.silverClusterKeys)
 
     // The transactions table is the RESUME MARKER (lastHeight reads it),
     // so it commits LAST: a crash anywhere above leaves the resume point
@@ -149,5 +160,12 @@ object BatchRunner {
   def tableFinal(spark: SparkSession, warehouse: String, name: String,
       pk: Seq[String]): DataFrame =
     ParquetSink.readFinal(spark.read.parquet(s"$warehouse/$name"), pk)
+      .drop("insert_seq", "height_bucket")
+
+  /** FINAL view of a silver MV table: whole-row dedup (replay
+    * idempotence without collapsing legitimate same-key rows). */
+  def silverFinal(spark: SparkSession, warehouse: String,
+      name: String): DataFrame =
+    ParquetSink.readFinalWholeRow(spark.read.parquet(s"$warehouse/$name"))
       .drop("insert_seq", "height_bucket")
 }

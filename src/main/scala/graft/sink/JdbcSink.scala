@@ -58,7 +58,15 @@ object JdbcSink {
 
   /** Wrap an executor so duplicate-key violations are swallowed —
     * idempotent re-insert for dialects whose INSERT can't say
-    * `ON CONFLICT DO NOTHING` inline. */
+    * `ON CONFLICT DO NOTHING` inline.
+    *
+    * ONE ROW PER STATEMENT ONLY: the violation aborts the whole
+    * statement, so a multi-row INSERT containing one duplicate would
+    * silently drop its NEW rows too — and PostgreSQL additionally
+    * poisons the enclosing transaction on any swallowed error. On PG
+    * use the inline `ON CONFLICT DO NOTHING` of [[upsertSql]] (the
+    * reference's path, database.rs:170-242); this wrapper exists for
+    * row-at-a-time engines like the embedded Derby the suite drives. */
   def idempotent(execute: String => Unit): String => Unit =
     sql => try execute(sql) catch {
       case e: java.sql.SQLException if isDuplicateKeyError(e) => ()

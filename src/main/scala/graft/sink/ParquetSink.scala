@@ -147,6 +147,26 @@ object ParquetSink {
     }
   }
 
+  /** FINAL dedup on the FULL data row (every column except the sink's
+    * bookkeeping) — for MV-style tables whose rows carry no natural
+    * unique key: exact replay duplicates collapse, distinct rows always
+    * survive. (A key-based FINAL here would lose data: e.g. one intent
+    * legitimately emits several per-token diff rows that share the
+    * reference's ORDER BY key, 02-silver-tables.sql:125.) */
+  def readFinalWholeRow(raw: DataFrame): DataFrame =
+    readFinal(raw, raw.columns.toSeq
+      .filterNot(c => c == "insert_seq" || c == "height_bucket"))
+
+  /** True if the table directory holds at least one parquet data file —
+    * a dir that exists but was written only empty batches (or fully
+    * trimmed) is NOT readable (schema inference fails). */
+  def hasData(path: String): Boolean = {
+    def rec(f: java.io.File): Boolean =
+      f.isDirectory && f.listFiles().exists(c =>
+        (c.isFile && c.getName.endsWith(".parquet")) || rec(c))
+    rec(new java.io.File(path))
+  }
+
   /** Windowed FINAL read with PARTITION PRUNING: a `block_height >= h`
     * predicate alone cannot prune the `height_bucket` partitions
     * (Catalyst cannot invert the DIV), so the bucket bound is supplied
@@ -163,17 +183,21 @@ object ParquetSink {
   /** Retention trim — drop whole height-bucket partition directories
     * strictly below `minHeight`'s bucket (the ClickHouse
     * partition-DROP/TTL analog): state tables stay O(TTL window)
-    * instead of O(chain length). Directory-level, no rewrite. */
+    * instead of O(chain length). Directory-level, no rewrite. The MAX
+    * bucket is always kept, even when fully expired, so a table that
+    * ever held data stays schema-readable (and [[lastHeight]] keeps
+    * its probe target). */
   def dropBucketsBelow(path: String, minHeight: Long,
       heightBucketSize: Long = 50L): Unit = {
     val keep = minHeight / heightBucketSize
     val dir = new java.io.File(path)
     if (dir.exists()) {
-      dir.listFiles().foreach { f =>
-        if (f.isDirectory && f.getName.startsWith("height_bucket=")) {
-          val b = f.getName.stripPrefix("height_bucket=").toLong
-          if (b < keep) delete(f)
-        }
+      val parts = dir.listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("height_bucket="))
+        .map(f => f -> f.getName.stripPrefix("height_bucket=").toLong)
+      val maxBucket = if (parts.isEmpty) Long.MinValue else parts.map(_._2).max
+      parts.foreach { case (f, b) =>
+        if (b < keep && b != maxBucket) delete(f)
       }
     }
   }

@@ -57,10 +57,12 @@ object StreamRunner {
     val statePath = s"$warehouse/resolver_state"
     val eventsPath = s"$warehouse/events"
 
-    // Reload persisted state (empty on first start). The TTL window
-    // bounds this table's live size; FINAL keeps one row per receipt.
+    // Reload persisted state (empty on first start, and empty when the
+    // table directory holds no data files — existence alone is not
+    // readable). The TTL window bounds this table's live size; FINAL
+    // keeps one row per receipt.
     var state =
-      if (new java.io.File(statePath).exists())
+      if (ParquetSink.hasData(statePath))
         ParquetSink.readFinal(spark.read.parquet(statePath), statePk)
           .select(StreamingResolver.stateCols.map(col): _*)
           .localCheckpoint()
@@ -101,11 +103,11 @@ object StreamRunner {
           ParquetSink.writeBatch(events, eventsPath, maxH, eventsPk)
           ParquetSink.writeBatch(SilverTransforms.nep245Events(events),
             s"$warehouse/silver_nep245", maxH,
-            graft.runner.BatchRunner.nep245Pk)
+            graft.runner.BatchRunner.silverClusterKeys)
           ParquetSink.writeBatch(
             SilverTransforms.dip4TokenDiff(events, accounts),
             s"$warehouse/silver_token_diff", maxH,
-            graft.runner.BatchRunner.tokenDiffPk)
+            graft.runner.BatchRunner.silverClusterKeys)
           // state commits AFTER the event-derived tables: a crash in
           // between replays the batch against the OLD state — identical
           // rows, FINAL-deduped — never against a state that skipped it.

@@ -59,10 +59,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nCols <= 5, s"p_filter_project reads $nCols columns: $readSchema")
   }
 
+  /** Queries whose BUILDER is the side effect (full runner/stream/sink
+    * round trips) — their returned plan is a plain parquet scan, and
+    * executing the builder re-runs minutes of pipeline already covered
+    * by their own suites. The audit covers the declarative queries. */
+  private val sideEffecting = Set("near_runner_events", "near_stream_events",
+    "near_sink_roundtrip", "near_sink_resume")
+
   test("no declared query plans a CartesianProduct, and forced broadcasts stay on bounded relations") {
     graft.Tables.tune(spark)
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filterNot(q => sideEffecting(q._1))
+      .foreach { case (name, fn) =>
       val df =
         try fn(spark, dir)
         catch {

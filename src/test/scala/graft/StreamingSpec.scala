@@ -121,21 +121,29 @@ class StreamingSpec extends AnyFunSuite {
     val batchWh = tmp("rs_wh_batch")
     BatchRunner.run(spark, blocksDir, batchWh, acc)
     val tables = Seq(
-      "transactions" -> Seq("transaction_hash"),
-      "receipts" -> Seq("receipt_id"),
-      "execution_outcomes" -> Seq("execution_outcome_id"),
-      "events" -> Seq("related_receipt_id", "index_in_log"),
-      "silver_nep245" -> BatchRunner.nep245Pk,
-      "silver_token_diff" -> BatchRunner.tokenDiffPk)
+      "transactions" -> Some(Seq("transaction_hash")),
+      "receipts" -> Some(Seq("receipt_id")),
+      "execution_outcomes" -> Some(Seq("execution_outcome_id")),
+      "events" -> Some(Seq("related_receipt_id", "index_in_log")),
+      "silver_nep245" -> None, // silver MV tables: whole-row dedup
+      "silver_token_diff" -> None)
     tables.foreach { case (name, pk) =>
       def img(wh: String): Seq[String] = {
-        val t = BatchRunner.tableFinal(spark, wh, name, pk)
+        val t = pk match {
+          case Some(k) => BatchRunner.tableFinal(spark, wh, name, k)
+          case None => BatchRunner.silverFinal(spark, wh, name)
+        }
         t.select(t.columns.sorted.map(col): _*)
           .collect().map(_.toString).sorted.toSeq
       }
       assert(img(warehouse) === img(batchWh), s"table $name diverges")
       assert(img(warehouse).nonEmpty, s"table $name is empty")
     }
+    // the multi-leg intent survives whole-row FINAL: ih1 has two
+    // distinct per-token diff rows in one (block, receipt)
+    val legs = BatchRunner.silverFinal(spark, warehouse, "silver_token_diff")
+      .filter(col("intent_hash") === "ih1").count()
+    assert(legs === 2L, s"expected both diff legs of ih1, got $legs")
   }
 
   test("real Structured Streaming wiring: MemoryStream + foreachBatch, " +
