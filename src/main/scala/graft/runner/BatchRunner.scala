@@ -168,4 +168,28 @@ object BatchRunner {
       name: String): DataFrame =
     ParquetSink.readFinalWholeRow(spark.read.parquet(s"$warehouse/$name"))
       .drop("insert_seq", "height_bucket")
+
+  /** On-demand merge of every product table — the background merge the
+    * reference delegates to ClickHouse's ReplacingMergeTree, run
+    * between ingest cycles (single-writer window; readers racing the
+    * swap follow the [[ParquetSink.replaceSnapshot]] retry contract).
+    * Bronze tables compact on their PK, silver MV tables on the full
+    * row; resume semantics are untouched (block_height survives, and
+    * lastHeight still probes the max bucket). */
+  def compactWarehouse(spark: SparkSession, warehouse: String): Unit = {
+    val byPk = Seq(
+      "transactions" -> Seq("transaction_hash"),
+      "receipts" -> Seq("receipt_id"),
+      "execution_outcomes" -> Seq("execution_outcome_id"),
+      "events" -> eventsPk)
+    byPk.foreach { case (name, pk) =>
+      if (ParquetSink.hasData(s"$warehouse/$name"))
+        ParquetSink.compact(spark, s"$warehouse/$name", pk)
+    }
+    Seq("silver_nep245", "silver_token_diff").foreach { name =>
+      if (ParquetSink.hasData(s"$warehouse/$name"))
+        ParquetSink.compactWholeRow(spark, s"$warehouse/$name",
+          silverClusterKeys)
+    }
+  }
 }

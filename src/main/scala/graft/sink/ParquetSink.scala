@@ -95,6 +95,19 @@ object ParquetSink {
     swapTmpIntoLive(tmp, path)
   }
 
+  /** [[compact]] for tables deduped on the FULL row (silver MV tables):
+    * same crash-safe swap, `clusterKeys` only orders rows within files
+    * for row-group pruning. */
+  def compactWholeRow(spark: SparkSession, path: String,
+      clusterKeys: Seq[String], heightBucketSize: Long = 50L): Unit = {
+    recoverSwap(path)
+    val fin = readFinalWholeRow(spark.read.parquet(path))
+      .drop("insert_seq", "height_bucket")
+    val tmp = path + ".compact"
+    writeBatch(fin, tmp, 0L, clusterKeys, heightBucketSize)
+    swapTmpIntoLive(tmp, path)
+  }
+
   /** Full-replace snapshot write — the dimension-table refresh twin of
     * [[compact]] (S4's `REFRESH EVERY 1 DAY` materialization): the new
     * image lands in a tmp directory first, then the same crash-safe

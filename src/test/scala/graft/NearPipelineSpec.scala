@@ -215,6 +215,58 @@ class NearPipelineSpec extends AnyFunSuite {
     assert(img(wh1).size === 11)
   }
 
+  test("warehouse compaction preserves every table image and the resume " +
+    "point") {
+    import graft.runner.BatchRunner
+    import graft.sink.ParquetSink
+    import graft.sources.BlockFileSource
+    val ordered = NearFixtures.blocks.sortBy(_.header.height)
+    def freshDir(n: String) = {
+      val d = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_test_$n")
+      ParquetSink.delete(d)
+      d.getAbsolutePath
+    }
+    val wh = freshDir("runner_compact")
+    val bd = freshDir("runner_compact_blocks")
+    // two-stage ingest -> several insert_seq versions incl. replayed rows
+    BlockFileSource.writeBlockFiles(spark, ordered.take(3), bd)
+    BatchRunner.run(spark, bd, wh, acc)
+    BlockFileSource.writeBlockFiles(spark, ordered, bd)
+    BatchRunner.run(spark, bd, wh, acc)
+
+    def images(): Map[String, Seq[String]] = {
+      val byPk = Seq(
+        "transactions" -> Some(Seq("transaction_hash")),
+        "receipts" -> Some(Seq("receipt_id")),
+        "execution_outcomes" -> Some(Seq("execution_outcome_id")),
+        "events" -> Some(Seq("related_receipt_id", "index_in_log")),
+        "silver_nep245" -> None,
+        "silver_token_diff" -> None)
+      byPk.map { case (name, pk) =>
+        val t = pk match {
+          case Some(k) => BatchRunner.tableFinal(spark, wh, name, k)
+          case None => BatchRunner.silverFinal(spark, wh, name)
+        }
+        name -> t.select(t.columns.sorted.map(col): _*)
+          .collect().map(_.toString).sorted.toSeq
+      }.toMap
+    }
+    val before = images()
+    assert(before.values.forall(_.nonEmpty))
+    BatchRunner.compactWarehouse(spark, wh)
+    assert(images() === before)
+    // single version everywhere after the merge
+    val seqs = spark.read.parquet(s"$wh/events")
+      .select("insert_seq").distinct().collect().map(_.getLong(0)).toSeq
+    assert(seqs === Seq(0L))
+    // resume still reads 160 from the compacted transactions table and
+    // the trailing tx-less block replays idempotently
+    val s = BatchRunner.run(spark, bd, wh, acc)
+    assert(s.exists(_.fromHeight.contains(160L)))
+    assert(images() === before)
+  }
+
   test("state-window reads prune height-bucket partitions and retention " +
     "drops buckets the TTL can never read again") {
     import graft.runner.BatchRunner

@@ -210,6 +210,26 @@ class ValidationSpec extends AnyFunSuite {
     assert(prom.contains("resolver_unresolved_total"))
   }
 
+  test("counters are action-idempotent: re-running an observed plan does " +
+    "not inflate them, distinct attachments still sum") {
+    import graft.metrics.Metrics
+    Metrics.install(spark)
+    Metrics.reset()
+    val observedOnce = Metrics.observed(
+      graft.queries.NearQueries.eventsDf(spark), "idem")
+    observedOnce.count() // the batch-runner shape: several actions
+    observedOnce.count() // over ONE observed plan
+    observedOnce.collect()
+    val other = Metrics.observed(
+      graft.queries.NearQueries.eventsDf(spark), "idem")
+    other.count() // a SECOND attachment with the same field name sums
+    val deadline = System.nanoTime() + 10000000000L
+    while (Metrics.snapshot().getOrElse("idem_rows_total", 0L) < 22L &&
+        System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(Metrics.snapshot()("idem_rows_total") === 22L) // 11 + 11, not 44
+  }
+
   test("MetricsServer serves Prometheus text over HTTP with basic auth") {
     import graft.metrics.{Metrics, MetricsServer}
     Metrics.install(spark)
