@@ -24,9 +24,38 @@ object Metrics {
     * while distinct attachments (unique names) sum at [[snapshot]].
     * Without this, a caller running N actions over one observed plan
     * (the batch runner executes its resolve subtree ~5 times) would
-    * inflate every counter N-fold. */
+    * inflate every counter N-fold.
+    *
+    * Bounded: when more than [[MaxLiveObservations]] attachments are
+    * live, the OLDEST half (by mint sequence) folds into [[folded]]
+    * and further reports for them are ignored — a long-lived ingest
+    * service keeps O(MaxLive) memory and scrape cost, at the price
+    * that an ancient plan re-executed after folding no longer updates
+    * its (already-summed) contribution. */
   private val observations =
     new ConcurrentHashMap[String, Map[String, Long]]()
+  private val folded = new ConcurrentHashMap[String, Long]()
+  @volatile private var foldedBelowSeq = 0L
+  private val MaxLiveObservations = 1024
+
+  private def seqOf(name: String): Long =
+    try name.substring(name.lastIndexOf('_') + 1).toLong
+    catch { case _: NumberFormatException => Long.MaxValue }
+
+  private def maybeFold(): Unit = synchronized {
+    if (observations.size > MaxLiveObservations) {
+      val entries = observations.asScala.toSeq.sortBy(e => seqOf(e._1))
+      val toFold = entries.take(entries.size - MaxLiveObservations / 2)
+      toFold.foreach { case (name, values) =>
+        values.foreach { case (f, v) =>
+          folded.merge(f, v, (a, b) => a + b): Unit
+        }
+        observations.remove(name): Unit
+      }
+      if (toFold.nonEmpty)
+        foldedBelowSeq = toFold.map(e => seqOf(e._1)).max
+    }
+  }
 
   /** Attach named row counters to a DataFrame; they are recorded when
     * any action runs the plan. */
@@ -60,12 +89,13 @@ object Metrics {
     override def onSuccess(funcName: String, qe: QueryExecution,
         durationNs: Long): Unit = {
       qe.observedMetrics.foreach { case (name, row) =>
-        if (name.startsWith("graft_")) {
+        if (name.startsWith("graft_") && seqOf(name) > foldedBelowSeq) {
           val values = row.schema.fieldNames.zipWithIndex.flatMap {
             case (f, i) =>
               if (row.isNullAt(i)) None else Some(f -> row.getLong(i))
           }.toMap
           observations.put(name, values): Unit
+          maybeFold()
         }
       }
     }
@@ -73,12 +103,20 @@ object Metrics {
         exception: Exception): Unit = ()
   }
 
-  /** Field name → sum over the latest value of each attachment. */
-  def snapshot(): Map[String, Long] =
-    observations.asScala.values.flatten
+  /** Field name → folded base + sum over the latest value of each
+    * live attachment. */
+  def snapshot(): Map[String, Long] = {
+    val live = observations.asScala.values.flatten
       .groupBy(_._1).map { case (f, kvs) => f -> kvs.map(_._2).sum }
+    (live.keySet ++ folded.asScala.keySet).map { f =>
+      f -> (live.getOrElse(f, 0L) + folded.getOrDefault(f, 0L))
+    }.toMap
+  }
 
-  def reset(): Unit = observations.clear()
+  def reset(): Unit = {
+    observations.clear()
+    folded.clear()
+  }
 
   /** Prometheus text exposition format (metrics.rs serves the same). */
   def renderPrometheus(): String =

@@ -43,6 +43,18 @@ object BatchRunner {
     * from ClickHouse FINAL, which would drop them). */
   val silverClusterKeys: Seq[String] = Seq("block_height", "related_receipt_id")
 
+  /** The product tables and their dedup mode — Some(pk) = keyed FINAL,
+    * None = whole-row (silver MV). The ONE registry compaction and the
+    * parity suites iterate, so adding a table or changing a key happens
+    * in exactly one place. */
+  val productTables: Seq[(String, Option[Seq[String]])] = Seq(
+    "transactions" -> Some(Seq("transaction_hash")),
+    "receipts" -> Some(Seq("receipt_id")),
+    "execution_outcomes" -> Some(Seq("execution_outcome_id")),
+    "events" -> Some(Seq("related_receipt_id", "index_in_log")),
+    "silver_nep245" -> None,
+    "silver_token_diff" -> None)
+
   /** Process every block in `blocksDir` newer than the sink's resume
     * height; returns None when there is nothing new. */
   def run(spark: SparkSession, blocksDir: String, warehouse: String,
@@ -156,18 +168,24 @@ object BatchRunner {
     Some(summary)
   }
 
-  /** FINAL view of a warehouse table (read path for every consumer). */
+  /** FINAL view of a warehouse table (read path for every consumer;
+    * recovers first, so a crash inside a compaction swap never hides
+    * the table from readers). */
   def tableFinal(spark: SparkSession, warehouse: String, name: String,
-      pk: Seq[String]): DataFrame =
+      pk: Seq[String]): DataFrame = {
+    ParquetSink.recoverSwap(s"$warehouse/$name")
     ParquetSink.readFinal(spark.read.parquet(s"$warehouse/$name"), pk)
       .drop("insert_seq", "height_bucket")
+  }
 
   /** FINAL view of a silver MV table: whole-row dedup (replay
     * idempotence without collapsing legitimate same-key rows). */
   def silverFinal(spark: SparkSession, warehouse: String,
-      name: String): DataFrame =
+      name: String): DataFrame = {
+    ParquetSink.recoverSwap(s"$warehouse/$name")
     ParquetSink.readFinalWholeRow(spark.read.parquet(s"$warehouse/$name"))
       .drop("insert_seq", "height_bucket")
+  }
 
   /** On-demand merge of every product table — the background merge the
     * reference delegates to ClickHouse's ReplacingMergeTree, run
@@ -176,20 +194,12 @@ object BatchRunner {
     * Bronze tables compact on their PK, silver MV tables on the full
     * row; resume semantics are untouched (block_height survives, and
     * lastHeight still probes the max bucket). */
-  def compactWarehouse(spark: SparkSession, warehouse: String): Unit = {
-    val byPk = Seq(
-      "transactions" -> Seq("transaction_hash"),
-      "receipts" -> Seq("receipt_id"),
-      "execution_outcomes" -> Seq("execution_outcome_id"),
-      "events" -> eventsPk)
-    byPk.foreach { case (name, pk) =>
-      if (ParquetSink.hasData(s"$warehouse/$name"))
-        ParquetSink.compact(spark, s"$warehouse/$name", pk)
-    }
-    Seq("silver_nep245", "silver_token_diff").foreach { name =>
-      if (ParquetSink.hasData(s"$warehouse/$name"))
-        ParquetSink.compactWholeRow(spark, s"$warehouse/$name",
+  def compactWarehouse(spark: SparkSession, warehouse: String): Unit =
+    productTables.foreach { case (name, pk) =>
+      if (ParquetSink.hasData(s"$warehouse/$name")) pk match {
+        case Some(k) => ParquetSink.compact(spark, s"$warehouse/$name", k)
+        case None => ParquetSink.compactWholeRow(spark, s"$warehouse/$name",
           silverClusterKeys)
+      }
     }
-  }
 }

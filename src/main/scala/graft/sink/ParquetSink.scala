@@ -91,6 +91,7 @@ object ParquetSink {
     val fin = readFinal(spark.read.parquet(path), pkCols)
       .drop("insert_seq", "height_bucket")
     val tmp = path + ".compact"
+    delete(new java.io.File(tmp)) // a stale tmp would be APPENDED onto
     writeBatch(fin, tmp, 0L, pkCols, heightBucketSize)
     swapTmpIntoLive(tmp, path)
   }
@@ -104,6 +105,7 @@ object ParquetSink {
     val fin = readFinalWholeRow(spark.read.parquet(path))
       .drop("insert_seq", "height_bucket")
     val tmp = path + ".compact"
+    delete(new java.io.File(tmp)) // a stale tmp would be APPENDED onto
     writeBatch(fin, tmp, 0L, clusterKeys, heightBucketSize)
     swapTmpIntoLive(tmp, path)
   }
@@ -174,9 +176,12 @@ object ParquetSink {
     * a dir that exists but was written only empty batches (or fully
     * trimmed) is NOT readable (schema inference fails). */
   def hasData(path: String): Boolean = {
-    def rec(f: java.io.File): Boolean =
-      f.isDirectory && f.listFiles().exists(c =>
-        (c.isFile && c.getName.endsWith(".parquet")) || rec(c))
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    def rec(f: java.io.File): Boolean = {
+      val children = if (f.isDirectory) f.listFiles() else null
+      children != null && children.exists(c => visible(c.getName) &&
+        ((c.isFile && c.getName.endsWith(".parquet")) || rec(c)))
+    }
     rec(new java.io.File(path))
   }
 
@@ -186,12 +191,14 @@ object ParquetSink {
     * explicitly — the scan touches only the TTL-window directories no
     * matter how long the table's history is. */
   def readFinalSince(spark: SparkSession, path: String, pkCols: Seq[String],
-      minHeight: Long, heightBucketSize: Long = 50L): DataFrame =
+      minHeight: Long, heightBucketSize: Long = 50L): DataFrame = {
+    recoverSwap(path) // a crash mid-compaction must not lose the table
     readFinal(
       spark.read.parquet(path)
         .filter(col("height_bucket") >= lit(minHeight / heightBucketSize) &&
           col("block_height") >= lit(minHeight)),
       pkCols)
+  }
 
   /** Retention trim — drop whole height-bucket partition directories
     * strictly below `minHeight`'s bucket (the ClickHouse
@@ -220,6 +227,7 @@ object ParquetSink {
     * listing) — the resume probe stays O(one bucket) on an arbitrarily
     * long table. */
   def lastHeight(spark: SparkSession, path: String): Option[Long] = {
+    recoverSwap(path) // the resume marker survives a crashed compaction
     val dir = new java.io.File(path)
     if (!dir.exists()) return None
     val buckets = dir.listFiles().toSeq

@@ -61,6 +61,7 @@ object StreamRunner {
     // table directory holds no data files — existence alone is not
     // readable). The TTL window bounds this table's live size; FINAL
     // keeps one row per receipt.
+    ParquetSink.recoverSwap(statePath) // tolerate a crashed compaction
     var state =
       if (ParquetSink.hasData(statePath))
         ParquetSink.readFinal(spark.read.parquet(statePath), statePk)

@@ -236,14 +236,7 @@ class NearPipelineSpec extends AnyFunSuite {
     BatchRunner.run(spark, bd, wh, acc)
 
     def images(): Map[String, Seq[String]] = {
-      val byPk = Seq(
-        "transactions" -> Some(Seq("transaction_hash")),
-        "receipts" -> Some(Seq("receipt_id")),
-        "execution_outcomes" -> Some(Seq("execution_outcome_id")),
-        "events" -> Some(Seq("related_receipt_id", "index_in_log")),
-        "silver_nep245" -> None,
-        "silver_token_diff" -> None)
-      byPk.map { case (name, pk) =>
+      BatchRunner.productTables.map { case (name, pk) =>
         val t = pk match {
           case Some(k) => BatchRunner.tableFinal(spark, wh, name, k)
           case None => BatchRunner.silverFinal(spark, wh, name)

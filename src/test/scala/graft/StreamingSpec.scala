@@ -120,14 +120,7 @@ class StreamingSpec extends AnyFunSuite {
     // equal a single batch run's, table by table
     val batchWh = tmp("rs_wh_batch")
     BatchRunner.run(spark, blocksDir, batchWh, acc)
-    val tables = Seq(
-      "transactions" -> Some(Seq("transaction_hash")),
-      "receipts" -> Some(Seq("receipt_id")),
-      "execution_outcomes" -> Some(Seq("execution_outcome_id")),
-      "events" -> Some(Seq("related_receipt_id", "index_in_log")),
-      "silver_nep245" -> None, // silver MV tables: whole-row dedup
-      "silver_token_diff" -> None)
-    tables.foreach { case (name, pk) =>
+    BatchRunner.productTables.foreach { case (name, pk) =>
       def img(wh: String): Seq[String] = {
         val t = pk match {
           case Some(k) => BatchRunner.tableFinal(spark, wh, name, k)
