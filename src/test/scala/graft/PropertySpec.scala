@@ -101,6 +101,94 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("randomized block chains: the streaming fold emits exactly the " +
+    "batch pipeline's events (TTL expiry, same-block hops, orphans)") {
+    import graft.model._
+    import graft.bronze.BronzeExtractors
+    import graft.state.ReceiptTxResolver
+    import graft.streaming.StreamRunner
+    import graft.fixtures.NearFixtures
+    import spark.implicits._
+    graft.Tables.tune(spark)
+    val acc = NearFixtures.accounts
+    val ttl = 5L // small, so random gaps cross the expiry boundary
+    // of-interest contracts weighted in so events pass the P5 filter
+    val pool = Seq("intents.near", "intents.near", "defuse-alpha.near",
+      "alice.near", "bob.near")
+    val eventLog = "EVENT_JSON:" +
+      """{"standard":"nep245","version":"1.0.0","event":"mt_mint",""" +
+      """"data":[{"owner_id":"x.near","token_ids":["nep141:t.near"],""" +
+      """"amounts":["1"]}]}"""
+
+    def genChain(seed: Int): Seq[Block] = {
+      val rnd = new scala.util.Random(seed)
+      def pick() = pool(rnd.nextInt(pool.size))
+      var h = 100L
+      var rc = 0
+      var txc = 0
+      val pending = scala.collection.mutable.Queue.empty[String]
+      (0 until 10).map { _ =>
+        h += 1 + rnd.nextInt(4)
+        if (rnd.nextInt(4) == 0) h += ttl + 2 // blow past the TTL sometimes
+        // seed 0-2 fresh receipts via transactions
+        val txs = (0 until rnd.nextInt(3)).map { _ =>
+          txc += 1; rc += 1
+          val first = s"r$rc-$seed"
+          pending.enqueue(first)
+          TxWithOutcome(
+            TransactionView(s"tx$txc-$seed", pick(), pick(), Nil),
+            s"oc$txc-$seed",
+            OutcomeView(pick(), Seq(first), "SuccessReceiptId", Nil, "0", 1L))
+        }
+        // execute 0-2 pending receipts (possibly seeded THIS block —
+        // the within-block fixpoint path; possibly stale — TTL path)
+        val outs = (0 until math.min(pending.size, rnd.nextInt(3))).map { _ =>
+          val rid = pending.dequeue()
+          val children = (0 until rnd.nextInt(3)).map { _ =>
+            rc += 1; val c = s"r$rc-$seed"; pending.enqueue(c); c
+          }
+          val executor = pick()
+          val logs = if (rnd.nextInt(2) == 0) Seq(eventLog) else Nil
+          OutcomeWithReceipt(
+            ReceiptView(rid, executor, pick(), "Action", Nil, None),
+            s"o-$rid", OutcomeView(executor, children, "SuccessValue",
+              logs, "0", 1L))
+        }
+        // occasionally an orphan receipt that was never seeded: its
+        // events must be dropped identically on both paths
+        val orphan = if (rnd.nextInt(5) == 0) {
+          rc += 1
+          Seq(OutcomeWithReceipt(
+            ReceiptView(s"orph$rc-$seed", "intents.near", "x.near",
+              "Action", Nil, None),
+            s"o-orph$rc", OutcomeView("intents.near", Nil, "SuccessValue",
+              Seq(eventLog), "0", 1L)))
+        } else Nil
+        Block(BlockHeader(h, h * 1000000000L, s"B$h-$seed"),
+          Seq(Shard(if (txs.nonEmpty) Some(Chunk(txs)) else None,
+            outs ++ orphan)))
+      }
+    }
+
+    (0 until 5).foreach { seed =>
+      val blocks = genChain(seed)
+      val streamed = StreamRunner
+        .runMicroBatched(spark, blocks, acc, ttl)
+        .select(NearFixtures.eventCols.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+      val df = spark.createDataset(blocks).toDF()
+      val resolved = ReceiptTxResolver.resolve(
+        BronzeExtractors.transactions(df, acc),
+        BronzeExtractors.outcomes(df), ttl)
+      val batch = ReceiptTxResolver.attachTxHash(
+        BronzeExtractors.eventRows(BronzeExtractors.outcomes(df), acc),
+        resolved, dropUnresolved = true, ttlBlocks = ttl)
+        .select(NearFixtures.eventCols.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed === batch, s"seed $seed diverged")
+    }
+  }
+
   test("resize then resize-to-same-size is identity on exact-fit payloads") {
     import spark.implicits._
     val mediaGen = Gen.listOfN(6, for {
