@@ -52,6 +52,9 @@ object SparkEntry {
     "s_cosine_topk"     -> ((s, d) => Similarity.sCosineTopk(s, d)),
     "s_cosine_pairs"    -> ((s, d) => Similarity.sCosinePairs(s, d)),
     "s_ann_ivf"         -> ((s, d) => Similarity.sAnnIvf(s, d)),
+    // trained k-means quantizer: not SQL-expressible -> no oracleSql
+    // entry; the driver records the weaker rows-only check
+    "s_ann_kmeans"      -> ((s, d) => Similarity.sAnnKmeans(s, d)),
     "mm_media_features" -> (Multimodal.mmMediaFeatures _),
     "mm_resize"         -> (Multimodal.mmResize _),
     "mm_frame_sample"   -> (Multimodal.mmFrameSample _),

@@ -104,6 +104,90 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** TRAINED coarse quantizer: deterministic Lloyd k-means over the
+    * corpus (spherical — assignment by max cosine). The full IVF
+    * training path, shaped for scale:
+    *
+    *  - centroids live on the DRIVER (k·d doubles — tiny) and reach
+    *    executors as literal arrays inside codegen'd `dot_product`
+    *    expressions: each iteration is one narrow map + one partial
+    *    aggregation over the corpus, NO shuffle of vectors, no UDF;
+    *  - deterministic by construction: seeds are the k lowest vec_ids,
+    *    a fixed iteration count, and array_position's first-max
+    *    tie-break — reruns partition identically (no Math.random
+    *    k-means++ seeding);
+    *  - empty cells keep their previous centroid.
+    *
+    * `df` must carry `emb` (array<double>) and `nrm` ([[withNorm]]). */
+  def kmeansCentroids(df: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = df
+      .orderBy(col("vec_id")).limit(k)
+      .select(col("emb")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val d = centroids.head.length
+    (0 until iters).foreach { _ =>
+      val means = withCell(df, centroids)
+        .groupBy(col("cell"))
+        .agg(avg(element_at(col("emb"), 1)).as("m0"),
+          (1 until d).map(i =>
+            avg(element_at(col("emb"), i + 1)).as(s"m$i")): _*)
+        .collect()
+        .map(r => r.getInt(0) -> (0 until d).map(i => r.getDouble(i + 1)).toArray)
+        .toMap
+      centroids = centroids.indices
+        .map(c => means.getOrElse(c, centroids(c))).toArray
+    }
+    centroids
+  }
+
+  /** Assign each vector to its max-cosine centroid. The centroid loop
+    * unrolls into k codegen'd `dot_product(emb, array(<literals>))`
+    * columns (cosine ranking divides by the centroid norm only — the
+    * row norm is constant across centroids); `Double.toString` is
+    * round-trip exact, so the literals lose nothing. */
+  private def withCell(df: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val scores = centroids.zipWithIndex.map { case (c, i) =>
+      val cNorm = math.sqrt(c.map(x => x * x).sum)
+      val arr = c.map(x => s"${x}D").mkString("array(", ",", ")")
+      (expr(s"dot_product(emb, $arr)") / lit(cNorm)).as(s"__s$i")
+    }
+    df.select(col("*") +: scores: _*)
+      .withColumn("__sc", array(centroids.indices.map(i => col(s"__s$i")): _*))
+      .withColumn("cell",
+        (expr("array_position(__sc, array_max(__sc))") - 1L).cast("int"))
+      .drop(centroids.indices.map(i => s"__s$i") :+ "__sc": _*)
+  }
+
+  /** IVF with the TRAINED quantizer: k-means cells instead of the
+    * given `label` buckets; each query searches only its own cell via
+    * the same broadcast + equi-join shape as [[sAnnIvf]]. Declared
+    * with a rows-level check only (the iterative trainer is not
+    * SQL-expressible in the oracle). */
+  def sAnnKmeans(spark: SparkSession, dir: String, k: Int = 3,
+      nQueries: Int = 20, nCells: Int = 8, iters: Int = 2): DataFrame = {
+    val e = withNorm(embeddings(spark, dir))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+      .localCheckpoint() // trainer + assignment + search all read it
+    val centroids = kmeansCentroids(e, nCells, iters)
+    val assigned = withCell(e, centroids)
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cell").as("q_cell"),
+        col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = broadcast(q)
+      .join(assigned, col("cell") === col("q_cell") &&
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dot("q_emb", "emb") / (col("q_nrm") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF-style bucketed ANN: each query searches ONLY its coarse
     * partition (the `label` bucket) — an equi-join on the bucket key
     * instead of a scan of the corpus. Returns top-3 in-bucket

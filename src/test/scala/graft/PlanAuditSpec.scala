@@ -33,6 +33,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q9_product_profit" -> ((1, Set("n_nationkey"))), // nation(25)
     "s_cosine_topk" -> ((1, Set("query_id"))), // ≤k query vectors by contract
     "s_ann_ivf" -> ((1, Set("query_id"))), // ≤k query vectors by contract
+    "s_ann_kmeans" -> ((1, Set("query_id"))), // same bounded query set
     "near_gold_metrics" -> ((1, Set("defuse_asset_id"))), // bounded assets dim
     "near_sql_gold" -> ((1, Set("defuse_asset_id"))) // same view via spark.sql
   )
