@@ -93,10 +93,19 @@ object GraftFunctions {
     * expression. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product")
-    if (!registry.functionExists(id)) {
-      registry.createOrReplaceTempFunction(
-        "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    def reg(name: String, builder: Seq[Expression] => Expression): Unit = {
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!registry.functionExists(id)) {
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+      }
     }
+    // the size arguments must be literal ints — they shape the output
+    // schema, so a column-valued argument cannot work
+    def intLit(e: Expression): Int =
+      e.eval().asInstanceOf[Number].intValue()
+    reg("dot_product", exprs => DotProduct(exprs(0), exprs(1)))
+    reg("char_gram_hashes", exprs => CharGramHashes(exprs(0), intLit(exprs(1))))
+    reg("token_shingle_hashes", exprs => TokenShingleHashes(exprs(0), intLit(exprs(1))))
+    reg("minhash_sig", exprs => MinHashSig(exprs(0), intLit(exprs(1))))
   }
 }

@@ -26,27 +26,31 @@ import TextAnalysis.tokens
   */
 object Dedup {
 
-  /** 3-token shingles as ROWS — explode the start positions, then one
-    * codegen'd concat per row (an interpreted `transform` lambda
-    * building per-doc arrays costs ~10× and re-evaluates per output
-    * row when exploded — VERDICT r2/r3 lesson). Duplicates are fine:
-    * every consumer aggregates with duplicate-insensitive functions.
-    * Docs with <3 tokens produce no rows (`sequence` would count down,
-    * so guard).
+  /** Per-document gram-hash set + minhash signature in ONE narrow map —
+    * no gram ROWS exist anywhere in the plan.
     *
-    * The repartition: a small local parquet arrives as ONE split,
-    * which would serialize this narrow stage on a single core — at
-    * real scale the scan already has many splits and this is a cheap
-    * hash-exchange of (id, text) pairs. */
-  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    * `gramHashes` is a call to one of the single-pass
+    * [[graft.functions.GramHash]] expressions: each document row yields
+    * its distinct sorted 64-bit gram-hash set (`gs`, the verify-stage
+    * set) and the k-slot minhash signature derives from those hashes
+    * with long-rehashing (`minhash_sig`). The first-cut pipeline
+    * exploded grams to rows and shuffled them into a 32-aggregate
+    * groupBy — ~2.5M rows and 80M string hashes at sf0.1, the top bench
+    * cost (BENCH_r04); this shape hashes each gram position exactly
+    * once, per document, inside WholeStageCodegen.
+    *
+    * The repartition: a small local parquet arrives as ONE split, which
+    * would serialize the per-doc hashing on a single core — at real
+    * scale the scan already has many splits and this is a cheap
+    * hash-exchange of (id, text) pairs. Docs with no grams drop out;
+    * they cannot be shingle near-dups. */
+  private def perDocGrams(spark: SparkSession, dir: String,
+                          gramHashes: String, numHashes: Int): DataFrame =
     documents(spark, dir)
       .repartition(col("doc_id"))
-      .withColumn("t", tokens(col("text")))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), col("t"),
-        explode(expr("sequence(0, size(t) - 3)")).as("i"))
-      .select(col("doc_id"),
-        expr("concat_ws(' ', t[i], t[i+1], t[i+2])").as("s"))
+      .select(col("doc_id"), expr(gramHashes).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .withColumn("sig", expr(s"minhash_sig(gs, $numHashes)"))
 
   /** Exact deduplication over a re-ingested (duplicated) corpus: the
     * documents table unioned with a shifted-id copy of itself models the
@@ -68,77 +72,63 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs.
     *
-    * shingle → 32 minhashes (min of seeded xxhash64 over the shingle
-    * set) → 16 bands of 2 rows hashed to a bucket → self-join on
-    * (band, bucket) for candidates → exact Jaccard on the candidate
-    * pairs only → threshold.
+    * 3-token shingle hashes + 32 minhashes in one pass per document
+    * ([[graft.functions.GramHash.tokenShingles]]) → 16 bands of 2 rows
+    * hashed to a bucket → self-join on (band, bucket) for candidates →
+    * exact Jaccard on the candidate pairs only → threshold.
     *
-    * xxhash64 is a Spark-side implementation detail (codegen'd, long
-    * output, no UDF); the oracle doesn't mirror the signatures — it
-    * computes exact all-pairs Jaccard, which equals this output because
-    * band recall at the threshold is ≈1 (see object scaladoc).
+    * The hash family is a Spark-side implementation detail (codegen'd,
+    * no UDF); the oracle doesn't mirror the signatures — it computes
+    * exact all-pairs Jaccard, which equals this output because band
+    * recall at the threshold is ≈1 (see object scaladoc).
     */
   def dMinhashPairs(spark: SparkSession, dir: String,
                     threshold: Double = 0.8): DataFrame =
-    lshVerifiedPairsFromRows(shingleRows(spark, dir), threshold)
+    lshVerifiedPairs(
+      perDocGrams(spark, dir, "token_shingle_hashes(text, 3)", 32), threshold)
 
   /** Near-dup pairs over character 16-gram sets — the n-gram-Jaccard
     * dedup family.
     *
-    * Two deliberate differences from the token pipeline: grams span
-    * ~3 words so per-doc minima are doc-specific (8-char grams from a
+    * One deliberate difference from the token pipeline: grams span ~3
+    * words so per-doc minima are doc-specific (8-char grams from a
     * small shared vocabulary make every document contain the globally
     * minimal gram — signatures collide corpus-wide and candidates
-    * explode); and grams are produced ROW-WISE (explode the positions,
-    * then one codegen'd substring per row) instead of building per-doc
-    * arrays with an interpreted transform lambda — the dense char-gram
-    * case is ~10× the token-shingle volume, so staying inside
-    * WholeStageCodegen matters. */
+    * explode). The dense char-gram case is ~10× the token-shingle
+    * volume, which is exactly why the single-pass
+    * [[graft.functions.GramHash.charGrams]] expression matters most
+    * here: 16-char grams hash zero-copy from the document's UTF-8
+    * bytes, once per position. */
   def dNgramPairs(spark: SparkSession, dir: String,
-                  threshold: Double = 0.8, n: Int = 16): DataFrame = {
-    val gramRows = documents(spark, dir)
-      .repartition(col("doc_id")) // parallelize (see withShingles)
-      .filter(length(col("text")) >= n)
-      .select(col("doc_id"), col("text"),
-        explode(expr(s"sequence(1, length(text) - ${n - 1})")).as("i"))
-      .select(col("doc_id"), expr(s"substring(text, i, $n)").as("s"))
-    // no distinct pass: the per-doc aggregation downstream is built
-    // from duplicate-insensitive aggregates (min, collect_set), so
-    // deduping the gram rows first would only add a full shuffle of
-    // the largest relation in the pipeline
-    lshVerifiedPairsFromRows(gramRows, threshold)
-  }
+                  threshold: Double = 0.8, n: Int = 16): DataFrame =
+    lshVerifiedPairs(
+      perDocGrams(spark, dir, s"char_gram_hashes(text, $n)", 32), threshold)
 
-  /** Banded-LSH candidates + exact-Jaccard verify over (doc_id, s)
-    * shingle ROWS (duplicates allowed — every downstream aggregate is
-    * duplicate-insensitive).
+  /** Banded-LSH candidates + exact-Jaccard verify over per-document
+    * (doc_id, gs: array<bigint> distinct gram hashes, sig: array<bigint>
+    * minhash signature) rows.
     *
-    * The gram relation — the largest in the pipeline — is shuffled
-    * exactly ONCE: a single hash-partitioned groupBy computes all 32
-    * per-seed minima AND the exact shingle set (min / collect_set both
-    * absorb duplicate grams), every minhash expression codegen'd, no
-    * interpreted lambda in the hot path. The small per-doc result is
-    * what persists for the three downstream branches (banding + both
-    * sides of the candidate verify) — the SURVEY §4 "compute once,
-    * project twice" pattern one level up. Docs with no shingles drop
-    * out; they cannot be shingle near-dups. */
-  private def lshVerifiedPairsFromRows(gramRows: DataFrame,
-                                       threshold: Double): DataFrame = {
+    * The per-doc relation is tiny (one row per doc) and is persisted
+    * for its three downstream branches (banding + both sides of the
+    * candidate verify) — the SURVEY §4 "compute once, project twice"
+    * pattern one level up. The verify-stage Jaccard runs over the
+    * 64-bit hash sets: |a ∩ b| via `array_intersect`, |a ∪ b| as
+    * |a| + |b| − |a ∩ b| (both sets are distinct), which equals the
+    * oracle's `len(list_intersect)/len(list_distinct(list_concat))`
+    * over the gram strings (collision odds ≈ 1e-13, see
+    * [[graft.functions.GramHash]]). */
+  private def lshVerifiedPairs(perDocRaw: DataFrame,
+                               threshold: Double): DataFrame = {
     val numHashes = 32
     val bands = 16
     val rows = numHashes / bands
 
-    val perDoc = gramRows
-      .groupBy(col("doc_id"))
-      .agg(min(xxhash64(lit(0), col("s"))).as("h0"),
-        ((1 until numHashes).map(i =>
-          min(xxhash64(lit(i), col("s"))).as(s"h$i")) :+
-          collect_set(col("s")).as("ss")): _*)
-      .persist()
+    val perDoc = perDocRaw.persist()
 
     val banded = perDoc.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)): _*))
+        xxhash64((b * rows until (b + 1) * rows).map(i =>
+          element_at(col("sig"), i + 1)): _*)): _*))
         .as(Seq("band", "bucket")))
 
     val cand = banded.as("a")
@@ -149,14 +139,16 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val sets = perDoc.select(col("doc_id"), col("ss"))
+    val sets = perDoc.select(col("doc_id"), col("gs"))
 
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
-          size(array_distinct(concat(col("ss_a"), col("ss_b")))).cast("double"))
+        col("inter") /
+          (size(col("gs_a")) + size(col("gs_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
