@@ -26,31 +26,34 @@ import TextAnalysis.tokens
   */
 object Dedup {
 
-  /** Per-document gram-hash set + minhash signature in ONE narrow map —
-    * no gram ROWS exist anywhere in the plan.
+  /** Per-document minhash signature in ONE narrow map — no gram ROWS
+    * exist anywhere in the plan, and no gram SETS are materialized
+    * either.
     *
     * `gramHashes` is a call to one of the single-pass
     * [[graft.functions.GramHash]] expressions: each document row yields
-    * its distinct sorted 64-bit gram-hash set (`gs`, the verify-stage
-    * set) and the k-slot minhash signature derives from those hashes
-    * with long-rehashing (`minhash_sig`). The first-cut pipeline
-    * exploded grams to rows and shuffled them into a 32-aggregate
-    * groupBy — ~2.5M rows and 80M string hashes at sf0.1, the top bench
-    * cost (BENCH_r04); this shape hashes each gram position exactly
-    * once, per document, inside WholeStageCodegen.
+    * its distinct 64-bit gram-hash set as a row-local intermediate, and
+    * only the k-slot `minhash_sig` of it (k longs) survives into the
+    * plan output. The first-cut pipeline exploded grams to rows and
+    * shuffled them into a 32-aggregate groupBy — ~2.5M rows and 80M
+    * string hashes at sf0.1, the top bench cost (BENCH_r04); this shape
+    * hashes each gram position exactly once, per document, inside
+    * WholeStageCodegen, and the persisted per-doc state is k longs —
+    * not the ~8×text gram set, which would be a 100-TB storage
+    * amplification.
     *
     * The repartition: a small local parquet arrives as ONE split, which
     * would serialize the per-doc hashing on a single core — at real
     * scale the scan already has many splits and this is a cheap
     * hash-exchange of (id, text) pairs. Docs with no grams drop out;
     * they cannot be shingle near-dups. */
-  private def perDocGrams(spark: SparkSession, dir: String,
-                          gramHashes: String, numHashes: Int): DataFrame =
+  private def docSignatures(spark: SparkSession, dir: String,
+                            gramHashes: String, numHashes: Int): DataFrame =
     documents(spark, dir)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), expr(gramHashes).as("gs"))
-      .filter(size(col("gs")) > 0)
-      .withColumn("sig", expr(s"minhash_sig(gs, $numHashes)"))
+      .select(col("doc_id"),
+        expr(s"minhash_sig($gramHashes, $numHashes)").as("sig"))
+      .filter(size(col("sig")) > 0)
 
   /** Exact deduplication over a re-ingested (duplicated) corpus: the
     * documents table unioned with a shifted-id copy of itself models the
@@ -84,8 +87,7 @@ object Dedup {
     */
   def dMinhashPairs(spark: SparkSession, dir: String,
                     threshold: Double = 0.8): DataFrame =
-    lshVerifiedPairs(
-      perDocGrams(spark, dir, "token_shingle_hashes(text, 3)", 32), threshold)
+    lshVerifiedPairs(spark, dir, "token_shingle_hashes(text, 3)", threshold)
 
   /** Near-dup pairs over character 16-gram sets — the n-gram-Jaccard
     * dedup family.
@@ -101,29 +103,37 @@ object Dedup {
     * bytes, once per position. */
   def dNgramPairs(spark: SparkSession, dir: String,
                   threshold: Double = 0.8, n: Int = 16): DataFrame =
-    lshVerifiedPairs(
-      perDocGrams(spark, dir, s"char_gram_hashes(text, $n)", 32), threshold)
+    lshVerifiedPairs(spark, dir, s"char_gram_hashes(text, $n)", threshold)
 
-  /** Banded-LSH candidates + exact-Jaccard verify over per-document
-    * (doc_id, gs: array<bigint> distinct gram hashes, sig: array<bigint>
-    * minhash signature) rows.
+  /** Banded-LSH candidates + exact-Jaccard verify.
     *
-    * The per-doc relation is tiny (one row per doc) and is persisted
-    * for its three downstream branches (banding + both sides of the
-    * candidate verify) — the SURVEY §4 "compute once, project twice"
-    * pattern one level up. The verify-stage Jaccard runs over the
-    * 64-bit hash sets: |a ∩ b| via `array_intersect`, |a ∪ b| as
-    * |a| + |b| − |a ∩ b| (both sets are distinct), which equals the
-    * oracle's `len(list_intersect)/len(list_distinct(list_concat))`
-    * over the gram strings (collision odds ≈ 1e-13, see
+    * Stage 1 (candidates): per-doc signatures ([[docSignatures]], k
+    * longs per doc, persisted — tiny) → 16 band buckets per doc →
+    * self-equi-join on (band, bucket) → distinct candidate id pairs.
+    *
+    * Stage 2 (verify): gram-hash sets are recomputed for CANDIDATE
+    * docs only — a second narrow pass over the documents scan,
+    * semi-joined against the (small) candidate id list, which AQE
+    * turns into a broadcast join that never shuffles the corpus. At
+    * 100 TB this is the load-bearing choice: candidates are a tiny
+    * fraction of the corpus, so re-scanning beats persisting an
+    * ~8×text gram-set column for every document (the alternative is a
+    * corpus-scale cache just to serve a 0.1%-selectivity join).
+    *
+    * The verify-stage Jaccard runs over the 64-bit hash sets:
+    * |a ∩ b| via `array_intersect`, |a ∪ b| as |a| + |b| − |a ∩ b|
+    * (both sets are distinct), which equals the oracle's
+    * `len(list_intersect)/len(list_distinct(list_concat))` over the
+    * gram strings (collision odds ≈ 1e-13, see
     * [[graft.functions.GramHash]]). */
-  private def lshVerifiedPairs(perDocRaw: DataFrame,
+  private def lshVerifiedPairs(spark: SparkSession, dir: String,
+                               gramHashes: String,
                                threshold: Double): DataFrame = {
     val numHashes = 32
     val bands = 16
     val rows = numHashes / bands
 
-    val perDoc = perDocRaw.persist()
+    val perDoc = docSignatures(spark, dir, gramHashes, numHashes).persist()
 
     val banded = perDoc.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
@@ -138,8 +148,21 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .persist()
 
-    val sets = perDoc.select(col("doc_id"), col("gs"))
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+
+    // gram sets for candidate docs only. candIds is usually tiny and
+    // AQE broadcasts it at runtime (keeping the documents scan
+    // shuffle-free) — but no forced hint: a worst-case corpus of
+    // near-dups makes candidates data-proportional, and forcing a
+    // broadcast of a data-proportional relation is the round-1/round-3
+    // driver-OOM lesson
+    val sets = documents(spark, dir)
+      .join(candIds, "doc_id")
+      .select(col("doc_id"), expr(gramHashes).as("gs"))
 
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
