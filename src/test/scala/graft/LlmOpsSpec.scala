@@ -87,6 +87,21 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k-means IVF recall vs exact brute force — the measured evidence " +
+    "behind the rows-level-only CORRECTNESS row") {
+    // s_ann_kmeans has no SQL oracle (the iterative trainer is not
+    // expressible in DuckDB), so pin its quality here instead: top-3
+    // single-probe IVF recall against the exact cosine top-3
+    val approx = Similarity.sAnnKmeans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.sCosineTopk(spark, dir, k = 3, nQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    // single-probe IVF on an 8-cell quantizer: well above chance
+    // (3/2000) and stable because training is deterministic
+    assert(recall >= 0.5, s"kmeans-IVF top-3 recall $recall < 0.5")
+  }
+
   test("multimodal resize pads past-payload pixels and frame sampling " +
     "skips partial frames") {
     import spark.implicits._
