@@ -212,4 +212,42 @@ class PropertySpec extends AnyFunSuite {
       assert(small.forall(_.payload.length == 9))
     }
   }
+
+  test("gram-hash expressions replicate split/trim/substring semantics on " +
+    "adversarial whitespace and multi-byte text") {
+    import spark.implicits._
+    // the one real risk in GramHash is tokenization drift vs Spark's
+    // split(trim(text), '\s+'): tabs/newlines/CRs (UTF8String.trim
+    // strips ASCII SPACE only), runs of separators, leading/trailing
+    // whitespace, multi-byte codepoints shifting gram byte offsets
+    val piece = Gen.frequency(
+      6 -> Gen.alphaNumStr.map(_.take(8)),
+      1 -> Gen.const(" "), 1 -> Gen.const("\t"), 1 -> Gen.const("\n"),
+      1 -> Gen.const("\r"), 1 -> Gen.const("  "),
+      1 -> Gen.oneOf("α", "あ", "日本語", "ß", "émoji é"))
+    val textGen = Gen.listOfN(12, piece).map(_.mkString)
+    val texts = (0 until 40).map(i => sample(textGen, 900L + i)) ++
+      Seq("", " ", "\t\t", "ab", "a b", " a  b\tc \n")
+    val df = texts.toDF("text")
+      .withColumn("t", split(trim(col("text")), "\\s+"))
+      .withColumn("n_sh_strings",
+        when(size(col("t")) >= 3,
+          size(expr("array_distinct(transform(sequence(0, size(t) - 3), " +
+            "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))")))
+          .otherwise(lit(0)))
+      .withColumn("n_sh_hashes", size(expr("token_shingle_hashes(text, 3)")))
+      .withColumn("n_cg_strings",
+        when(length(col("text")) >= 4,
+          size(expr("array_distinct(transform(" +
+            "sequence(1, length(text) - 3), i -> substring(text, i, 4)))")))
+          .otherwise(lit(0)))
+      .withColumn("n_cg_hashes", size(expr("char_gram_hashes(text, 4)")))
+    val bad = df.filter(
+      col("n_sh_strings") =!= col("n_sh_hashes") ||
+        col("n_cg_strings") =!= col("n_cg_hashes"))
+      .select("text", "n_sh_strings", "n_sh_hashes",
+        "n_cg_strings", "n_cg_hashes")
+      .collect()
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
 }
