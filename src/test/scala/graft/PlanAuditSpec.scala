@@ -60,6 +60,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nCols <= 5, s"p_filter_project reads $nCols columns: $readSchema")
   }
 
+  test("near-dup pair plans stay single-pass: no gram-position explode, " +
+    "signatures via minhash_sig") {
+    graft.Tables.tune(spark)
+    Seq("d_minhash_pairs", "d_ngram_pairs").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      // the explode-based pipeline generated one row per gram position
+      // (sequence(...) under Generate) — 2.5M rows at sf0.1, the top
+      // bench cost of round 4; the only explode left is the 16-element
+      // band array
+      assert(!plan.contains("sequence("),
+        s"$name: gram-position explode is back in the plan")
+      assert(plan.contains("minhash_sig"),
+        s"$name: single-pass signature expression missing from the plan")
+      spark.catalog.clearCache()
+    }
+  }
+
   /** Queries whose BUILDER is the side effect (full runner/stream/sink
     * round trips) — their returned plan is a plain parquet scan, and
     * executing the builder re-runs minutes of pipeline already covered
