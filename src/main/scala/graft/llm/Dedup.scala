@@ -160,9 +160,14 @@ object Dedup {
     // near-dups makes candidates data-proportional, and forcing a
     // broadcast of a data-proportional relation is the round-1/round-3
     // driver-OOM lesson
+    // persisted because BOTH verify branches (doc_a and doc_b side)
+    // consume it — without the persist each branch re-runs the scan
+    // and the candidate gram hashing; the cached relation is candidate
+    // docs only, so it stays small by the same argument as above
     val sets = documents(spark, dir)
       .join(candIds, "doc_id")
       .select(col("doc_id"), expr(gramHashes).as("gs"))
+      .persist()
 
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
