@@ -23,12 +23,11 @@ object Bench {
     // Per-query timing; a failed query is recorded as failed (value -1)
     // and fails the whole bench run — never report a timing for a query
     // that did not actually run (VERDICT r1 "What's wrong" #2).
-    // The near_* queries run on a constant-size golden fixture (their
-    // cost does not scale with SF), so they are correctness-only and
-    // excluded from the throughput bench.
+    // Correctness-only queries (constant-size fixtures, streaming
+    // twins) are excluded — see SparkEntry.correctnessOnly.
     var failures = List.empty[String]
     val results = SparkEntry.queries
-      .filter { case (name, _) => !name.startsWith("near_") }
+      .filter { case (name, _) => !SparkEntry.correctnessOnly(name) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =

@@ -17,6 +17,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     TpchQueries.q5LocalSupplier(spark, "/root/testdata/sf0.001")
 
+  /** Queries excluded from the throughput bench (still in the
+    * CORRECTNESS gate): the `near_*` family runs on a constant-size
+    * golden fixture, and `d_stream_minhash` is the streaming twin of
+    * the benched `d_minhash_pairs` — its wall time is micro-batch
+    * orchestration (checkpoint commits, restarts), not data-volume
+    * work, so timing it would measure the harness, not the operator. */
+  val correctnessOnly: String => Boolean =
+    name => name.startsWith("near_") || name == "d_stream_minhash"
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Core relational / gold layer (SURVEY §2.6)
@@ -49,6 +58,10 @@ object SparkEntry {
     "d_minhash_pairs"   -> ((s, d) => Dedup.dMinhashPairs(s, d)),
     "d_ngram_pairs"     -> ((s, d) => Dedup.dNgramPairs(s, d)),
     "d_simhash"         -> (Dedup.dSimhash _),
+    // incremental dedup through the real streaming engine (checkpoint,
+    // mid-stream restart); same oracle as the batch twin
+    "d_stream_minhash"  -> ((s, d) =>
+      graft.streaming.StreamingDedup.dStreamMinhash(s, d)),
     "s_cosine_topk"     -> ((s, d) => Similarity.sCosineTopk(s, d)),
     "s_cosine_pairs"    -> ((s, d) => Similarity.sCosinePairs(s, d)),
     "s_ann_ivf"         -> ((s, d) => Similarity.sAnnIvf(s, d)),
@@ -316,6 +329,20 @@ object SparkEntry {
         |      UNION ALL SELECT doc_id + 100000, text FROM documents) u
         |GROUP BY 1 ORDER BY canonical_id""".stripMargin,
     "d_minhash_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ss
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents) x),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM p
+        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "d_stream_minhash" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
         |    range(1, greatest(len(t) - 1, 1)),

@@ -49,11 +49,58 @@ object Dedup {
     * they cannot be shingle near-dups. */
   private def docSignatures(spark: SparkSession, dir: String,
                             gramHashes: String, numHashes: Int): DataFrame =
-    documents(spark, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        expr(s"minhash_sig($gramHashes, $numHashes)").as("sig"))
+    signatures(documents(spark, dir).repartition(col("doc_id")),
+      gramHashes, numHashes)
+
+  /** Signature projection over any (doc_id, text) relation — shared by
+    * the batch queries and [[graft.streaming.StreamingDedup]]. */
+  private[graft] def signatures(docs: DataFrame, gramHashes: String,
+                                numHashes: Int = 32): DataFrame =
+    docs.select(col("doc_id"),
+      expr(s"minhash_sig($gramHashes, $numHashes)").as("sig"))
       .filter(size(col("sig")) > 0)
+
+  /** Banded bucket rows from signatures: one (doc_id, band, bucket) row
+    * per band — the LSH candidate key. Shared batch/streaming. */
+  private[graft] def bandRows(sigs: DataFrame, bands: Int = 16,
+                              rowsPerBand: Int = 2): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i =>
+          element_at(col("sig"), i + 1)): _*)): _*))
+        .as(Seq("band", "bucket")))
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    * against a (doc_id, text) relation: gram-hash sets are computed for
+    * candidate docs only (see [[lshVerifiedPairs]] for why recomputing
+    * beats persisting corpus-wide sets). Unordered — callers order. */
+  private[graft] def verifiedPairs(cand: DataFrame, docs: DataFrame,
+                                   gramHashes: String,
+                                   threshold: Double): DataFrame = {
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    // persisted because BOTH verify branches (doc_a and doc_b side)
+    // consume it — without the persist each branch re-runs the scan
+    // and the candidate gram hashing. No forced broadcast: a worst-case
+    // corpus of near-dups makes candidates data-proportional, and
+    // forcing a broadcast of a data-proportional relation is the
+    // round-1/round-3 driver-OOM lesson; AQE broadcasts it at runtime
+    // when it is in fact tiny.
+    val sets = docs.join(candIds, "doc_id")
+      .select(col("doc_id"), expr(gramHashes).as("gs"))
+      .persist()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") /
+          (size(col("gs_a")) + size(col("gs_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 
   /** Exact deduplication over a re-ingested (duplicated) corpus: the
     * documents table unioned with a shifted-id copy of itself models the
@@ -129,17 +176,9 @@ object Dedup {
   private def lshVerifiedPairs(spark: SparkSession, dir: String,
                                gramHashes: String,
                                threshold: Double): DataFrame = {
-    val numHashes = 32
-    val bands = 16
-    val rows = numHashes / bands
+    val perDoc = docSignatures(spark, dir, gramHashes, 32).persist()
 
-    val perDoc = docSignatures(spark, dir, gramHashes, numHashes).persist()
-
-    val banded = perDoc.select(col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64((b * rows until (b + 1) * rows).map(i =>
-          element_at(col("sig"), i + 1)): _*)): _*))
-        .as(Seq("band", "bucket")))
+    val banded = bandRows(perDoc)
 
     val cand = banded.as("a")
       .join(banded.as("b"),
@@ -150,35 +189,7 @@ object Dedup {
       .distinct()
       .persist()
 
-    val candIds = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id")))
-      .distinct()
-
-    // gram sets for candidate docs only. candIds is usually tiny and
-    // AQE broadcasts it at runtime (keeping the documents scan
-    // shuffle-free) — but no forced hint: a worst-case corpus of
-    // near-dups makes candidates data-proportional, and forcing a
-    // broadcast of a data-proportional relation is the round-1/round-3
-    // driver-OOM lesson
-    // persisted because BOTH verify branches (doc_a and doc_b side)
-    // consume it — without the persist each branch re-runs the scan
-    // and the candidate gram hashing; the cached relation is candidate
-    // docs only, so it stays small by the same argument as above
-    val sets = documents(spark, dir)
-      .join(candIds, "doc_id")
-      .select(col("doc_id"), expr(gramHashes).as("gs"))
-      .persist()
-
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
-      .withColumn("inter",
-        size(array_intersect(col("gs_a"), col("gs_b"))).cast("double"))
-      .withColumn("jaccard",
-        col("inter") /
-          (size(col("gs_a")) + size(col("gs_b")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifiedPairs(cand, documents(spark, dir), gramHashes, threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

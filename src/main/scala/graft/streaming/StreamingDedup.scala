@@ -1,0 +1,209 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import graft.llm.Dedup
+import graft.sink.ParquetSink
+
+/** Incremental near-duplicate detection — the streaming twin of
+  * [[graft.llm.Dedup.dMinhashPairs]], for the pipeline that dedups
+  * documents AS THEY ARRIVE instead of re-running an all-corpus batch.
+  *
+  * Shape (same state-table architecture as the receipt→tx resolver,
+  * SURVEY T1, reference TTL state in `receipts_and_outcomes.rs`):
+  *
+  *  - each micro-batch maps its documents to minhash signatures and
+  *    LSH band-bucket rows with the same single-pass expressions as the
+  *    batch operator — the candidate condition is IDENTICAL, so the
+  *    accumulated streaming output equals the batch output over the
+  *    same corpus (pinned in StreamingSpec);
+  *  - candidates = new band rows joined against the persisted band
+  *    table (new-vs-history) plus the within-batch self-match,
+  *    normalized to doc_a < doc_b — a pair is discovered exactly when
+  *    its LATER document arrives, never all-pairs;
+  *  - verification recomputes gram-hash sets for candidate docs from
+  *    the accumulated documents table (this batch's docs land there
+  *    first), exactly like the batch verify stage;
+  *  - at-least-once delivery is absorbed by K2 FINAL semantics: a
+  *    replayed micro-batch re-emits the same (doc_a, doc_b) PKs and
+  *    [[ParquetSink.readFinal]] collapses them — and the band table is
+  *    written LAST, so a crash mid-batch replays against a state that
+  *    has not yet seen the batch (the StreamRunner ordering contract).
+  *
+  * Scale (100 TB): per batch the work is proportional to the batch and
+  * its candidates, not to history — the band table is only ever probed
+  * by an equi-join on (band, bucket) (a shuffle-pruned hash join; at
+  * warehouse scale the table is height-bucketed so old buckets prune).
+  * State grows with the corpus because dedup-against-all-history
+  * genuinely requires it; a dedup WINDOW (only match against the last N
+  * ids) falls out of [[ParquetSink.dropBucketsBelow]], the resolver's
+  * TTL mechanism.
+  */
+object StreamingDedup {
+
+  val pairsPk: Seq[String] = Seq("doc_a", "doc_b")
+  val docSchema: StructType = new StructType()
+    .add("doc_id", LongType).add("text", StringType)
+
+  /** Persist a documents relation as chunked JSON-lines files — the
+    * arrival feed for the file-stream source, one chunk per
+    * micro-batch. Mtimes are stamped from each chunk's first doc_id
+    * (Spark's file source orders by MODIFICATION TIME, and stamping
+    * from content keeps re-writes and later arrivals monotonic — the
+    * BlockFileSource lesson). Chunk boundaries are a pure function of
+    * (corpus, nChunks), so writing `takeChunks = 2` now and the full
+    * feed later produces byte-identical early files — the checkpoint
+    * recognizes them as consumed and resumes at the first unseen chunk
+    * (the mid-stream-arrival case). */
+  def writeDocChunks(spark: SparkSession, docs: DataFrame, dir: String,
+      nChunks: Int, takeChunks: Int = Int.MaxValue): Unit = {
+    import spark.implicits._
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val per = math.max(1, (rows.length + nChunks - 1) / nChunks)
+    rows.grouped(per).take(takeChunks).foreach { chunk =>
+      val firstId = chunk.head._1
+      val json = chunk.toSeq.toDF("doc_id", "text").toJSON.collect()
+        .mkString("", "\n", "\n")
+      val p = java.nio.file.Paths.get(dir, f"docs_$firstId%012d.json")
+      java.nio.file.Files.writeString(p, json)
+      p.toFile.setLastModified(1600000000000L + firstId * 1000L): Unit
+    }
+  }
+
+  /** Streaming read of a document feed: one chunk file per micro-batch,
+    * in doc_id order (mtime-stamped by [[writeDocChunks]]). */
+  def readDocStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(dir)
+
+  /** One micro-batch fold (pure — shared by the streaming query and
+    * any batch replayer): emit verified near-dup pairs whose LATER doc
+    * is in `newDocs`, against `stateBands` (history's band rows) and
+    * `allDocs` (accumulated documents INCLUDING this batch).
+    * Returns (this batch's band rows, verified pairs). */
+  def processBatch(newDocs: DataFrame, stateBands: DataFrame,
+      allDocs: DataFrame,
+      gramHashes: String = "token_shingle_hashes(text, 3)",
+      threshold: Double = 0.8): (DataFrame, DataFrame) = {
+    // localCheckpoint: consumed by the candidate join here AND written
+    // to the band table by the caller — don't recompute signatures
+    val newBands = Dedup.bandRows(
+      Dedup.signatures(newDocs, gramHashes)).localCheckpoint()
+    val all = stateBands.select("doc_id", "band", "bucket")
+      .unionByName(newBands)
+    // new-vs-(history ∪ batch): least/greatest + distinct collapses the
+    // double-counted within-batch matches and multi-band hits
+    val cand = newBands.as("n")
+      .join(all.as("o"),
+        col("n.band") === col("o.band") &&
+          col("n.bucket") === col("o.bucket") &&
+          col("n.doc_id") =!= col("o.doc_id"))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+      .distinct()
+    (newBands, Dedup.verifiedPairs(cand, allDocs, gramHashes, threshold))
+  }
+
+  /** Run the streaming dedup over every chunk file the checkpoint has
+    * not consumed yet, then stop (Trigger.AvailableNow — same resume
+    * contract as [[StreamRunner.runStream]]: call again after new
+    * chunks land and the SAME checkpoint continues from the first
+    * unseen file).
+    *
+    * Warehouse tables: `dedup_docs` (the accumulated corpus),
+    * `dedup_bands` (LSH state), `dedup_pairs` (verified output,
+    * PK (doc_a, doc_b)). Write order per batch: docs → pairs → bands
+    * last, so a crash anywhere replays the batch against a band table
+    * that has not seen it; every table self-heals through FINAL. */
+  def runStream(spark: SparkSession, docsDir: String, warehouse: String,
+      gramHashes: String = "token_shingle_hashes(text, 3)",
+      threshold: Double = 0.8): Unit = {
+    val docsPath = s"$warehouse/dedup_docs"
+    val bandsPath = s"$warehouse/dedup_bands"
+    val pairsPath = s"$warehouse/dedup_pairs"
+    val query = readDocStream(spark, docsDir)
+      .writeStream
+      .option("checkpointLocation", s"$warehouse/_dedup_checkpoint")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val batch = b.localCheckpoint()
+        if (!batch.isEmpty) {
+          val maxId = batch.agg(max(col("doc_id"))).collect()(0).getLong(0)
+          // corpus first: the verify stage below must see this batch
+          ParquetSink.writeBatch(
+            batch.withColumn("block_height", col("doc_id")),
+            docsPath, maxId, Seq("doc_id"))
+          val allDocs = ParquetSink.readFinal(
+            spark.read.parquet(docsPath), Seq("doc_id"))
+            .select("doc_id", "text")
+          val state =
+            if (ParquetSink.hasData(bandsPath))
+              spark.read.parquet(bandsPath)
+            else emptyBands(spark)
+          val (newBands, pairs) =
+            processBatch(batch, state, allDocs, gramHashes, threshold)
+          ParquetSink.writeBatch(
+            pairs.withColumn("block_height", col("doc_b")),
+            pairsPath, maxId, pairsPk)
+          // band state commits last (see scaladoc). Replayed band rows
+          // are identical (deterministic signatures) — FINAL-safe.
+          ParquetSink.writeBatch(
+            newBands.withColumn("block_height", col("doc_id")),
+            bandsPath, maxId, Seq("doc_id", "band"))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  private def emptyBands(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Int, Long)].toDF("doc_id", "band", "bucket")
+  }
+
+  /** Accumulated verified pairs, FINAL-deduped, in stable order — the
+    * read surface for the declared query and the suites. */
+  def pairsTable(spark: SparkSession, warehouse: String): DataFrame =
+    ParquetSink.readFinal(
+      spark.read.parquet(s"$warehouse/dedup_pairs"), pairsPk)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  /** Declared query (`d_stream_minhash`): stream the documents table
+    * through the REAL dedup stream — checkpointed file source, two
+    * chunks, a stop, then the remaining chunks against the same
+    * checkpoint (the mid-stream restart) — and return the accumulated
+    * pairs. Oracle: the exact all-pairs Jaccard, same as
+    * `d_minhash_pairs` — the incremental union over batches equals the
+    * batch LSH output because a pair's candidate condition fires
+    * exactly when its later doc arrives. Correctness-only (excluded
+    * from Bench): its cost is micro-batch orchestration, not data
+    * volume; the batch twin is the benched operator. */
+  def dStreamMinhash(spark: SparkSession, dir: String,
+      nChunks: Int = 5, threshold: Double = 0.8): DataFrame = {
+    graft.Tables.tune(spark)
+    def fresh(name: String): String = {
+      val d = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_sink_$name")
+      ParquetSink.delete(d)
+      d.getAbsolutePath
+    }
+    val feed = fresh("dedup_feed")
+    val warehouse = fresh("dedup_wh")
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    writeDocChunks(spark, docs, feed, nChunks, takeChunks = 2)
+    runStream(spark, feed, warehouse, threshold = threshold)
+    // mid-stream restart: the full feed lands (byte-identical early
+    // chunks), same checkpoint — only the unseen chunks stream,
+    // against the reloaded band table
+    writeDocChunks(spark, docs, feed, nChunks)
+    runStream(spark, feed, warehouse, threshold = threshold)
+    pairsTable(spark, warehouse)
+  }
+}

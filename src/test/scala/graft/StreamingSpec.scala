@@ -171,4 +171,19 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(streamed === batch)
   }
+
+  test("streaming dedup (checkpointed, mid-stream restart) accumulates " +
+    "exactly the batch near-dup pairs") {
+    import graft.streaming.StreamingDedup
+    val dir = "/root/testdata/sf0.001"
+    // dStreamMinhash itself drives the full product shape: chunked
+    // feed, Trigger.AvailableNow stream with a checkpoint, a stop
+    // after two chunks, then a resumed run over the full feed
+    val streamed = StreamingDedup.dStreamMinhash(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.llm.Dedup.dMinhashPairs(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
