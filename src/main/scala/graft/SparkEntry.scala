@@ -58,6 +58,7 @@ object SparkEntry {
     "d_minhash_pairs"   -> ((s, d) => Dedup.dMinhashPairs(s, d)),
     "d_ngram_pairs"     -> ((s, d) => Dedup.dNgramPairs(s, d)),
     "d_simhash"         -> (Dedup.dSimhash _),
+    "d_simhash_pairs"   -> ((s, d) => Dedup.dSimhashPairs(s, d)),
     // incremental dedup through the real streaming engine (checkpoint,
     // mid-stream restart); same oracle as the batch twin
     "d_stream_minhash"  -> ((s, d) =>
@@ -369,6 +370,30 @@ object SparkEntry {
         |  FROM cg a JOIN cg b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM p
         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "d_simhash_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_distinct(string_split_regex(trim(text), '\s+')) AS dt
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(dt) AS tok FROM t),
+        |bits AS (SELECT doc_id, tok, b,
+        |    instr('0123456789abcdef', substring(md5(tok), (b // 4) + 1, 1)) - 1 AS nib
+        |  FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bs),
+        |bv AS (SELECT doc_id, b,
+        |    SUM(2 * (CASE b % 4 WHEN 0 THEN nib // 8 WHEN 1 THEN (nib // 4) % 2
+        |             WHEN 2 THEN (nib // 2) % 2 ELSE nib % 2 END) - 1) AS s
+        |  FROM bits GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s >= 0 AND b < 32 THEN CAST(pow(2, b) AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS sim_lo,
+        |  CAST(SUM(CASE WHEN s >= 0 AND b >= 32 THEN CAST(pow(2, b - 32) AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS sim_hi
+        |  FROM bv GROUP BY doc_id)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.sim_lo, b.sim_lo)) +
+        |         bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "d_simhash" ->
       """WITH t AS (SELECT doc_id,
         |    list_distinct(string_split_regex(trim(text), '\s+')) AS dt

@@ -121,6 +121,59 @@ object GramHash {
     distinctSorted(hs, m)
   }
 
+  /** 64-bit SimHash over the distinct whitespace tokens, as two
+    * non-negative 32-bit halves `[lo, hi]` (so the SQL oracle can build
+    * the identical values with `pow(2, b)` sums — bit 63 of a single
+    * BIGINT would overflow DuckDB's sum).
+    *
+    * Bit semantics replicate the cross-engine md5-nibble recipe of the
+    * `d_simhash` oracle EXACTLY (it is the compare surface, unlike the
+    * free-choice minhash family): bit b of a token is extracted from
+    * hex nibble b/4 of `md5(token)` (nibble MSB first within each
+    * nibble), and signature bit b is set iff the Σ(2·bit−1) vote over
+    * distinct tokens is ≥ 0. All integer arithmetic — bit-stable in
+    * both engines. */
+  def simhash64(text: UTF8String): ArrayData = {
+    val toks = Whitespace.split(text.trim().toString, -1)
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        md.reset()
+        val h = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var b = 0
+        while (b < 64) {
+          // hex nibble b/4: high half of byte (b/8) for even nibbles,
+          // low half for odd; bit b%4 inside the nibble, MSB first —
+          // identical to instr('0123456789abcdef', substring(md5, ...))
+          val byte = h(b >> 3) & 0xff
+          val nib = if (((b >> 2) & 1) == 0) byte >> 4 else byte & 0xf
+          val bit = (b % 4) match {
+            case 0 => nib >> 3
+            case 1 => (nib >> 2) & 1
+            case 2 => (nib >> 1) & 1
+            case _ => nib & 1
+          }
+          votes(b) += 2 * bit - 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) >= 0) lo |= 1L << b
+      if (votes(b + 32) >= 0) hi |= 1L << b
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(lo, hi))
+  }
+
   /** k-permutation MinHash signature over a gram-hash set: slot j is
     * min over the set of `xxhash64(h, seed = j)` — the standard
     * derived-permutation family (one long-hash per slot instead of
@@ -187,6 +240,28 @@ case class TokenShingleHashes(child: Expression, w: Int) extends UnaryExpression
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.GramHash.tokenShingles($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash64(text)` → array<bigint> `[lo, hi]`: 64-bit SimHash of the
+  * distinct whitespace tokens as two 32-bit halves. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects a string argument, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    GramHash.simhash64(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramHash.simhash64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -107,5 +107,6 @@ object GraftFunctions {
     reg("char_gram_hashes", exprs => CharGramHashes(exprs(0), intLit(exprs(1))))
     reg("token_shingle_hashes", exprs => TokenShingleHashes(exprs(0), intLit(exprs(1))))
     reg("minhash_sig", exprs => MinHashSig(exprs(0), intLit(exprs(1))))
+    reg("simhash64", exprs => SimHash64(exprs(0)))
   }
 }

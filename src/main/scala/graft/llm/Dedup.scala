@@ -193,6 +193,61 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** SimHash near-duplicate pairs: all (a < b) pairs within hamming
+    * distance `maxHamming` of each other's 64-bit SimHash — the
+    * signature-distance dedup family (Manku/Jain/Sarma's web-dedup
+    * formulation), closing the loop the plain [[dSimhash]] signature
+    * query opens.
+    *
+    * Candidates by the MULTI-INDEX PIGEONHOLE: the 64-bit signature
+    * splits into 4 disjoint 16-bit chunks; a pair with ≤ 3 differing
+    * bits must agree EXACTLY on at least one chunk (4 chunks, 3
+    * differences — one chunk is untouched), so a self-equi-join on
+    * (chunk_idx, chunk_value) has recall 1 BY CONSTRUCTION — not the
+    * probabilistic band-recall argument of minhash; the exact all-pairs
+    * oracle is equal, not just overwhelmingly likely. Verify =
+    * `bit_count(xor)` over the halves on candidates only.
+    *
+    * Scale shape: same as the LSH pipeline — one narrow single-pass
+    * signature map ([[graft.functions.GramHash.simhash64]]), a hash
+    * shuffle on chunk buckets, never all-pairs. */
+  def dSimhashPairs(spark: SparkSession, dir: String,
+                    maxHamming: Int = 3): DataFrame = {
+    val sh = documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), expr("simhash64(text)").as("s"))
+      .select(col("doc_id"),
+        element_at(col("s"), 1).as("sim_lo"),
+        element_at(col("s"), 2).as("sim_hi"))
+      .persist()
+
+    // 4 × 16-bit chunk keys; halves are non-negative so DIV/% are safe
+    val chunked = sh.select(col("doc_id"),
+      posexplode(array(
+        expr("sim_lo % 65536"), expr("sim_lo DIV 65536"),
+        expr("sim_hi % 65536"), expr("sim_hi DIV 65536")))
+        .as(Seq("chunk", "v")))
+
+    val cand = chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sim_lo").as("lo_a"),
+        col("sim_hi").as("hi_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sim_lo").as("lo_b"),
+        col("sim_hi").as("hi_b")), "doc_b")
+      .withColumn("hamming",
+        (bit_count(expr("lo_a ^ lo_b")) + bit_count(expr("hi_a ^ hi_b")))
+          .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** 32-bit SimHash signature per document over its distinct tokens.
     *
     * Bit b of md5(token) is extracted portably: hex nibble via

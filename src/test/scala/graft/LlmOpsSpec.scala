@@ -43,6 +43,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(d.filter(col("canonical_id") >= 100000L).count() === 0)
   }
 
+  test("simhash64 lo-half equals the 32-bit SQL-pipeline simhash, and " +
+    "the pigeonhole candidates yield the exact hamming-3 ball") {
+    // bits 0..31 of the single-pass expression are the same md5-nibble
+    // bits the exploded SQL pipeline extracts — if the bit arithmetic
+    // drifts, these diverge
+    val viaExpr = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("simhash64(text)").as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1)(0), r.getSeq[Long](1)(1))).toMap
+    val viaSql = Dedup.dSimhash(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr.view.mapValues(_._1).toMap === viaSql)
+
+    // brute-force hamming ball from the signatures == operator output
+    val ids = viaExpr.keys.toArray.sorted
+    val expected = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      (la, ha) = viaExpr(ids(i))
+      (lb, hb) = viaExpr(ids(j))
+      d = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield (ids(i), ids(j), d.toLong)).toSet
+    val got = Dedup.dSimhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("simhash signatures are deterministic and within 32 bits") {
     val a = Dedup.dSimhash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = Dedup.dSimhash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
