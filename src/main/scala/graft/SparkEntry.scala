@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries._
-import graft.llm.{TextAnalysis, Dedup, Similarity, Multimodal}
+import graft.llm.{TextAnalysis, Dedup, Similarity, Multimodal, CorpusPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,12 +48,15 @@ object SparkEntry {
     "w_sessionize"         -> (EventQueries.wSessionize _),
     "w_hourly_window"      -> (EventQueries.wHourlyWindow _),
     "j_salted_user_events" -> (EventQueries.jSaltedUserEvents _),
+    // co-located (bucketed) join: zero-exchange join + rollup
+    "j_bucketed_orders" -> (graft.operators.BucketedJoin.jBucketedOrders _),
     // LLM training-data pipeline (brief: first-class deliverables)
     "t_text_stats"      -> (TextAnalysis.tTextStats _),
     "t_lang_id"         -> (TextAnalysis.tLangId _),
     "t_quality_score"   -> (TextAnalysis.tQualityScore _),
     "t_token_count"     -> (TextAnalysis.tTokenCount _),
     "t_fingerprint"     -> (TextAnalysis.tFingerprint _),
+    "t_vocab_topk"      -> ((s, d) => TextAnalysis.tVocabTopk(s, d)),
     "d_exact_dedup"     -> (Dedup.dExactDedup _),
     "d_minhash_pairs"   -> ((s, d) => Dedup.dMinhashPairs(s, d)),
     "d_ngram_pairs"     -> ((s, d) => Dedup.dNgramPairs(s, d)),
@@ -63,6 +66,9 @@ object SparkEntry {
     // mid-stream restart); same oracle as the batch twin
     "d_stream_minhash"  -> ((s, d) =>
       graft.streaming.StreamingDedup.dStreamMinhash(s, d)),
+    "d_embed_dedup"     -> ((s, d) => Similarity.sEmbedDedup(s, d)),
+    // full cleaning pipeline: gates -> exact dedup -> near-dup removal
+    "pipe_corpus_clean" -> (CorpusPipeline.pipeCorpusClean _),
     "s_cosine_topk"     -> ((s, d) => Similarity.sCosineTopk(s, d)),
     "s_cosine_pairs"    -> ((s, d) => Similarity.sCosinePairs(s, d)),
     "s_ann_ivf"         -> ((s, d) => Similarity.sAnnIvf(s, d)),
@@ -322,6 +328,79 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |        string_split_regex(trim(text), '\s+') AS t FROM documents) x
         |ORDER BY doc_id""".stripMargin,
+    "t_vocab_topk" ->
+      """SELECT token, CAST(SUM(tf_doc) AS BIGINT) AS tf,
+        |  CAST(COUNT(*) AS BIGINT) AS df
+        |FROM (SELECT token, doc_id, COUNT(*) AS tf_doc
+        |      FROM (SELECT doc_id,
+        |              unnest(string_split_regex(trim(text), '\s+')) AS token
+        |            FROM documents) t
+        |      GROUP BY token, doc_id) g
+        |GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "j_bucketed_orders" ->
+      """SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin,
+    "pipe_corpus_clean" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, lang, text FROM documents),
+        |m AS (SELECT doc_id, lang, text,
+        |        string_split_regex(trim(text), '\s+') AS t FROM corpus),
+        |g AS (SELECT doc_id, lang, text, t,
+        |        CAST(len(t) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+        |        CAST(len(list_filter(t, x -> list_contains(
+        |          ['the','a','of','and','in','to','is'], x))) AS BIGINT) AS stop_count
+        |      FROM m),
+        |q AS (SELECT *,
+        |        0.5 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+        |          CASE WHEN n_tokens >= 50 THEN 0.5
+        |               ELSE CAST(n_tokens AS DOUBLE) * 0.01 END AS quality,
+        |        CASE WHEN CAST(stop_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.1
+        |               THEN 'en_like'
+        |             WHEN CAST(stop_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.05
+        |               THEN 'latin_like'
+        |             ELSE 'other' END AS lang_guess
+        |      FROM g),
+        |gated AS (SELECT * FROM q
+        |          WHERE quality >= 0.6 AND lang_guess != 'other'),
+        |canon AS (SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        |    FROM gated) r
+        |  WHERE rn = 1),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ss FROM canon),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_id, lang, lang_guess, n_tokens, quality FROM canon
+        |WHERE doc_id NOT IN (SELECT doc_b FROM p WHERE jaccard >= 0.8)
+        |ORDER BY doc_id""".stripMargin,
+    "d_embed_dedup" ->
+      """WITH c AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding::DOUBLE[], label FROM embeddings),
+        |n AS (SELECT vec_id, label, emb,
+        |    sqrt(list_sum(list_transform(list_zip(emb, emb), x -> x[1] * x[2]))) AS nrm
+        |  FROM c),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(list_zip(a.emb, b.emb), x2 -> x2[1] * x2[2]))
+        |      / (a.nrm * b.nrm) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id),
+        |dup AS (SELECT * FROM p WHERE cosine >= 0.95)
+        |SELECT n.vec_id, n.label,
+        |  CAST(COALESCE(cnt.n_dups, 0) AS BIGINT) AS n_dups
+        |FROM n LEFT JOIN (SELECT vec_a, COUNT(*) AS n_dups
+        |                  FROM dup GROUP BY vec_a) cnt
+        |  ON n.vec_id = cnt.vec_a
+        |WHERE n.vec_id NOT IN (SELECT vec_b FROM dup)
+        |ORDER BY n.vec_id""".stripMargin,
     "d_exact_dedup" ->
       """SELECT md5(lower(trim(text))) AS norm_hash,
         |  COUNT(*) AS group_size,

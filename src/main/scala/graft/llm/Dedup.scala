@@ -26,34 +26,26 @@ import TextAnalysis.tokens
   */
 object Dedup {
 
-  /** Per-document minhash signature in ONE narrow map — no gram ROWS
-    * exist anywhere in the plan, and no gram SETS are materialized
-    * either.
-    *
-    * `gramHashes` is a call to one of the single-pass
-    * [[graft.functions.GramHash]] expressions: each document row yields
-    * its distinct 64-bit gram-hash set as a row-local intermediate, and
-    * only the k-slot `minhash_sig` of it (k longs) survives into the
-    * plan output. The first-cut pipeline exploded grams to rows and
-    * shuffled them into a 32-aggregate groupBy — ~2.5M rows and 80M
-    * string hashes at sf0.1, the top bench cost (BENCH_r04); this shape
-    * hashes each gram position exactly once, per document, inside
-    * WholeStageCodegen, and the persisted per-doc state is k longs —
-    * not the ~8×text gram set, which would be a 100-TB storage
-    * amplification.
-    *
-    * The repartition: a small local parquet arrives as ONE split, which
-    * would serialize the per-doc hashing on a single core — at real
-    * scale the scan already has many splits and this is a cheap
-    * hash-exchange of (id, text) pairs. Docs with no grams drop out;
-    * they cannot be shingle near-dups. */
-  private def docSignatures(spark: SparkSession, dir: String,
-                            gramHashes: String, numHashes: Int): DataFrame =
-    signatures(documents(spark, dir).repartition(col("doc_id")),
-      gramHashes, numHashes)
-
   /** Signature projection over any (doc_id, text) relation — shared by
-    * the batch queries and [[graft.streaming.StreamingDedup]]. */
+    * the batch queries and [[graft.streaming.StreamingDedup]].
+    *
+    * One narrow map — no gram ROWS exist anywhere in the plan, and no
+    * gram SETS are materialized either. `gramHashes` is a call to one
+    * of the single-pass [[graft.functions.GramHash]] expressions: each
+    * document row yields its distinct 64-bit gram-hash set as a
+    * row-local intermediate, and only the k-slot `minhash_sig` of it
+    * (k longs) survives into the plan output. The first-cut pipeline
+    * exploded grams to rows and shuffled them into a 32-aggregate
+    * groupBy — ~2.5M rows and 80M string hashes at sf0.1, the top bench
+    * cost (BENCH_r04); this shape hashes each gram position exactly
+    * once, per document, inside WholeStageCodegen, and the persisted
+    * per-doc state is k longs — not the ~8×text gram set, which would
+    * be a 100-TB storage amplification. Docs with no grams drop out;
+    * they cannot be shingle near-dups.
+    *
+    * Callers repartition the input first when it arrives as one split
+    * (a small local parquet would serialize the hashing on one core;
+    * at real scale the scan already has many splits). */
   private[graft] def signatures(docs: DataFrame, gramHashes: String,
                                 numHashes: Int = 32): DataFrame =
     docs.select(col("doc_id"),
@@ -175,8 +167,20 @@ object Dedup {
     * [[graft.functions.GramHash]]). */
   private def lshVerifiedPairs(spark: SparkSession, dir: String,
                                gramHashes: String,
-                               threshold: Double): DataFrame = {
-    val perDoc = docSignatures(spark, dir, gramHashes, 32).persist()
+                               threshold: Double): DataFrame =
+    lshVerifiedPairsFromDocs(
+      documents(spark, dir).repartition(col("doc_id")), gramHashes, threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Same candidate+verify pipeline over ANY (doc_id, text) relation —
+    * the entry point [[graft.llm.CorpusPipeline]] composes after its
+    * quality/dedup gates. `docs` is scanned twice (signatures, then
+    * candidate verification); callers pass a relation cheap to recompute
+    * (a narrow filter over the scan) or persist it themselves. */
+  private[graft] def lshVerifiedPairsFromDocs(docs: DataFrame,
+                                              gramHashes: String,
+                                              threshold: Double): DataFrame = {
+    val perDoc = signatures(docs, gramHashes, 32).persist()
 
     val banded = bandRows(perDoc)
 
@@ -189,8 +193,7 @@ object Dedup {
       .distinct()
       .persist()
 
-    verifiedPairs(cand, documents(spark, dir), gramHashes, threshold)
-      .orderBy(col("doc_a"), col("doc_b"))
+    verifiedPairs(cand, docs, gramHashes, threshold)
   }
 
   /** SimHash near-duplicate pairs: all (a < b) pairs within hamming

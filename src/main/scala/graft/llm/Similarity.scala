@@ -85,10 +85,17 @@ object Similarity {
     * at 100 TB pick P ≈ n·vecBytes / targetCellBytes and let AQE
     * coalesce the small cells. */
   def sCosinePairs(spark: SparkSession, dir: String,
-                   threshold: Double = 0.4, gridP: Int = 8): DataFrame = {
-    val e = withNorm(embeddings(spark, dir))
-      .select(col("vec_id"), col("emb"), col("nrm"),
-        pmod(col("vec_id"), lit(gridP)).cast("int").as("g"))
+                   threshold: Double = 0.4, gridP: Int = 8): DataFrame =
+    gridPairsAbove(withNorm(embeddings(spark, dir)), threshold, gridP)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** Grid-partitioned exact pair mining over any normalized relation
+    * carrying (vec_id, emb, nrm) — the self-join core of
+    * [[sCosinePairs]], reused by [[sEmbedDedup]]. Unordered. */
+  private def gridPairsAbove(norm: DataFrame, threshold: Double,
+                             gridP: Int): DataFrame = {
+    val e = norm.select(col("vec_id"), col("emb"), col("nrm"),
+      pmod(col("vec_id"), lit(gridP)).cast("int").as("g"))
     val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
       col("nrm").as("nrm_a"), col("g").as("cell_a"),
       explode(expr(s"sequence(0, ${gridP - 1})")).as("cell_b"))
@@ -101,7 +108,41 @@ object Similarity {
         dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
-      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Embedding-cosine near-duplicate DEDUP — the removal policy on top
+    * of pair mining, closing the dedup family the brief lists
+    * (exact / MinHash / SimHash / n-gram / embedding-cosine).
+    *
+    * Input models the at-least-once re-insert (as
+    * [[Dedup.dExactDedup]]): the embeddings table unioned with a
+    * shifted-id copy, so every vector has one exact twin at cosine 1.
+    * Any pair at cosine ≥ threshold marks the larger id as a duplicate;
+    * survivors report how many near-dups they absorbed. The 0.95
+    * threshold sits far above this corpus's max cross-pair cosine
+    * (measured 0.513), so survivors = the original ids, each absorbing
+    * exactly its twin — which the exact all-pairs DuckDB oracle
+    * verifies.
+    *
+    * Scale shape: the same grid self-join as [[sCosinePairs]] (exact,
+    * no CartesianProduct, cell work bounded at (n/P)²) + one small
+    * aggregation of the pair list + an anti-join. */
+  def sEmbedDedup(spark: SparkSession, dir: String,
+                  threshold: Double = 0.95, gridP: Int = 8): DataFrame = {
+    val base = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val corpus = base.unionByName(
+      base.withColumn("vec_id", col("vec_id") + lit(100000L)))
+    val norm = withNorm(corpus).persist() // pair grid + survivor join read it
+    val pairs = gridPairsAbove(norm, threshold, gridP).persist()
+    val absorbed = pairs.groupBy(col("vec_a").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    norm.select(col("vec_id"), col("label"))
+      .join(pairs.select(col("vec_b").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      .join(absorbed, Seq("vec_id"), "left")
+      .withColumn("n_dups", coalesce(col("n_dups"), lit(0L)))
+      .orderBy(col("vec_id"))
   }
 
   /** TRAINED coarse quantizer: deterministic Lloyd k-means over the

@@ -108,6 +108,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Top-k vocabulary across the corpus: term frequency (total
+    * occurrences) and document frequency per whitespace token, top k by
+    * frequency — the vocabulary-construction pass of a tokenizer-
+    * training pipeline.
+    *
+    * Scale shape: explode to token rows, then ONE hash-partitioned
+    * aggregation with map-side partial combine (count and a doc-id
+    * HLL-free exact distinct via the two-level groupBy), and a
+    * `TakeOrderedAndProject` for the top-k — each partition keeps only
+    * its local top k, the driver merges P·k rows, never a global sort.
+    * The (tf DESC, token ASC) order is total, so the k-cut is
+    * deterministic under ties in both engines. */
+  def tVocabTopk(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    documents(spark, dir)
+      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf_doc"))
+      .groupBy(col("token"))
+      .agg(sum(col("tf_doc")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(k)
+  }
+
   /** Content fingerprints per document: full md5 of the raw text, md5 of
     * the whitespace/case-normalized text (the exact-dedup key), a 64-bit
     * prefix fingerprint, and the distinct 3-token shingle count (the

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Bucketed co-located join: pre-bucket both sides of a recurring join
+  * on the join key so the join (and any aggregation keyed on the same
+  * column) runs with ZERO exchanges — Spark's answer to the co-located
+  * placement a 100-TB warehouse relies on for its hot fact↔dim joins.
+  *
+  * `customer` and `orders` are written once as bucketed tables
+  * (`bucketBy(custkey)` + in-bucket sort), then the join reads the
+  * bucket files directly: both sides already satisfy the join's
+  * required HashClusteredDistribution, so EnsureRequirements inserts no
+  * Exchange, and the follow-on groupBy(c_custkey, c_name) is satisfied
+  * by the same bucketing (partitioning on a subset of the grouping keys
+  * co-locates the groups). [[graft.PlanAuditSpec]] pins this: the only
+  * exchange in the executed plan is the final presentation sort.
+  *
+  * At 100 TB this is the difference between shuffling the fact table on
+  * every query and shuffling it once at ingest: the write amortizes one
+  * hash exchange across every future join on that key. The bench
+  * measures the full cycle (bucket write + co-located read) — the
+  * worst case for this pattern, and it still holds up.
+  */
+object BucketedJoin {
+
+  private val Buckets = 8
+
+  /** Write `name` bucketed by `key` into the session catalog
+    * (idempotent — re-created per run so the declared query is
+    * self-contained). Managed parquet tables in the default in-memory
+    * catalog; DROP removes the files of the previous run. */
+  private def writeBucketed(df: DataFrame, spark: SparkSession,
+                            name: String, key: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // a PREVIOUS session's managed files survive its in-memory catalog —
+    // DROP above can't see them, and saveAsTable refuses the stale
+    // location (LOCATION_ALREADY_EXISTS); remove it through Hadoop FS so
+    // the query is idempotent across sessions and filesystems
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(wh, true)
+    df.write
+      .bucketBy(Buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(name)
+  }
+
+  /** Orders-per-customer rollup over the bucketed pair — the same
+    * result as a plain join + groupBy, with no shuffle anywhere in the
+    * plan between the bucket scans and the final ordered output. */
+  def jBucketedOrders(spark: SparkSession, dir: String): DataFrame = {
+    writeBucketed(
+      Tables.customer(spark, dir).select("c_custkey", "c_name"),
+      spark, "graft_bkt_customer", "c_custkey")
+    writeBucketed(
+      Tables.orders(spark, dir).select("o_custkey", "o_totalprice"),
+      spark, "graft_bkt_orders", "o_custkey")
+
+    val c = spark.table("graft_bkt_customer")
+    val o = spark.table("graft_bkt_orders")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        Tables.dsum(col("o_totalprice"), 2).as("total_price"))
+      .orderBy(col("c_custkey"))
+  }
+}

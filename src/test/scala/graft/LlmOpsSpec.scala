@@ -159,6 +159,51 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(frames.toSet === Set((2L, 0L)))
   }
 
+  test("corpus-clean pipeline: deterministic survivors, every gate active") {
+    val out = graft.llm.CorpusPipeline.pipeCorpusClean(spark, dir).collect()
+    val base = Tables.documents(spark, dir).count()
+    // exact dedup always keeps the ORIGINAL of each re-ingested twin
+    assert(out.forall(_.getLong(0) < 100000L))
+    // the quality and near-dup stages each dropped real documents
+    assert(out.length < base)
+    assert(out.nonEmpty)
+    // survivors all satisfy the declared gates
+    assert(out.forall(r => r.getDouble(4) >= 0.6))
+    assert(out.forall(r => r.getString(2) != "other"))
+    // near-dup removal: no surviving pair is a verified near-dup of the
+    // survivors themselves (the fixpoint property of the drop policy)
+    val ids = out.map(_.getLong(0)).toSet
+    val nearDups = Dedup.dMinhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => ids(a) && ids(b) }
+    assert(nearDups.isEmpty,
+      s"surviving near-dup pairs: ${nearDups.take(5).mkString(",")}")
+  }
+
+  test("vocab top-k: tf >= df, ordered, and tf matches a direct count") {
+    import spark.implicits._
+    val top = graft.llm.TextAnalysis.tVocabTopk(spark, dir, k = 10).collect()
+    assert(top.length === 10)
+    assert(top.forall(r => r.getLong(1) >= r.getLong(2))) // tf >= df
+    val tfs = top.map(_.getLong(1))
+    assert(tfs.sameElements(tfs.sortBy(-_: Long)))
+    val direct = Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("token").count()
+      .as[(String, Long)].collect().toMap
+    top.foreach(r => assert(direct(r.getString(0)) === r.getLong(1)))
+  }
+
+  test("embedding dedup absorbs every re-ingested twin, originals survive") {
+    val out = Similarity.sEmbedDedup(spark, dir).collect()
+    val base = Tables.embeddings(spark, dir).count()
+    assert(out.length === base)
+    assert(out.forall(_.getLong(0) < 100000L))
+    // each survivor absorbed exactly its identical twin (max non-twin
+    // cosine in this corpus is ~0.51, far below the 0.95 threshold)
+    assert(out.forall(_.getLong(2) === 1L))
+  }
+
   test("multimodal decode computes byte stats from the payload") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, dir)

@@ -78,6 +78,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed join plans zero hash exchanges: bucketing satisfies " +
+    "both the join and the rollup distribution") {
+    graft.Tables.tune(spark)
+    // disable auto-broadcast so the co-location claim is actually
+    // exercised: at the test SF the dim side is broadcast-sized (and at
+    // scale broadcasting a fact side is exactly what we must NOT rely
+    // on) — with broadcast off, an UNbucketed join would need two hash
+    // exchanges, a bucketed one needs none
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.BucketedJoin.jBucketedOrders(spark, dir)
+      val plan = formatted(df)
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(hashExchanges === 0,
+        s"bucketed join should read co-located buckets, found $hashExchanges hash exchange(s)\n$plan")
+      // the only exchange left is the final presentation sort
+      val exchanges = "Exchange ".r.findAllIn(plan).size
+      assert(exchanges <= 1, s"unexpected exchanges in bucketed join plan\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   /** Queries whose BUILDER is the side effect (full runner/stream/sink
     * round trips) — their returned plan is a plain parquet scan, and
     * executing the builder re-runs minutes of pipeline already covered
