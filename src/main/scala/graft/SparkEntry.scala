@@ -47,6 +47,8 @@ object SparkEntry {
     "w_event_gaps"         -> (EventQueries.wEventGaps _),
     "w_sessionize"         -> (EventQueries.wSessionize _),
     "w_hourly_window"      -> (EventQueries.wHourlyWindow _),
+    "w_asof_join"          -> (EventQueries.wAsofJoin _),
+    "g_rollup_metrics"     -> (EventQueries.gRollupMetrics _),
     "j_salted_user_events" -> (EventQueries.jSaltedUserEvents _),
     // co-located (bucketed) join: zero-exchange join + rollup
     "j_bucketed_orders" -> (graft.operators.BucketedJoin.jBucketedOrders _),
@@ -57,6 +59,7 @@ object SparkEntry {
     "t_token_count"     -> (TextAnalysis.tTokenCount _),
     "t_fingerprint"     -> (TextAnalysis.tFingerprint _),
     "t_vocab_topk"      -> ((s, d) => TextAnalysis.tVocabTopk(s, d)),
+    "t_split_assign"    -> (TextAnalysis.tSplitAssign _),
     "d_exact_dedup"     -> (Dedup.dExactDedup _),
     "d_minhash_pairs"   -> ((s, d) => Dedup.dMinhashPairs(s, d)),
     "d_ngram_pairs"     -> ((s, d) => Dedup.dNgramPairs(s, d)),
@@ -327,6 +330,35 @@ object SparkEntry {
         |    ELSE 0 END AS BIGINT) AS n_shingles
         |FROM (SELECT doc_id, text,
         |        string_split_regex(trim(text), '\s+') AS t FROM documents) x
+        |ORDER BY doc_id""".stripMargin,
+    "w_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |           FROM events),
+        |p AS (SELECT user_id, ts_us, MAX(event_id) AS purchase_event_id
+        |      FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts_us)
+        |SELECT e.event_id, e.user_id, e.ts_us, e.event_type,
+        |  p.purchase_event_id AS last_purchase_event_id
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
+        |ORDER BY e.event_id""".stripMargin,
+    "g_rollup_metrics" ->
+      """SELECT CAST(GROUPING(event_type, epoch_day) AS BIGINT) AS lvl,
+        |  event_type, epoch_day, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        |FROM (SELECT event_type, epoch_us(ts) // 86400000000 AS epoch_day,
+        |        value FROM events) e
+        |GROUP BY ROLLUP(event_type, epoch_day)
+        |ORDER BY lvl, event_type, epoch_day""".stripMargin,
+    "t_split_assign" ->
+      """SELECT doc_id,
+        |  CAST((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +
+        |    instr('0123456789abcdef', substring(h, 2, 1)) - 1 AS BIGINT) AS bucket,
+        |  CASE WHEN (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +
+        |         instr('0123456789abcdef', substring(h, 2, 1)) - 1 < 230 THEN 'train'
+        |       WHEN (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +
+        |         instr('0123456789abcdef', substring(h, 2, 1)) - 1 < 243 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents) x
         |ORDER BY doc_id""".stripMargin,
     "t_vocab_topk" ->
       """SELECT token, CAST(SUM(tf_doc) AS BIGINT) AS tf,

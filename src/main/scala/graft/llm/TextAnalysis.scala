@@ -108,6 +108,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test split assignment — the reproducible
+    * alternative to `rand()` sampling every training-data build needs:
+    * the split is a pure function of doc_id, so it is stable across
+    * reruns, engines, and corpus growth (adding documents never moves
+    * an existing one between splits — rand() reshuffles everything).
+    *
+    * Bucket = first two md5 nibbles of the id string (0..255, extracted
+    * with the same portable instr() arithmetic as [[Dedup.dSimhash]]),
+    * split at 230/243 ≈ 90/5/5. A narrow per-row projection — no
+    * shuffle, no state, pushes column pruning to the scan. */
+  def tSplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    documents(spark, dir)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bucket",
+        expr("((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + " +
+          "instr('0123456789abcdef', substring(h, 2, 1)) - 1)").cast("long"))
+      .withColumn("split",
+        when(col("bucket") < 230, lit("train"))
+          .when(col("bucket") < 243, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Top-k vocabulary across the corpus: term frequency (total
     * occurrences) and document frequency per whitespace token, top k by
     * frequency — the vocabulary-construction pass of a tokenizer-

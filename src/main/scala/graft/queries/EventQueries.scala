@@ -165,4 +165,65 @@ object EventQueries {
         col("ts_us") - coalesce(lag(col("ts_us"), 1).over(w), col("ts_us")))
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
+
+  /** AS-OF join: every event picks up the user's most recent purchase
+    * at-or-before its own timestamp — the point-in-time lookup of
+    * time-series engines (DuckDB spells it `ASOF LEFT JOIN`, which is
+    * exactly the oracle).
+    *
+    * Spark-first shape — the UNION-TAG formulation, not a range join:
+    * tag purchase rows 0 and event rows 1, sort each user's rows once
+    * by (ts, tag), and carry the last non-null purchase id forward with
+    * a running `last(ignoreNulls)` window. ONE hash shuffle on user_id
+    * and a linear per-partition pass — no inequality-join explosion, no
+    * per-row probe; this is the shape that survives 100 TB (an
+    * inequality join would rescan the purchase side per event).
+    *
+    * Determinism: purchases collapse to max(event_id) per (user, ts)
+    * first, so ties inside the window frame carry no information (event
+    * rows are null in the carried column), and tag 0 < 1 makes an
+    * equal-timestamp purchase visible to the event — the same inclusive
+    * `l.ts >= r.ts` bound ASOF uses. */
+  def wAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("purchase_event_id"))
+    val tagged = e
+      .withColumn("tag", lit(1))
+      .withColumn("purchase_event_id", lit(null).cast("long"))
+      .unionByName(purchases
+        .withColumn("event_id", lit(null).cast("long"))
+        .withColumn("event_type", lit(null).cast("string"))
+        .withColumn("tag", lit(0)))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_purchase_event_id",
+        last(col("purchase_event_id"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("last_purchase_event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Multi-level rollup (GROUPING SETS family): per (event_type, day),
+    * per event_type, and grand total in ONE pass — Spark's `rollup`
+    * expands the grouping sets inside a single partial-aggregated
+    * shuffle rather than three scans. `lvl` is the grouping_id bitmask
+    * distinguishing subtotal rows from NULL-valued group keys. */
+  def gRollupMetrics(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .withColumn("epoch_day", expr(s"ts DIV ${NanosPerDay}L"))
+      .rollup(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value"), 2).as("total_value"),
+        grouping_id().as("lvl"))
+      .select(col("lvl"), col("event_type"), col("epoch_day"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("lvl"), col("event_type"), col("epoch_day"))
+  }
 }

@@ -23,6 +23,48 @@ class SessionWindowSpec extends AnyFunSuite {
       Seq((1L, 0L, 80L, 3L), (1L, 200L, 200L, 1L), (2L, 10L, 10L, 1L)))
   }
 
+  test("as-of join equals the brute-force inequality join") {
+    // the union-tag formulation must agree with the O(n*m) definition:
+    // latest purchase with ts <= event ts, per user
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("pid"))
+      .select(col("user_id").as("p_user"), col("ts_us").as("p_ts"), col("pid"))
+    val brute = e.join(p,
+        col("user_id") === col("p_user") && col("p_ts") <= col("ts_us"), "left")
+      .groupBy(col("event_id"))
+      .agg(max_by(col("pid"), col("p_ts")).as("expected"))
+    val out = graft.queries.EventQueries.wAsofJoin(spark, dir)
+      .join(brute, "event_id")
+    assert(out.count() === e.count())
+    assert(out.filter(
+      !(col("last_purchase_event_id") <=> col("expected"))).count() === 0)
+  }
+
+  test("rollup levels are consistent: details sum to subtotals and total") {
+    val r = graft.queries.EventQueries.gRollupMetrics(spark, dir).collect()
+    val lvls = r.map(_.getLong(0)).toSet
+    assert(lvls === Set(0L, 1L, 3L))
+    val detailN = r.filter(_.getLong(0) == 0L).map(_.getLong(3)).sum
+    val subN = r.filter(_.getLong(0) == 1L).map(_.getLong(3)).sum
+    val totalN = r.filter(_.getLong(0) == 3L).map(_.getLong(3)).sum
+    assert(detailN === totalN)
+    assert(subN === totalN)
+    assert(totalN === Tables.events(spark, dir).count())
+  }
+
+  test("split assignment is a stable pure function with sane fractions") {
+    val a = graft.llm.TextAnalysis.tSplitAssign(spark, dir).collect()
+    val b = graft.llm.TextAnalysis.tSplitAssign(spark, dir).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 256))
+    val frac = a.count(_.getString(2) == "train").toDouble / a.length
+    assert(frac > 0.8 && frac < 0.97, s"train fraction $frac")
+  }
+
   test("batch sessionization over the corpus: session event counts sum " +
     "to the event count per user") {
     import spark.implicits._
