@@ -49,6 +49,7 @@ object SparkEntry {
     "w_hourly_window"      -> (EventQueries.wHourlyWindow _),
     "w_asof_join"          -> (EventQueries.wAsofJoin _),
     "g_rollup_metrics"     -> (EventQueries.gRollupMetrics _),
+    "v_approx_distinct"    -> (EventQueries.vApproxDistinct _),
     "j_salted_user_events" -> (EventQueries.jSaltedUserEvents _),
     // co-located (bucketed) join: zero-exchange join + rollup
     "j_bucketed_orders" -> (graft.operators.BucketedJoin.jBucketedOrders _),
@@ -349,6 +350,13 @@ object SparkEntry {
         |        value FROM events) e
         |GROUP BY ROLLUP(event_type, epoch_day)
         |ORDER BY lvl, event_type, epoch_day""".stripMargin,
+    "v_approx_distinct" ->
+      """SELECT n_exact,
+        |  CAST(abs(n_approx - n_exact) AS DOUBLE) <=
+        |    CAST(n_exact AS DOUBLE) * 0.05 AS within_bound
+        |FROM (SELECT COUNT(DISTINCT user_id) AS n_exact,
+        |        approx_count_distinct(user_id) AS n_approx
+        |      FROM events) x""".stripMargin,
     "t_split_assign" ->
       """SELECT doc_id,
         |  CAST((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +

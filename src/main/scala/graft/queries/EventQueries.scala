@@ -210,6 +210,25 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Sketch-based cardinality with an error contract — the scale path
+    * for count-distinct validation (V1 family): at 100 TB an exact
+    * distinct is a full shuffle of the key universe, while HLL
+    * registers merge in fixed memory with map-side combine. The
+    * declared surface is ENGINE-PORTABLE by construction: each engine
+    * checks its own sketch against its own exact count and reports the
+    * deterministic exact count plus the bound verdict (sketch estimates
+    * themselves differ across implementations and are never compared
+    * cross-engine). */
+  def vApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+      .select(col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") <=
+          col("n_exact").cast("double") * lit(0.05)).as("within_bound"))
+  }
+
   /** Multi-level rollup (GROUPING SETS family): per (event_type, day),
     * per event_type, and grand total in ONE pass — Spark's `rollup`
     * expands the grouping sets inside a single partial-aggregated

@@ -65,6 +65,13 @@ class SessionWindowSpec extends AnyFunSuite {
     assert(frac > 0.8 && frac < 0.97, s"train fraction $frac")
   }
 
+  test("approx distinct sketch lands within its declared error bound") {
+    val r = graft.queries.EventQueries.vApproxDistinct(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getBoolean(1), s"sketch outside 5% bound: ${r(0)}")
+    assert(r(0).getLong(0) > 0)
+  }
+
   test("batch sessionization over the corpus: session event counts sum " +
     "to the event count per user") {
     import spark.implicits._
