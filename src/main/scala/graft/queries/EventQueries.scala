@@ -173,24 +173,27 @@ object EventQueries {
     *
     * Spark-first shape — the UNION-TAG formulation, not a range join:
     * tag purchase rows 0 and event rows 1, sort each user's rows once
-    * by (ts, tag), and carry the last non-null purchase id forward with
-    * a running `last(ignoreNulls)` window. ONE hash shuffle on user_id
-    * and a linear per-partition pass — no inequality-join explosion, no
-    * per-row probe; this is the shape that survives 100 TB (an
-    * inequality join would rescan the purchase side per event).
+    * by (ts, tag, event_id), and carry the last non-null purchase id
+    * forward with a running `last(ignoreNulls)` window. ONE hash
+    * shuffle on user_id and a linear per-partition pass — no
+    * inequality-join explosion, no per-row probe; this is the shape
+    * that survives 100 TB (an inequality join would rescan the
+    * purchase side per event).
     *
-    * Determinism: purchases collapse to max(event_id) per (user, ts)
-    * first, so ties inside the window frame carry no information (event
-    * rows are null in the carried column), and tag 0 < 1 makes an
-    * equal-timestamp purchase visible to the event — the same inclusive
-    * `l.ts >= r.ts` bound ASOF uses. */
+    * Determinism without a pre-aggregation: the window sort itself
+    * resolves ties — among purchases sharing (user, ts), ascending
+    * event_id makes the running last() carry the MAX event_id (the
+    * same survivor a max() pre-agg would pick, minus its extra
+    * shuffle), and tag 0 < 1 makes an equal-timestamp purchase visible
+    * to the event — the same inclusive `l.ts >= r.ts` bound ASOF
+    * uses. */
   def wAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts DIV 1000").as("ts_us"))
     val purchases = e.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"), col("ts_us"))
-      .agg(max(col("event_id")).as("purchase_event_id"))
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("purchase_event_id"))
     val tagged = e
       .withColumn("tag", lit(1))
       .withColumn("purchase_event_id", lit(null).cast("long"))
@@ -199,7 +202,8 @@ object EventQueries {
         .withColumn("event_type", lit(null).cast("string"))
         .withColumn("tag", lit(0)))
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("tag"))
+      .orderBy(col("ts_us"), col("tag"),
+        coalesce(col("purchase_event_id"), col("event_id")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("last_purchase_event_id",

@@ -91,13 +91,25 @@ class PlanAuditSpec extends AnyFunSuite {
     try {
       val df = graft.operators.BucketedJoin.jBucketedOrders(spark, dir)
       val plan = formatted(df)
-      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      // formatted mode puts the partitioning on the node's detail line
+      val hashExchanges =
+        "Arguments: hashpartitioning".r.findAllIn(plan).size
       assert(hashExchanges === 0,
         s"bucketed join should read co-located buckets, found $hashExchanges hash exchange(s)\n$plan")
       // the only exchange left is the final presentation sort
       val exchanges = "Exchange ".r.findAllIn(plan).size
       assert(exchanges <= 1, s"unexpected exchanges in bucketed join plan\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("as-of join is the single-shuffle union-tag shape") {
+    graft.Tables.tune(spark)
+    val plan = formatted(SparkEntry.queries("w_asof_join")(spark, dir))
+    val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1,
+      s"as-of join should shuffle once on user_id, found $hashExchanges\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"as-of join must not degrade to a product join\n$plan")
   }
 
   /** Queries whose BUILDER is the side effect (full runner/stream/sink
