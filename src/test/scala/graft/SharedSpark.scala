@@ -7,6 +7,9 @@ object SharedSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
+      // the production injection path — functions resolve in raw
+      // sessions with no Tables.tune call (see GraftExtensionsSpec)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
