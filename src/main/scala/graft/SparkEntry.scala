@@ -61,6 +61,7 @@ object SparkEntry {
     "t_fingerprint"     -> (TextAnalysis.tFingerprint _),
     "t_vocab_topk"      -> ((s, d) => TextAnalysis.tVocabTopk(s, d)),
     "t_split_assign"    -> (TextAnalysis.tSplitAssign _),
+    "t_quality_percentiles" -> ((s, d) => TextAnalysis.tQualityPercentiles(s, d)),
     "d_exact_dedup"     -> (Dedup.dExactDedup _),
     "d_minhash_pairs"   -> ((s, d) => Dedup.dMinhashPairs(s, d)),
     "d_ngram_pairs"     -> ((s, d) => Dedup.dNgramPairs(s, d)),
@@ -368,6 +369,24 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM (SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents) x
         |ORDER BY doc_id""".stripMargin,
+    "t_quality_percentiles" ->
+      """WITH scored AS (SELECT doc_id, lang,
+        |    0.5 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) +
+        |      CASE WHEN len(t) >= 50 THEN 0.5
+        |           ELSE CAST(len(t) AS DOUBLE) * 0.01 END AS quality
+        |  FROM (SELECT doc_id, lang,
+        |          string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents) x),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY lang ORDER BY quality, doc_id) AS rn FROM scored),
+        |targets AS (SELECT lang, CAST(p AS DOUBLE) AS p,
+        |    CAST(ceil(CAST(p AS DOUBLE) * n) AS BIGINT) AS target_rn
+        |  FROM (SELECT lang, COUNT(*) AS n FROM scored GROUP BY lang) c
+        |  CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p) ps)
+        |SELECT t.lang, t.p, r.quality AS q_at_p
+        |FROM targets t JOIN ranked r
+        |  ON t.lang = r.lang AND r.rn = t.target_rn
+        |ORDER BY t.lang, t.p""".stripMargin,
     "t_vocab_topk" ->
       """SELECT token, CAST(SUM(tf_doc) AS BIGINT) AS tf,
         |  CAST(COUNT(*) AS BIGINT) AS df

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -154,6 +155,47 @@ object TextAnalysis {
       .agg(sum(col("tf_doc")).as("tf"), count(lit(1)).as("df"))
       .orderBy(col("tf").desc, col("token"))
       .limit(k)
+  }
+
+  /** Exact distributed percentiles of the quality score per language —
+    * the calibration pass that turns a quality FILTER threshold ("keep
+    * the top 25%") into a concrete cut value.
+    *
+    * NEAREST-RANK formulation (value at row_number = ceil(p·n)), NOT
+    * interpolating `percentile`/`quantile_cont`: nearest-rank is a pure
+    * integer-rank lookup, so the Spark plan and the DuckDB oracle are
+    * the same arithmetic bit-for-bit — interpolation formulas differ
+    * between engines in the last ulps. Shape: one per-lang window sort
+    * (hash shuffle on lang), a tiny (lang × p) rank-target relation
+    * broadcast onto it, no collect. At 100 TB swap the window for
+    * `approx_percentile` per partition — the declared surface is the
+    * exact baseline that approximation is judged against. */
+  def tQualityPercentiles(spark: SparkSession, dir: String,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    val scored = documents(spark, dir)
+      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("t"))).cast("long"))
+      .withColumn("quality",
+        lit(0.5) * (col("n_distinct").cast("double") /
+          col("n_tokens").cast("double")) +
+          when(col("n_tokens") >= 50, lit(0.5))
+            .otherwise(col("n_tokens").cast("double") * lit(0.01)))
+      .select(col("doc_id"), col("lang"), col("quality"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality"), col("doc_id"))
+    val ranked = scored.withColumn("rn", row_number().over(w).cast("long"))
+    val targets = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("n"),
+        explode(array(ps.map(lit(_)): _*)).as("p"))
+      .withColumn("target_rn",
+        ceil(col("p") * col("n").cast("double")).cast("long"))
+    targets.join(ranked,
+        targets("lang") === ranked("lang") &&
+          col("target_rn") === col("rn"))
+      .select(targets("lang"), col("p"), col("quality").as("q_at_p"))
+      .orderBy(col("lang"), col("p"))
   }
 
   /** Content fingerprints per document: full md5 of the raw text, md5 of

@@ -204,6 +204,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(2) === 1L))
   }
 
+  test("nearest-rank percentiles match a local sort model per language") {
+    import spark.implicits._
+    val out = graft.llm.TextAnalysis.tQualityPercentiles(spark, dir)
+      .as[(String, Double, Double)].collect()
+    val scored = graft.llm.TextAnalysis.tQualityScore(spark, dir)
+      .select("lang", "quality").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (lang, p, q) =>
+      val vs = scored(lang)
+      val expected = vs(math.ceil(p * vs.length).toInt - 1)
+      assert(q === expected, s"$lang p$p")
+    }
+    // per lang, values are monotone in p
+    out.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2).map(_._3)
+      assert(sorted.sameElements(sorted.sorted))
+    }
+  }
+
   test("multimodal decode computes byte stats from the payload") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, dir)
