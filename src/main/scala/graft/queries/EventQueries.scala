@@ -187,10 +187,16 @@ object EventQueries {
     * shuffle), and tag 0 < 1 makes an equal-timestamp purchase visible
     * to the event — the same inclusive `l.ts >= r.ts` bound ASOF
     * uses. */
-  def wAsofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir)
+  def wAsofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofLastPurchase(events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts DIV 1000").as("ts_us"))
+        expr("ts DIV 1000").as("ts_us")))
+      .orderBy(col("event_id"))
+
+  /** The union-tag as-of core over any (event_id, user_id, event_type,
+    * ts_us) relation — split out so the property suite can drive it
+    * with adversarial timestamp ties. Unordered. */
+  private[graft] def asofLastPurchase(e: DataFrame): DataFrame = {
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_us"),
         col("event_id").as("purchase_event_id"))
@@ -211,7 +217,6 @@ object EventQueries {
       .filter(col("tag") === 1)
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("event_type"), col("last_purchase_event_id"))
-      .orderBy(col("event_id"))
   }
 
   /** Sketch-based cardinality with an error contract — the scale path

@@ -213,6 +213,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join equals a plain-Scala model under heavy timestamp ties") {
+    import spark.implicits._
+    // few users x tiny ts range -> same-(user,ts) purchase collisions
+    // and events landing exactly on purchase timestamps are guaranteed
+    val rowGen = for {
+      u <- Gen.chooseNum(0L, 3L)
+      ts <- Gen.chooseNum(0L, 15L)
+      isPurchase <- Gen.oneOf(true, true, false)
+    } yield (u, ts, if (isPurchase) "purchase" else "view")
+    (0 until 5).foreach { i =>
+      val rows = sample(Gen.listOfN(120, rowGen), 7000L + i).zipWithIndex
+        .map { case ((u, ts, et), id) => (id.toLong, u, et, ts) }
+      val df = rows.toDF("event_id", "user_id", "event_type", "ts_us")
+      val got = graft.queries.EventQueries.asofLastPurchase(df)
+        .select("event_id", "last_purchase_event_id")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val purchases = rows.filter(_._3 == "purchase")
+      rows.foreach { case (id, u, _, ts) =>
+        // model: max (ts, event_id) purchase of the user at ts' <= ts
+        val expected = purchases
+          .filter(p => p._2 == u && p._4 <= ts)
+          .sortBy(p => (p._4, p._1))
+          .lastOption.map(_._1)
+        assert(got(id) === expected, s"seed $i event $id user $u ts $ts")
+      }
+    }
+  }
+
   test("gram-hash expressions replicate split/trim/substring semantics on " +
     "adversarial whitespace and multi-byte text") {
     import spark.implicits._
