@@ -104,7 +104,7 @@ object Dedup {
     val d = documents(spark, dir).select(col("doc_id"), col("text"))
     val reingested = d.withColumn("doc_id", col("doc_id") + lit(100000L))
     d.unionByName(reingested)
-      .repartition(col("doc_id")) // parallelize the md5 stage (see withShingles)
+      .repartition(col("doc_id")) // parallelize the md5 stage (see signatures)
       .withColumn("norm_hash", md5(lower(trim(col("text")))))
       .groupBy(col("norm_hash"))
       .agg(count(lit(1)).as("group_size"),
@@ -260,7 +260,7 @@ object Dedup {
     * arithmetic — bit-stable across engines. */
   def dSimhash(spark: SparkSession, dir: String): DataFrame = {
     val tok = documents(spark, dir)
-      .repartition(col("doc_id")) // parallelize the narrow stage (see withShingles)
+      .repartition(col("doc_id")) // parallelize the narrow stage (see signatures)
       .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("tok"))
       .withColumn("h", md5(col("tok"))) // hash once, not once per bit

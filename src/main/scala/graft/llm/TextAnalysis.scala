@@ -161,15 +161,23 @@ object TextAnalysis {
     * the calibration pass that turns a quality FILTER threshold ("keep
     * the top 25%") into a concrete cut value.
     *
-    * NEAREST-RANK formulation (value at row_number = ceil(p·n)), NOT
+    * NEAREST-RANK formulation (value at rank ceil(p·n)), NOT an
     * interpolating `percentile`/`quantile_cont`: nearest-rank is a pure
     * integer-rank lookup, so the Spark plan and the DuckDB oracle are
     * the same arithmetic bit-for-bit — interpolation formulas differ
-    * between engines in the last ulps. Shape: one per-lang window sort
-    * (hash shuffle on lang), a tiny (lang × p) rank-target relation
-    * broadcast onto it, no collect. At 100 TB swap the window for
-    * `approx_percentile` per partition — the declared surface is the
-    * exact baseline that approximation is judged against. */
+    * between engines in the last ulps.
+    *
+    * Shape — the HISTOGRAM formulation, not a per-group window over raw
+    * rows: a `Window.partitionBy(lang)` over documents puts each
+    * language's ENTIRE corpus in one task (languages are few — the
+    * textbook skew trap at 100 TB). Instead: (1) one hash-partitioned
+    * groupBy on (lang, quality) builds the value histogram in parallel
+    * with map-side combine; (2) the cumulative window runs over
+    * DISTINCT VALUES per language — bounded by value cardinality, not
+    * corpus size; (3) the percentile is the smallest value whose
+    * cumulative count reaches ceil(p·n), one tiny join + min-agg.
+    * Identical output to the rank-lookup definition (equal values share
+    * a rank range), proven against a local sort model in the suite. */
   def tQualityPercentiles(spark: SparkSession, dir: String,
       ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame = {
     val scored = documents(spark, dir)
@@ -182,19 +190,22 @@ object TextAnalysis {
           col("n_tokens").cast("double")) +
           when(col("n_tokens") >= 50, lit(0.5))
             .otherwise(col("n_tokens").cast("double") * lit(0.01)))
-      .select(col("doc_id"), col("lang"), col("quality"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("quality"), col("doc_id"))
-    val ranked = scored.withColumn("rn", row_number().over(w).cast("long"))
-    val targets = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("quality"))
+    val hist = scored.groupBy(col("lang"), col("quality"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist() // cumulative window + per-lang totals both read it
+    val w = Window.partitionBy(col("lang")).orderBy(col("quality"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val targets = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
       .select(col("lang"), col("n"),
         explode(array(ps.map(lit(_)): _*)).as("p"))
       .withColumn("target_rn",
         ceil(col("p") * col("n").cast("double")).cast("long"))
-    targets.join(ranked,
-        targets("lang") === ranked("lang") &&
-          col("target_rn") === col("rn"))
-      .select(targets("lang"), col("p"), col("quality").as("q_at_p"))
+    targets.join(cum, Seq("lang"))
+      .filter(col("cum") >= col("target_rn"))
+      .groupBy(col("lang"), col("p"))
+      .agg(min(col("quality")).as("q_at_p"))
       .orderBy(col("lang"), col("p"))
   }
 
