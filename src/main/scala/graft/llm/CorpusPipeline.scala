@@ -54,21 +54,12 @@ object CorpusPipeline {
       .withColumn("t", tokens(col("text")))
       .withColumn("n_tokens", size(col("t")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("t"))).cast("long"))
-      .withColumn("distinct_ratio",
-        col("n_distinct").cast("double") / col("n_tokens").cast("double"))
       .withColumn("quality",
-        lit(0.5) * col("distinct_ratio") +
-          when(col("n_tokens") >= 50, lit(0.5))
-            .otherwise(col("n_tokens").cast("double") * lit(0.01)))
-      .withColumn("stop_count",
-        size(expr("filter(t, x -> array_contains(" +
-          "array('the','a','of','and','in','to','is'), x))")).cast("long"))
+        TextAnalysis.qualityCol(col("n_tokens"), col("n_distinct")))
+      .withColumn("stop_count", TextAnalysis.stopCountCol)
       .withColumn("stop_ratio",
         col("stop_count").cast("double") / col("n_tokens").cast("double"))
-      .withColumn("lang_guess",
-        when(col("stop_ratio") >= 0.1, lit("en_like"))
-          .when(col("stop_ratio") >= 0.05, lit("latin_like"))
-          .otherwise(lit("other")))
+      .withColumn("lang_guess", TextAnalysis.langGuessCol(col("stop_ratio")))
 
   /** The full cleaning pipeline over the re-ingested corpus. Returns
     * the surviving documents with their gate metrics, ordered by id. */

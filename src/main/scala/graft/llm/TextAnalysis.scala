@@ -26,6 +26,28 @@ object TextAnalysis {
     * DuckDB oracle's `string_split_regex(trim(text), '\s+')`. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** THE quality formula — single definition shared by the standalone
+    * score query, the percentile calibration, and the corpus-cleaning
+    * gate (one source of truth; the DuckDB oracles mirror it term by
+    * term): 0.5·lexical-diversity + a length component saturating at
+    * 50 tokens. */
+  private[llm] def qualityCol(nTokens: Column, nDistinct: Column): Column =
+    lit(0.5) * (nDistinct.cast("double") / nTokens.cast("double")) +
+      when(nTokens >= 50, lit(0.5))
+        .otherwise(nTokens.cast("double") * lit(0.01))
+
+  /** THE language-guess thresholds — shared by `t_lang_id` and the
+    * cleaning gate. */
+  private[llm] def langGuessCol(stopRatio: Column): Column =
+    when(stopRatio >= 0.1, lit("en_like"))
+      .when(stopRatio >= 0.05, lit("latin_like"))
+      .otherwise(lit("other"))
+
+  /** Stopword hits among tokens column `t` — the lang-ID signal. */
+  private[llm] def stopCountCol: Column =
+    size(expr("filter(t, x -> array_contains(" +
+      "array('the','a','of','and','in','to','is'), x))")).cast("long")
+
   /** Corpus statistics per (lang, source): doc counts, exact char/token
     * totals (integer sums — no float nondeterminism), and averages
     * derived by a single double division. */
@@ -52,15 +74,10 @@ object TextAnalysis {
     documents(spark, dir)
       .withColumn("t", tokens(col("text")))
       .withColumn("n_tokens", size(col("t")).cast("long"))
-      .withColumn("stop_count",
-        size(expr("filter(t, x -> array_contains(" +
-          "array('the','a','of','and','in','to','is'), x))")).cast("long"))
+      .withColumn("stop_count", stopCountCol)
       .withColumn("stop_ratio",
         col("stop_count").cast("double") / col("n_tokens").cast("double"))
-      .withColumn("lang_guess",
-        when(col("stop_ratio") >= 0.1, lit("en_like"))
-          .when(col("stop_ratio") >= 0.05, lit("latin_like"))
-          .otherwise(lit("other")))
+      .withColumn("lang_guess", langGuessCol(col("stop_ratio")))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("stop_count"),
         col("stop_ratio"), col("lang_guess"))
       .orderBy(col("doc_id"))
@@ -83,10 +100,7 @@ object TextAnalysis {
         length(regexp_replace(col("text"), "\\s+", "")).cast("long"))
       .withColumn("avg_token_len",
         col("nonspace_chars").cast("double") / col("n_tokens").cast("double"))
-      .withColumn("quality",
-        lit(0.5) * col("distinct_ratio") +
-          when(col("n_tokens") >= 50, lit(0.5))
-            .otherwise(col("n_tokens").cast("double") * lit(0.01)))
+      .withColumn("quality", qualityCol(col("n_tokens"), col("n_distinct")))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_distinct"),
         col("distinct_ratio"), col("avg_token_len"), col("quality"))
       .orderBy(col("doc_id"))
@@ -185,11 +199,7 @@ object TextAnalysis {
       .withColumn("t", tokens(col("text")))
       .withColumn("n_tokens", size(col("t")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("t"))).cast("long"))
-      .withColumn("quality",
-        lit(0.5) * (col("n_distinct").cast("double") /
-          col("n_tokens").cast("double")) +
-          when(col("n_tokens") >= 50, lit(0.5))
-            .otherwise(col("n_tokens").cast("double") * lit(0.01)))
+      .withColumn("quality", qualityCol(col("n_tokens"), col("n_distinct")))
       .select(col("lang"), col("quality"))
     val hist = scored.groupBy(col("lang"), col("quality"))
       .agg(count(lit(1)).as("cnt"))
