@@ -24,7 +24,8 @@ object SparkEntry {
     * orchestration (checkpoint commits, restarts), not data-volume
     * work, so timing it would measure the harness, not the operator. */
   val correctnessOnly: String => Boolean =
-    name => name.startsWith("near_") || name == "d_stream_minhash"
+    name => name.startsWith("near_") ||
+      name == "d_stream_minhash" || name == "pipe_stream_clean"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -74,6 +75,10 @@ object SparkEntry {
     "d_embed_dedup"     -> ((s, d) => Similarity.sEmbedDedup(s, d)),
     // full cleaning pipeline: gates -> exact dedup -> near-dup removal
     "pipe_corpus_clean" -> (CorpusPipeline.pipeCorpusClean _),
+    // incremental twin through the real streaming engine (checkpoint,
+    // mid-stream restart); same oracle as the batch pipeline
+    "pipe_stream_clean" -> ((s, d) =>
+      graft.streaming.StreamingCorpusClean.pipeStreamClean(s, d)),
     "s_cosine_topk"     -> ((s, d) => Similarity.sCosineTopk(s, d)),
     "s_cosine_pairs"    -> ((s, d) => Similarity.sCosinePairs(s, d)),
     "s_ann_ivf"         -> ((s, d) => Similarity.sAnnIvf(s, d)),
@@ -122,6 +127,48 @@ object SparkEntry {
     "near_v_tolerance"         -> (NearQueries.vTolerance _),
     "near_v_null_ratio"        -> (NearQueries.vNullRatio _),
   )
+
+  /** Shared by `pipe_corpus_clean` and its streaming twin
+    * `pipe_stream_clean` - one oracle, two execution engines. */
+  private val corpusCleanSql: String =
+    """WITH corpus AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, lang, text FROM documents),
+        |m AS (SELECT doc_id, lang, text,
+        |        string_split_regex(trim(text), '\s+') AS t FROM corpus),
+        |g AS (SELECT doc_id, lang, text, t,
+        |        CAST(len(t) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+        |        CAST(len(list_filter(t, x -> list_contains(
+        |          ['the','a','of','and','in','to','is'], x))) AS BIGINT) AS stop_count
+        |      FROM m),
+        |q AS (SELECT *,
+        |        0.5 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+        |          CASE WHEN n_tokens >= 50 THEN 0.5
+        |               ELSE CAST(n_tokens AS DOUBLE) * 0.01 END AS quality,
+        |        CASE WHEN CAST(stop_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.1
+        |               THEN 'en_like'
+        |             WHEN CAST(stop_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.05
+        |               THEN 'latin_like'
+        |             ELSE 'other' END AS lang_guess
+        |      FROM g),
+        |gated AS (SELECT * FROM q
+        |          WHERE quality >= 0.6 AND lang_guess != 'other'),
+        |canon AS (SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        |    FROM gated) r
+        |  WHERE rn = 1),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ss FROM canon),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_id, lang, lang_guess, n_tokens, quality FROM canon
+        |WHERE doc_id NOT IN (SELECT doc_b FROM p WHERE jaccard >= 0.8)
+        |ORDER BY doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -401,45 +448,9 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin,
-    "pipe_corpus_clean" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, lang, text FROM documents
-        |  UNION ALL SELECT doc_id + 100000, lang, text FROM documents),
-        |m AS (SELECT doc_id, lang, text,
-        |        string_split_regex(trim(text), '\s+') AS t FROM corpus),
-        |g AS (SELECT doc_id, lang, text, t,
-        |        CAST(len(t) AS BIGINT) AS n_tokens,
-        |        CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
-        |        CAST(len(list_filter(t, x -> list_contains(
-        |          ['the','a','of','and','in','to','is'], x))) AS BIGINT) AS stop_count
-        |      FROM m),
-        |q AS (SELECT *,
-        |        0.5 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
-        |          CASE WHEN n_tokens >= 50 THEN 0.5
-        |               ELSE CAST(n_tokens AS DOUBLE) * 0.01 END AS quality,
-        |        CASE WHEN CAST(stop_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.1
-        |               THEN 'en_like'
-        |             WHEN CAST(stop_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.05
-        |               THEN 'latin_like'
-        |             ELSE 'other' END AS lang_guess
-        |      FROM g),
-        |gated AS (SELECT * FROM q
-        |          WHERE quality >= 0.6 AND lang_guess != 'other'),
-        |canon AS (SELECT * FROM (
-        |    SELECT *, ROW_NUMBER() OVER (
-        |      PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
-        |    FROM gated) r
-        |  WHERE rn = 1),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(
-        |    range(1, greatest(len(t) - 1, 1)),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ss FROM canon),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
-        |      CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |SELECT doc_id, lang, lang_guess, n_tokens, quality FROM canon
-        |WHERE doc_id NOT IN (SELECT doc_b FROM p WHERE jaccard >= 0.8)
-        |ORDER BY doc_id""".stripMargin,
+    "pipe_corpus_clean" -> corpusCleanSql,
+    // the streaming twin accumulates to the same cleaned corpus
+    "pipe_stream_clean" -> corpusCleanSql,
     "d_embed_dedup" ->
       """WITH c AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings

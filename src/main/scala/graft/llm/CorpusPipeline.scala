@@ -61,6 +61,13 @@ object CorpusPipeline {
         col("stop_count").cast("double") / col("n_tokens").cast("double"))
       .withColumn("lang_guess", TextAnalysis.langGuessCol(col("stop_ratio")))
 
+  /** Gate stage shared with the streaming twin
+    * ([[graft.streaming.StreamingCorpusClean]]): metrics + the quality
+    * and language filters, one narrow pass. */
+  private[graft] def gateBatch(docs: DataFrame): DataFrame =
+    withGateMetrics(docs)
+      .filter(col("quality") >= MinQuality && col("lang_guess") =!= "other")
+
   /** The full cleaning pipeline over the re-ingested corpus. Returns
     * the surviving documents with their gate metrics, ordered by id. */
   def pipeCorpusClean(spark: SparkSession, dir: String): DataFrame = {
@@ -72,8 +79,7 @@ object CorpusPipeline {
       // (see Dedup.signatures); at scale the scan has many splits
       .repartition(col("doc_id"))
 
-    val gated = withGateMetrics(corpus)
-      .filter(col("quality") >= MinQuality && col("lang_guess") =!= "other")
+    val gated = gateBatch(corpus)
 
     // exact dedup: deterministic min-id survivor per normalized hash —
     // one hash-partitioned window, the K2/ReplacingMergeTree shape

@@ -58,17 +58,19 @@ object StreamingDedup {
     * recognizes them as consumed and resumes at the first unseen chunk
     * (the mid-stream-arrival case). */
   def writeDocChunks(spark: SparkSession, docs: DataFrame, dir: String,
-      nChunks: Int, takeChunks: Int = Int.MaxValue): Unit = {
-    import spark.implicits._
+      nChunks: Int, takeChunks: Int = Int.MaxValue,
+      schema: StructType = docSchema): Unit = {
     val d = new java.io.File(dir)
     d.mkdirs()
-    val rows = docs.select(col("doc_id"), col("text"))
-      .as[(Long, String)].collect().sortBy(_._1)
+    val cols = schema.fieldNames.toSeq
+    val rows = docs.select(cols.map(col): _*)
+      .sort(col("doc_id")).toJSON.collect()
+      .zip(docs.select(col("doc_id")).sort(col("doc_id"))
+        .collect().map(_.getLong(0)))
     val per = math.max(1, (rows.length + nChunks - 1) / nChunks)
     rows.grouped(per).take(takeChunks).foreach { chunk =>
-      val firstId = chunk.head._1
-      val json = chunk.toSeq.toDF("doc_id", "text").toJSON.collect()
-        .mkString("", "\n", "\n")
+      val firstId = chunk.head._2
+      val json = chunk.map(_._1).mkString("", "\n", "\n")
       val p = java.nio.file.Paths.get(dir, f"docs_$firstId%012d.json")
       java.nio.file.Files.writeString(p, json)
       p.toFile.setLastModified(1600000000000L + firstId * 1000L): Unit
@@ -77,8 +79,9 @@ object StreamingDedup {
 
   /** Streaming read of a document feed: one chunk file per micro-batch,
     * in doc_id order (mtime-stamped by [[writeDocChunks]]). */
-  def readDocStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(docSchema)
+  def readDocStream(spark: SparkSession, dir: String,
+      schema: StructType = docSchema): DataFrame =
+    spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .json(dir)
 

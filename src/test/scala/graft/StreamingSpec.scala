@@ -186,4 +186,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming corpus clean (checkpointed, mid-stream restart) " +
+    "converges to the batch pipeline's surviving corpus") {
+    import graft.streaming.StreamingCorpusClean
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingCorpusClean.pipeStreamClean(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.llm.CorpusPipeline.pipeCorpusClean(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
