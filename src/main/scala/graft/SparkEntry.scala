@@ -49,6 +49,7 @@ object SparkEntry {
     "w_sessionize"         -> (EventQueries.wSessionize _),
     "w_hourly_window"      -> (EventQueries.wHourlyWindow _),
     "w_asof_join"          -> (EventQueries.wAsofJoin _),
+    "w_range_join"         -> ((s, d) => EventQueries.wRangeJoin(s, d)),
     "g_rollup_metrics"     -> (EventQueries.gRollupMetrics _),
     "v_approx_distinct"    -> (EventQueries.vApproxDistinct _),
     "j_salted_user_events" -> (EventQueries.jSaltedUserEvents _),
@@ -390,6 +391,14 @@ object SparkEntry {
         |FROM e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
         |ORDER BY e.event_id""".stripMargin,
+    "w_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+        |  b.ts_us - a.ts_us AS gap_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND a.event_id < b.event_id
+        |  AND abs(a.ts_us - b.ts_us) <= 3600000000
+        |ORDER BY a.user_id, event_a, event_b""".stripMargin,
     "g_rollup_metrics" ->
       """SELECT CAST(GROUPING(event_type, epoch_day) AS BIGINT) AS lvl,
         |  event_type, epoch_day, COUNT(*) AS n_events,

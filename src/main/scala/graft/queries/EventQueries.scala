@@ -219,6 +219,47 @@ object EventQueries {
         col("event_type"), col("last_purchase_event_id"))
   }
 
+  /** RANGE join: all same-user event pairs within `windowUs` of each
+    * other — the banded formulation, not an inequality join.
+    *
+    * A naive `a.ts BETWEEN b.ts - W AND b.ts + W` join degenerates to a
+    * per-key nested loop (Spark can only plan non-equi conditions as a
+    * join filter — at 100 TB that is a rescans-per-row disaster). The
+    * banded shape makes it an EQUI join: each row lives in time bucket
+    * `ts DIV W`; the right side is replicated to its 3 neighboring
+    * buckets; any pair within W is at most one bucket apart, so it
+    * meets on the (user, bucket) hash key — once from each
+    * orientation, collapsed by the `event_a < event_b` filter — and the
+    * exact |Δts| ≤ W predicate verifies candidates. Cost: one hash
+    * shuffle of 1× + 3× the rows, per-task work bounded by the bucket
+    * population — the same candidates-then-verify discipline as the
+    * LSH dedup pipeline. */
+  def wRangeJoin(spark: SparkSession, dir: String,
+      windowUs: Long = 3600000000L): DataFrame =
+    rangePairs(events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us")), windowUs)
+      .orderBy(col("user_id"), col("event_a"), col("event_b"))
+
+  /** The banded range-join core over any (event_id, user_id, ts_us)
+    * relation — split out for the property suite. Unordered. */
+  private[graft] def rangePairs(e: DataFrame, windowUs: Long): DataFrame = {
+    val home = e.withColumn("bucket", expr(s"ts_us DIV ${windowUs}L"))
+    val probe = e
+      .withColumn("b0", expr(s"ts_us DIV ${windowUs}L"))
+      .select(col("event_id").as("event_b"), col("user_id"),
+        col("ts_us").as("ts_b"),
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("bucket"))
+    home
+      .select(col("event_id").as("event_a"), col("user_id"),
+        col("ts_us").as("ts_a"), col("bucket"))
+      .join(probe, Seq("user_id", "bucket"))
+      .filter(col("event_a") < col("event_b") &&
+        abs(col("ts_a") - col("ts_b")) <= windowUs)
+      .select(col("user_id"), col("event_a"), col("event_b"),
+        (col("ts_b") - col("ts_a")).as("gap_us"))
+  }
+
   /** Sketch-based cardinality with an error contract — the scale path
     * for count-distinct validation (V1 family): at 100 TB an exact
     * distinct is a full shuffle of the key universe, while HLL

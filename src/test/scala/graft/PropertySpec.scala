@@ -243,6 +243,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("banded range join equals brute force at bucket boundaries, " +
+    "negative timestamps, and exact-window gaps") {
+    import spark.implicits._
+    val W = 10L
+    // ts clustered around multiples of W so pairs straddle bucket
+    // boundaries and land exactly at gap == W; negatives exercise
+    // floor-vs-truncate division edges
+    val rowGen = for {
+      u <- Gen.chooseNum(0L, 2L)
+      base <- Gen.chooseNum(-3L, 3L)
+      off <- Gen.chooseNum(-1L, 1L)
+    } yield (u, base * W + off)
+    (0 until 5).foreach { i =>
+      val rows = sample(Gen.listOfN(80, rowGen), 9000L + i).zipWithIndex
+        .map { case ((u, ts), id) => (id.toLong, u, ts) }
+      val df = rows.toDF("event_id", "user_id", "ts_us")
+      val got = graft.queries.EventQueries.rangePairs(df, W)
+        .select("event_a", "event_b", "gap_us")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      val brute = (for {
+        a <- rows; b <- rows
+        if a._2 == b._2 && a._1 < b._1 && math.abs(a._3 - b._3) <= W
+      } yield (a._1, b._1, b._3 - a._3)).sorted
+      assert(got === brute, s"seed $i")
+      assert(brute.nonEmpty)
+    }
+  }
+
   test("gram-hash expressions replicate split/trim/substring semantics on " +
     "adversarial whitespace and multi-byte text") {
     import spark.implicits._
