@@ -74,6 +74,8 @@ object SparkEntry {
     "d_stream_minhash"  -> ((s, d) =>
       graft.streaming.StreamingDedup.dStreamMinhash(s, d)),
     "d_embed_dedup"     -> ((s, d) => Similarity.sEmbedDedup(s, d)),
+    // connected components of the near-dup graph (min-label propagation)
+    "d_dup_groups"      -> ((s, d) => Dedup.dDupGroups(s, d)),
     // full cleaning pipeline: gates -> exact dedup -> near-dup removal
     "pipe_corpus_clean" -> (CorpusPipeline.pipeCorpusClean _),
     // incremental twin through the real streaming engine (checkpoint,
@@ -528,6 +530,29 @@ object SparkEntry {
         |  FROM cg a JOIN cg b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM p
         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "d_dup_groups" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ss
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents) x),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) >= 0.8),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+        |SELECT v.doc_id,
+        |  LEAST(v.doc_id,
+        |    (SELECT MIN(dst) FROM reach WHERE src = v.doc_id)) AS group_id
+        |FROM (SELECT DISTINCT src AS doc_id FROM e) v
+        |ORDER BY doc_id""".stripMargin,
     "d_simhash_pairs" ->
       """WITH t AS (SELECT doc_id,
         |    list_distinct(string_split_regex(trim(text), '\s+')) AS dt

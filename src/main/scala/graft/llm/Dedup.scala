@@ -196,6 +196,52 @@ object Dedup {
     verifiedPairs(cand, docs, gramHashes, threshold)
   }
 
+  /** Near-duplicate GROUPS: connected components of the verified-pair
+    * graph, each document labeled with the minimum doc_id reachable
+    * through near-dup edges — the principled survivor policy when
+    * near-duplication chains (A≈B, B≈C ⇒ {A,B,C} keep only A), where
+    * the pairwise drop-doc_b rule would be order-dependent.
+    *
+    * Distributed shape: iterative MIN-LABEL PROPAGATION over the edge
+    * relation (the hash-to-min formulation) — per round one equi-join
+    * edges⋈labels + one min-aggregation, `localCheckpoint` to cut the
+    * growing lineage (the resolver-BFS pattern,
+    * [[graft.state.ReceiptTxResolver]]), converging in O(component
+    * diameter) rounds. The loop runs over the PAIR graph only — at
+    * 100 TB that is the near-dup fraction of the corpus, not the
+    * corpus; no collect, no driver-side graph. Oracle: DuckDB
+    * `WITH RECURSIVE` transitive closure over the exact all-pairs
+    * edges — recall ≈ 1 as for [[dMinhashPairs]]. */
+  def dDupGroups(spark: SparkSession, dir: String,
+                 threshold: Double = 0.8): DataFrame = {
+    val pairs = dMinhashPairs(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("group_id", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbors = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("group_id"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("doc_id"))
+        .agg(min(col("group_id")).as("group_id"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("p"), "doc_id")
+        .filter(col("n.group_id") =!= col("p.group_id"))
+        .count()
+      labels = next
+    }
+    labels.orderBy(col("doc_id"))
+  }
+
   /** SimHash near-duplicate pairs: all (a < b) pairs within hamming
     * distance `maxHamming` of each other's 64-bit SimHash — the
     * signature-distance dedup family (Manku/Jain/Sarma's web-dedup

@@ -204,6 +204,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(2) === 1L))
   }
 
+  test("dup groups equal a union-find model over the verified pairs") {
+    val pairs = Dedup.dMinhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val groups = Dedup.dDupGroups(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find reference
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val vertices = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(groups.keySet === vertices.toSet)
+    vertices.foreach { v =>
+      // the component minimum is exactly the propagated label
+      val members = vertices.filter(u => find(u) == find(v))
+      assert(groups(v) === members.min, s"doc $v")
+    }
+    assert(pairs.nonEmpty)
+  }
+
   test("nearest-rank percentiles match a local sort model per language") {
     import spark.implicits._
     val out = graft.llm.TextAnalysis.tQualityPercentiles(spark, dir)
