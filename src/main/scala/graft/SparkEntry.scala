@@ -52,6 +52,8 @@ object SparkEntry {
     "w_range_join"         -> ((s, d) => EventQueries.wRangeJoin(s, d)),
     "g_rollup_metrics"     -> (EventQueries.gRollupMetrics _),
     "v_approx_distinct"    -> (EventQueries.vApproxDistinct _),
+    "g_pivot_daily"        -> (EventQueries.gPivotDaily _),
+    "v_set_ops"            -> (EventQueries.vSetOps _),
     "j_salted_user_events" -> (EventQueries.jSaltedUserEvents _),
     // co-located (bucketed) join: zero-exchange join + rollup
     "j_bucketed_orders" -> (graft.operators.BucketedJoin.jBucketedOrders _),
@@ -409,6 +411,23 @@ object SparkEntry {
         |        value FROM events) e
         |GROUP BY ROLLUP(event_type, epoch_day)
         |ORDER BY lvl, event_type, epoch_day""".stripMargin,
+    "g_pivot_daily" ->
+      """SELECT epoch_us(ts) // 86400000000 AS epoch_day,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY epoch_day""".stripMargin,
+    "v_set_ops" ->
+      """WITH e AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0),
+        |l AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT o_custkey, 'both' AS cohort
+        |FROM (SELECT o_custkey FROM e INTERSECT SELECT o_custkey FROM l) a
+        |UNION ALL
+        |SELECT o_custkey, 'early_only' AS cohort
+        |FROM (SELECT o_custkey FROM e EXCEPT SELECT o_custkey FROM l) b
+        |ORDER BY cohort, o_custkey""".stripMargin,
     "v_approx_distinct" ->
       """SELECT n_exact,
         |  CAST(abs(n_approx - n_exact) AS DOUBLE) <=

@@ -260,6 +260,44 @@ object EventQueries {
         (col("ts_b") - col("ts_a")).as("gap_us"))
   }
 
+  /** PIVOT: per-day event counts spread into one column per event
+    * type. The pivot VALUES are pinned explicitly — with an explicit
+    * list Spark skips the extra distinct-values job AND the output
+    * schema is deterministic (data-driven pivot columns would make the
+    * compare surface depend on arrival order). Plans as one
+    * conditional aggregation — the oracle spells the same thing as
+    * portable CASE sums. */
+  def gPivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .withColumn("epoch_day", expr(s"ts DIV ${NanosPerDay}L"))
+      .groupBy(col("epoch_day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("epoch_day"))
+  }
+
+  /** Set operations (INTERSECT / EXCEPT): customers seen in BOTH halves
+    * of the order history vs only the first half — the
+    * set-reconciliation shape of the validation family (SURVEY V4's
+    * anti-join is EXCEPT in disguise; these are the declarative
+    * duals). Spark plans both as semi/anti hash joins — no sort, no
+    * global distinct beyond the keys. */
+  def vSetOps(spark: SparkSession, dir: String): DataFrame = {
+    // parity split: deterministic and populated at every SF (orderkeys
+    // are sparse and their range is SF-dependent — a fixed midpoint
+    // would degenerate)
+    val o = orders(spark, dir)
+    val early = o.filter(col("o_orderkey") % 2 === 0).select(col("o_custkey"))
+    val late = o.filter(col("o_orderkey") % 2 === 1).select(col("o_custkey"))
+    val both = early.intersect(late)
+      .select(col("o_custkey"), lit("both").as("cohort"))
+    val earlyOnly = early.except(late)
+      .select(col("o_custkey"), lit("early_only").as("cohort"))
+    both.unionByName(earlyOnly)
+      .orderBy(col("cohort"), col("o_custkey"))
+  }
+
   /** Sketch-based cardinality with an error contract — the scale path
     * for count-distinct validation (V1 family): at 100 TB an exact
     * distinct is a full shuffle of the key universe, while HLL
