@@ -53,6 +53,7 @@ object SparkEntry {
     "g_rollup_metrics"     -> (EventQueries.gRollupMetrics _),
     "v_approx_distinct"    -> (EventQueries.vApproxDistinct _),
     "g_pivot_daily"        -> (EventQueries.gPivotDaily _),
+    "g_unpivot_daily"      -> (EventQueries.gUnpivotDaily _),
     "v_set_ops"            -> (EventQueries.vSetOps _),
     "j_salted_user_events" -> (EventQueries.jSaltedUserEvents _),
     // co-located (bucketed) join: zero-exchange join + rollup
@@ -419,6 +420,18 @@ object SparkEntry {
         |  COUNT(*) FILTER (event_type = 'signup') AS signup,
         |  COUNT(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY epoch_day""".stripMargin,
+    "g_unpivot_daily" ->
+      """WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS epoch_day
+        |           FROM events),
+        |t AS (SELECT unnest(['click','error','purchase','signup','view'])
+        |        AS event_type),
+        |c AS (SELECT epoch_us(ts) // 86400000000 AS epoch_day, event_type,
+        |        COUNT(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT d.epoch_day, t.event_type, COALESCE(c.n, 0) AS n
+        |FROM d CROSS JOIN t
+        |LEFT JOIN c ON c.epoch_day = d.epoch_day
+        |  AND c.event_type = t.event_type
+        |ORDER BY d.epoch_day, t.event_type""".stripMargin,
     "v_set_ops" ->
       """WITH e AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0),
         |l AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 1)

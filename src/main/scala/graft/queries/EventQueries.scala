@@ -277,6 +277,21 @@ object EventQueries {
       .orderBy(col("epoch_day"))
   }
 
+  /** UNPIVOT (stack): the wide per-day pivot melted back to long
+    * (epoch_day, event_type, n) rows — the reshaping dual of
+    * [[gPivotDaily]]. `stack` is a generator inside the projection
+    * (row-local, no shuffle beyond the pivot's own aggregation);
+    * zero-count combinations survive the round trip, which is exactly
+    * what distinguishes unpivot(pivot(x)) from a plain groupBy. */
+  def gUnpivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    gPivotDaily(spark, dir)
+      .select(col("epoch_day"),
+        expr("stack(5, 'click', click, 'error', error, " +
+          "'purchase', purchase, 'signup', signup, 'view', view) " +
+          "AS (event_type, n)"))
+      .orderBy(col("epoch_day"), col("event_type"))
+  }
+
   /** Set operations (INTERSECT / EXCEPT): customers seen in BOTH halves
     * of the order history vs only the first half — the
     * set-reconciliation shape of the validation family (SURVEY V4's
