@@ -22,8 +22,7 @@ import graft.functions._
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def intLit(e: Expression): Int =
-    e.eval().asInstanceOf[Number].intValue()
+  private def intLit(e: Expression): Int = GraftFunctions.intLit(e)
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,

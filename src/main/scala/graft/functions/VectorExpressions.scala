@@ -99,14 +99,16 @@ object GraftFunctions {
         registry.createOrReplaceTempFunction(name, builder, "built-in")
       }
     }
-    // the size arguments must be literal ints — they shape the output
-    // schema, so a column-valued argument cannot work
-    def intLit(e: Expression): Int =
-      e.eval().asInstanceOf[Number].intValue()
     reg("dot_product", exprs => DotProduct(exprs(0), exprs(1)))
     reg("char_gram_hashes", exprs => CharGramHashes(exprs(0), intLit(exprs(1))))
     reg("token_shingle_hashes", exprs => TokenShingleHashes(exprs(0), intLit(exprs(1))))
     reg("minhash_sig", exprs => MinHashSig(exprs(0), intLit(exprs(1))))
     reg("simhash64", exprs => SimHash64(exprs(0)))
   }
+
+  /** The size arguments must be LITERAL ints — they shape the output
+    * schema, so a column-valued argument cannot work. Shared by the
+    * registry path above and [[graft.GraftExtensions]]. */
+  private[graft] def intLit(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
 }

@@ -26,6 +26,15 @@ import TextAnalysis.tokens
   */
 object Dedup {
 
+  /** Signature geometry — ONE set of constants so the k-slot signature
+    * ([[signatures]]) and the band layout ([[bandRows]]) cannot drift:
+    * element_at past the signature length would yield null buckets that
+    * collide corpus-wide (toward all-pairs candidates). */
+  private[graft] val NumHashes = 32
+  private[graft] val Bands = 16
+  private[graft] val RowsPerBand = 2
+  require(Bands * RowsPerBand == NumHashes)
+
   /** Signature projection over any (doc_id, text) relation — shared by
     * the batch queries and [[graft.streaming.StreamingDedup]].
     *
@@ -47,15 +56,15 @@ object Dedup {
     * (a small local parquet would serialize the hashing on one core;
     * at real scale the scan already has many splits). */
   private[graft] def signatures(docs: DataFrame, gramHashes: String,
-                                numHashes: Int = 32): DataFrame =
+                                numHashes: Int = NumHashes): DataFrame =
     docs.select(col("doc_id"),
       expr(s"minhash_sig($gramHashes, $numHashes)").as("sig"))
       .filter(size(col("sig")) > 0)
 
   /** Banded bucket rows from signatures: one (doc_id, band, bucket) row
     * per band — the LSH candidate key. Shared batch/streaming. */
-  private[graft] def bandRows(sigs: DataFrame, bands: Int = 16,
-                              rowsPerBand: Int = 2): DataFrame =
+  private[graft] def bandRows(sigs: DataFrame, bands: Int = Bands,
+                              rowsPerBand: Int = RowsPerBand): DataFrame =
     sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i =>
@@ -180,7 +189,7 @@ object Dedup {
   private[graft] def lshVerifiedPairsFromDocs(docs: DataFrame,
                                               gramHashes: String,
                                               threshold: Double): DataFrame = {
-    val perDoc = signatures(docs, gramHashes, 32).persist()
+    val perDoc = signatures(docs, gramHashes).persist()
 
     val banded = bandRows(perDoc)
 
@@ -262,6 +271,11 @@ object Dedup {
     * shuffle on chunk buckets, never all-pairs. */
   def dSimhashPairs(spark: SparkSession, dir: String,
                     maxHamming: Int = 3): DataFrame = {
+    // 4 disjoint chunks pigeonhole up to 3 differing bits; a larger
+    // radius needs more chunks or multi-chunk probing — refuse rather
+    // than silently lose the recall-1 guarantee the scaladoc promises
+    require(maxHamming <= 3,
+      s"4-chunk pigeonhole guarantees recall only for maxHamming <= 3, got $maxHamming")
     val sh = documents(spark, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), expr("simhash64(text)").as("s"))

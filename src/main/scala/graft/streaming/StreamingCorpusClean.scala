@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
-import graft.llm.{CorpusPipeline, Dedup}
+import graft.llm.CorpusPipeline
 import graft.sink.ParquetSink
 
 /** Incremental corpus cleaning — the streaming twin of
@@ -111,6 +111,9 @@ object StreamingCorpusClean {
           ParquetSink.writeBatch(
             hashRows.withColumn("block_height", col("doc_id")),
             hashPath, maxId, hashPk)
+          // drop this batch's verify-stage persists (see
+          // StreamingDedup.runStream for the leak rationale)
+          spark.catalog.clearCache()
         }
       }
       .trigger(Trigger.AvailableNow())
@@ -150,14 +153,8 @@ object StreamingCorpusClean {
   def pipeStreamClean(spark: SparkSession, dir: String,
       nChunks: Int = 5): DataFrame = {
     graft.Tables.tune(spark)
-    def fresh(name: String): String = {
-      val d = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft_sink_$name")
-      ParquetSink.delete(d)
-      d.getAbsolutePath
-    }
-    val feed = fresh("clean_feed")
-    val warehouse = fresh("clean_wh")
+    val feed = StreamingDedup.freshDir("clean_feed")
+    val warehouse = StreamingDedup.freshDir("clean_wh")
     val base = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"))
     val corpus = base.unionByName(

@@ -63,10 +63,13 @@ object StreamingDedup {
     val d = new java.io.File(dir)
     d.mkdirs()
     val cols = schema.fieldNames.toSeq
-    val rows = docs.select(cols.map(col): _*)
-      .sort(col("doc_id")).toJSON.collect()
-      .zip(docs.select(col("doc_id")).sort(col("doc_id"))
-        .collect().map(_.getLong(0)))
+    // one job: (json, doc_id) pairs from a single sorted pass (two
+    // independent collects would also silently rely on the two sorts
+    // agreeing)
+    val rows = docs
+      .select(to_json(struct(cols.map(col): _*)).as("j"), col("doc_id"))
+      .sort(col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
     val per = math.max(1, (rows.length + nChunks - 1) / nChunks)
     rows.grouped(per).take(takeChunks).foreach { chunk =>
       val firstId = chunk.head._2
@@ -158,11 +161,26 @@ object StreamingDedup {
           ParquetSink.writeBatch(
             newBands.withColumn("block_height", col("doc_id")),
             bandsPath, maxId, Seq("doc_id", "band"))
+          // verifiedPairs persists per batch; drop the entries once the
+          // writes above have consumed them — CacheManager holds strong
+          // references, so a long-running stream would otherwise
+          // accumulate dead cache entries without bound
+          spark.catalog.clearCache()
         }
       }
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+  }
+
+  /** Fresh tmp-dir for a declared streaming query's feed/warehouse —
+    * shared by [[dStreamMinhash]] and
+    * [[StreamingCorpusClean.pipeStreamClean]]. */
+  private[streaming] def freshDir(name: String): String = {
+    val d = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_sink_$name")
+    ParquetSink.delete(d)
+    d.getAbsolutePath
   }
 
   private def emptyBands(spark: SparkSession): DataFrame = {
@@ -191,14 +209,8 @@ object StreamingDedup {
   def dStreamMinhash(spark: SparkSession, dir: String,
       nChunks: Int = 5, threshold: Double = 0.8): DataFrame = {
     graft.Tables.tune(spark)
-    def fresh(name: String): String = {
-      val d = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft_sink_$name")
-      ParquetSink.delete(d)
-      d.getAbsolutePath
-    }
-    val feed = fresh("dedup_feed")
-    val warehouse = fresh("dedup_wh")
+    val feed = freshDir("dedup_feed")
+    val warehouse = freshDir("dedup_wh")
     val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
     writeDocChunks(spark, docs, feed, nChunks, takeChunks = 2)
     runStream(spark, feed, warehouse, threshold = threshold)

@@ -117,7 +117,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * executing the builder re-runs minutes of pipeline already covered
     * by their own suites. The audit covers the declarative queries. */
   private val sideEffecting = Set("near_runner_events", "near_stream_events",
-    "near_sink_roundtrip", "near_sink_resume", "d_stream_minhash")
+    "near_sink_roundtrip", "near_sink_resume", "d_stream_minhash",
+    "pipe_stream_clean")
 
   test("no declared query plans a CartesianProduct, and forced broadcasts stay on bounded relations") {
     graft.Tables.tune(spark)
