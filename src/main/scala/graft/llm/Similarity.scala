@@ -193,7 +193,7 @@ object Similarity {
       val arr = c.map(x => s"${x}D").mkString("array(", ",", ")")
       (expr(s"dot_product(emb, $arr)") / lit(cNorm)).as(s"__s$i")
     }
-    df.select(col("*") +: scores: _*)
+    df.select((col("*") +: scores.toIndexedSeq): _*)
       .withColumn("__sc", array(centroids.indices.map(i => col(s"__s$i")): _*))
       .withColumn("cell",
         (expr("array_position(__sc, array_max(__sc))") - 1L).cast("int"))

@@ -67,7 +67,7 @@ object ParquetSink {
     * reusing its seq) tie-break on a full-row hash, so the survivor is
     * deterministic even when the duplicates differ in non-PK columns. */
   def readFinal(raw: DataFrame, pkCols: Seq[String]): DataFrame = {
-    val rowHash = xxhash64(raw.columns.sorted.map(col): _*)
+    val rowHash = xxhash64(raw.columns.sorted.toIndexedSeq.map(col): _*)
     val w = Window.partitionBy(pkCols.map(col): _*)
       .orderBy(col("insert_seq").desc, rowHash.asc)
     raw.withColumn("__rn", row_number().over(w))
