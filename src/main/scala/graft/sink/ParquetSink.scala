@@ -74,6 +74,18 @@ object ParquetSink {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** TIME-TRAVEL read: the table's FINAL image AS OF `maxSeq` — drop
+    * every version written after that insert_seq, then resolve the
+    * survivors exactly like [[readFinal]]. Because `insert_seq` is the
+    * writer's monotone batch stamp (the resume height in the runners),
+    * this reproduces the table a past batch saw — the reproducible-read
+    * primitive a training-data pipeline needs to pin a dataset build to
+    * a snapshot while ingest keeps appending. The seq filter is a plain
+    * predicate: it prunes files by row-group stats before the window
+    * runs, so old snapshots do not pay for new data. */
+  def readAsOf(raw: DataFrame, pkCols: Seq[String], maxSeq: Long): DataFrame =
+    readFinal(raw.filter(col("insert_seq") <= maxSeq), pkCols)
+
   /** Compaction job: rewrite the table as its FINAL image with a single
     * version (the ReplacingMergeTree background merge, run on demand).
     *

@@ -154,6 +154,28 @@ class NearPipelineSpec extends AnyFunSuite {
     ParquetSink.delete(dir)
   }
 
+  test("readAsOf reproduces the table a past batch saw") {
+    import graft.sink.ParquetSink
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_test_sink_asof")
+    ParquetSink.delete(dir)
+    val pk = Seq("related_receipt_id", "index_in_log")
+    // seq 0: original rows; seq 1: same PKs, mutated payload; a reader
+    // pinned to seq 0 must see the ORIGINAL image, not the overwrite
+    ParquetSink.writeBatch(events, dir.getAbsolutePath, 0L, pk)
+    ParquetSink.writeBatch(
+      events.withColumn("event", lit("mutated")),
+      dir.getAbsolutePath, 1L, pk)
+    val raw = spark.read.parquet(dir.getAbsolutePath)
+    val asOf0 = ParquetSink.readAsOf(raw, pk, 0L)
+    val latest = ParquetSink.readFinal(raw, pk)
+    assert(asOf0.count() === events.count())
+    assert(asOf0.filter(col("event") === "mutated").count() === 0L)
+    assert(latest.filter(col("event") =!= "mutated").count() === 0L)
+    ParquetSink.delete(dir)
+  }
+
   test("SQL view surface: reference-named views answer reference-shaped " +
     "SQL identically to the DataFrame API") {
     import spark.implicits._
