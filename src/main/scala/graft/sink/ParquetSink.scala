@@ -62,6 +62,21 @@ object ParquetSink {
         .write.mode("append").partitionBy("height_bucket").parquet(path)
     }
 
+  /** [[writeBatch]] minus the stamping — rows keep the `insert_seq`
+    * they already carry. Used by compaction so surviving rows keep
+    * their version stamps: re-stamping everything 0 would make every
+    * [[readAsOf]] pin silently return post-pin data (stamp-0 rows pass
+    * any `insert_seq <= maxSeq` filter). */
+  private def writeRetainingSeq(df: DataFrame, path: String,
+      pkCols: Seq[String], heightBucketSize: Long): Unit =
+    withRetry() {
+      df.withColumn("height_bucket",
+          expr(s"block_height DIV ${heightBucketSize}L"))
+        .repartition(col("height_bucket"))
+        .sortWithinPartitions(pkCols.map(col): _*)
+        .write.mode("append").partitionBy("height_bucket").parquet(path)
+    }
+
   /** FINAL-semantics read: latest insert_seq per PK. Equal-seq
     * duplicates (a retried write that leaked files, a replayed batch
     * reusing its seq) tie-break on a full-row hash, so the survivor is
@@ -82,7 +97,18 @@ object ParquetSink {
     * primitive a training-data pipeline needs to pin a dataset build to
     * a snapshot while ingest keeps appending. The seq filter is a plain
     * predicate: it prunes files by row-group stats before the window
-    * runs, so old snapshots do not pay for new data. */
+    * runs, so old snapshots do not pay for new data.
+    *
+    * Interaction with maintenance: [[compact]]/[[compactWholeRow]]
+    * retain each SURVIVOR's insert_seq, so a pin taken at or after a
+    * key's last write keeps resolving after the merge; versions the
+    * merge discarded are gone (a pin older than an overwrite sees the
+    * post-merge image — it under-reports rather than silently
+    * including post-pin data, the ReplacingMergeTree contract).
+    * [[dropBucketsBelow]] deletes old rows by design: snapshots older
+    * than the retention window genuinely lose data, like any TTL'd
+    * store. Full history travel needs compaction switched off for the
+    * pinned range. */
   def readAsOf(raw: DataFrame, pkCols: Seq[String], maxSeq: Long): DataFrame =
     readFinal(raw.filter(col("insert_seq") <= maxSeq), pkCols)
 
@@ -100,11 +126,14 @@ object ParquetSink {
   def compact(spark: SparkSession, path: String, pkCols: Seq[String],
       heightBucketSize: Long = 50L): Unit = {
     recoverSwap(path)
+    // keep each survivor's insert_seq: FINAL answers are unchanged
+    // (one row per PK either way) and outstanding readAsOf pins stay
+    // valid across the rewrite
     val fin = readFinal(spark.read.parquet(path), pkCols)
-      .drop("insert_seq", "height_bucket")
+      .drop("height_bucket")
     val tmp = path + ".compact"
     delete(new java.io.File(tmp)) // a stale tmp would be APPENDED onto
-    writeBatch(fin, tmp, 0L, pkCols, heightBucketSize)
+    writeRetainingSeq(fin, tmp, pkCols, heightBucketSize)
     swapTmpIntoLive(tmp, path)
   }
 
@@ -115,10 +144,10 @@ object ParquetSink {
       clusterKeys: Seq[String], heightBucketSize: Long = 50L): Unit = {
     recoverSwap(path)
     val fin = readFinalWholeRow(spark.read.parquet(path))
-      .drop("insert_seq", "height_bucket")
+      .drop("height_bucket")
     val tmp = path + ".compact"
     delete(new java.io.File(tmp)) // a stale tmp would be APPENDED onto
-    writeBatch(fin, tmp, 0L, clusterKeys, heightBucketSize)
+    writeRetainingSeq(fin, tmp, clusterKeys, heightBucketSize)
     swapTmpIntoLive(tmp, path)
   }
 

@@ -173,6 +173,15 @@ class NearPipelineSpec extends AnyFunSuite {
     assert(asOf0.count() === events.count())
     assert(asOf0.filter(col("event") === "mutated").count() === 0L)
     assert(latest.filter(col("event") =!= "mutated").count() === 0L)
+    // compaction keeps each SURVIVOR's stamp: the latest pin (seq 1)
+    // still resolves after the merge, and the pre-overwrite pin (seq 0)
+    // under-reports (its versions were merged away) instead of
+    // silently returning post-pin data as a re-stamp-to-0 would
+    ParquetSink.compact(spark, dir.getAbsolutePath, pk)
+    val rawC = spark.read.parquet(dir.getAbsolutePath)
+    assert(ParquetSink.readFinal(rawC, pk)
+      .filter(col("event") =!= "mutated").count() === 0L)
+    assert(ParquetSink.readAsOf(rawC, pk, 1L).count() === events.count())
     ParquetSink.delete(dir)
   }
 
@@ -271,10 +280,11 @@ class NearPipelineSpec extends AnyFunSuite {
     assert(before.values.forall(_.nonEmpty))
     BatchRunner.compactWarehouse(spark, wh)
     assert(images() === before)
-    // single version everywhere after the merge
-    val seqs = spark.read.parquet(s"$wh/events")
-      .select("insert_seq").distinct().collect().map(_.getLong(0)).toSeq
-    assert(seqs === Seq(0L))
+    // one surviving ROW VERSION per PK after the merge — each keeping
+    // its original insert_seq stamp, so readAsOf pins survive
+    // compaction (raw row count collapses to the FINAL image size)
+    assert(spark.read.parquet(s"$wh/events").count() ===
+      before("events").size)
     // resume still reads 160 from the compacted transactions table and
     // the trailing tx-less block replays idempotently
     val s = BatchRunner.run(spark, bd, wh, acc)
