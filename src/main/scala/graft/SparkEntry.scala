@@ -88,6 +88,7 @@ object SparkEntry {
     "s_cosine_topk"     -> ((s, d) => Similarity.sCosineTopk(s, d)),
     "s_cosine_pairs"    -> ((s, d) => Similarity.sCosinePairs(s, d)),
     "s_ann_ivf"         -> ((s, d) => Similarity.sAnnIvf(s, d)),
+    "s_ann_lsh"         -> ((s, d) => Similarity.sAnnLsh(s, d)),
     // trained k-means quantizer: not SQL-expressible -> no oracleSql
     // entry; the driver records the weaker rows-only check
     "s_ann_kmeans"      -> ((s, d) => Similarity.sAnnKmeans(s, d)),
@@ -656,6 +657,29 @@ object SparkEntry {
         |    list_sum(list_transform(list_zip(q.emb, x.emb), x2 -> x2[1] * x2[2]))
         |      / (q.nrm * x.nrm) AS cosine
         |  FROM n q JOIN n x ON q.vec_id < 20 AND x.label = q.label
+        |    AND x.vec_id != q.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cosine
+        |FROM r WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin,
+    "s_ann_lsh" ->
+      """WITH n AS (SELECT vec_id, emb,
+        |    sqrt(list_sum(list_transform(list_zip(emb, emb), x -> x[1] * x[2]))) AS nrm
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e),
+        |h AS (SELECT vec_id AS h_id, emb AS h_emb FROM n WHERE vec_id < 4),
+        |d AS (SELECT n.vec_id, h.h_id,
+        |    list_sum(list_transform(list_zip(n.emb, h.h_emb), x -> x[1] * x[2])) AS dt
+        |  FROM n CROSS JOIN h),
+        |b AS (SELECT vec_id,
+        |    SUM(CASE WHEN dt >= 0 THEN CAST(pow(2, h_id) AS BIGINT) ELSE 0 END) AS bucket
+        |  FROM d GROUP BY vec_id),
+        |a AS (SELECT n.vec_id, n.emb, n.nrm, b.bucket
+        |  FROM n JOIN b ON n.vec_id = b.vec_id),
+        |p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.emb, x.emb), x2 -> x2[1] * x2[2]))
+        |      / (q.nrm * x.nrm) AS cosine
+        |  FROM a q JOIN a x ON q.vec_id < 20 AND x.bucket = q.bucket
         |    AND x.vec_id != q.vec_id),
         |r AS (SELECT query_id, neighbor_id, cosine,
         |    ROW_NUMBER() OVER (PARTITION BY query_id

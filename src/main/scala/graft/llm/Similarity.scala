@@ -229,6 +229,54 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** LSH-bucketed ANN — the random-hyperplane variant of the coarse
+    * partition: bucket(v) = the sign bits of v against `nPlanes` fixed
+    * hyperplanes, and each query searches only its own bucket. Two
+    * vectors share a bucket iff no hyperplane separates them —
+    * P[shared] = (1 − θ/π)^nPlanes, the SimHash geometry on real
+    * vectors.
+    *
+    * The hyperplanes here are the first `nPlanes` corpus vectors —
+    * DETERMINISTIC and visible to the DuckDB oracle, which recomputes
+    * the same sign bits (the sequential-fold dots are bit-identical, so
+    * the bucket assignment and therefore the result set match exactly;
+    * at production scale they'd be seeded Gaussians shipped as
+    * literals, same plan shape). Like [[sAnnKmeans]], the plane set is
+    * bounded (nPlanes·d doubles) and unrolls into codegen'd
+    * `dot_product(emb, array(<literals>))` columns — one narrow map,
+    * NO join against a plane relation, then the same broadcast-query
+    * equi-join on the bucket key as [[sAnnIvf]]. */
+  def sAnnLsh(spark: SparkSession, dir: String, k: Int = 3,
+      nQueries: Int = 20, nPlanes: Int = 4): DataFrame = {
+    val e = withNorm(embeddings(spark, dir))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+    val planes: Array[Array[Double]] = e
+      .filter(col("vec_id") < nPlanes).orderBy(col("vec_id"))
+      .select(col("emb")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val bucketCol = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(x => s"${x}D").mkString("array(", ",", ")")
+      when(expr(s"dot_product(emb, $arr)") >= 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val assigned = e.withColumn("bucket", bucketCol)
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("bucket").as("q_bucket"),
+        col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = broadcast(q)
+      .join(assigned, col("bucket") === col("q_bucket") &&
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dot("q_emb", "emb") / (col("q_nrm") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF-style bucketed ANN: each query searches ONLY its coarse
     * partition (the `label` bucket) — an equi-join on the bucket key
     * instead of a scan of the corpus. Returns top-3 in-bucket

@@ -204,6 +204,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(2) === 1L))
   }
 
+  test("LSH-bucketed ANN: neighbors share every hyperplane sign with " +
+    "their query") {
+    import spark.implicits._
+    val out = Similarity.sAnnLsh(spark, dir)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    // recompute sign buckets independently (plain Scala fold over the
+    // same vectors) and check query/neighbor bucket equality
+    val vecs = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS emb")
+      .as[(Long, Seq[Double])].collect().toMap
+    val planes = (0L until 4L).map(vecs)
+    def bucket(v: Seq[Double]): Long =
+      planes.zipWithIndex.map { case (p, i) =>
+        val d = p.zip(v).foldLeft(0.0)((acc, xy) => acc + xy._1 * xy._2)
+        if (d >= 0) 1L << i else 0L
+      }.sum
+    out.foreach { case (q, n) =>
+      assert(bucket(vecs(q)) === bucket(vecs(n)), s"query $q neighbor $n")
+      assert(q !== n)
+    }
+  }
+
   test("dup groups equal a union-find model over the verified pairs") {
     val pairs = Dedup.dMinhashPairs(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
