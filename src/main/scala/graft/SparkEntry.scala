@@ -679,7 +679,8 @@ object SparkEntry {
         |p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
         |    list_sum(list_transform(list_zip(q.emb, x.emb), x2 -> x2[1] * x2[2]))
         |      / (q.nrm * x.nrm) AS cosine
-        |  FROM a q JOIN a x ON q.vec_id < 20 AND x.bucket = q.bucket
+        |  FROM a q JOIN a x ON q.vec_id < 20
+        |    AND bit_count(xor(x.bucket, q.bucket)) <= 1
         |    AND x.vec_id != q.vec_id),
         |r AS (SELECT query_id, neighbor_id, cosine,
         |    ROW_NUMBER() OVER (PARTITION BY query_id

@@ -245,7 +245,16 @@ object Similarity {
     * bounded (nPlanes·d doubles) and unrolls into codegen'd
     * `dot_product(emb, array(<literals>))` columns — one narrow map,
     * NO join against a plane relation, then the same broadcast-query
-    * equi-join on the bucket key as [[sAnnIvf]]. */
+    * equi-join on the bucket key as [[sAnnIvf]].
+    *
+    * MULTI-PROBE: each query also searches the nPlanes hamming-1
+    * buckets (one sign bit flipped) — the standard recall lever for
+    * sign-bucket LSH. A top-3 neighbor at this corpus's typical
+    * neighbor angle (θ ≈ 66°, p = 1 − θ/π ≈ 0.63 per plane) lands in
+    * the single-probe bucket with only p⁴ ≈ 0.16; allowing one
+    * disagreeing plane lifts it to p⁴ + 4p³(1−p) ≈ 0.53 (measured in
+    * the suite). Cost: the QUERY side fans out (nPlanes+1)× — still
+    * bounded — while the corpus side stays one row per vector. */
   def sAnnLsh(spark: SparkSession, dir: String, k: Int = 3,
       nQueries: Int = 20, nPlanes: Int = 4): DataFrame = {
     val e = withNorm(embeddings(spark, dir))
@@ -260,8 +269,12 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce(_ + _)
     val assigned = e.withColumn("bucket", bucketCol)
+    // probe set: own bucket + each single-bit flip (hamming-1)
+    val probes = (0L +: (0 until nPlanes).map(1L << _)).map(m =>
+      expr(s"bucket ^ ${m}L"))
     val q = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("bucket").as("q_bucket"),
+      .select(col("vec_id").as("query_id"),
+        explode(array(probes: _*)).as("q_bucket"),
         col("emb").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = broadcast(q)
       .join(assigned, col("bucket") === col("q_bucket") &&

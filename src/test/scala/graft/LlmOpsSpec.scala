@@ -131,6 +131,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"kmeans-IVF top-3 recall $recall < 0.5")
   }
 
+  test("LSH-bucketed ANN recall vs exact brute force — measured quality " +
+    "of the hyperplane partition") {
+    val approx = Similarity.sAnnLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.sCosineTopk(spark, dir, k = 3, nQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    // single-probe over 2^4 sign buckets: well above the 3/500 chance
+    // floor, deterministic because the hyperplanes are fixed vectors
+    assert(recall >= 0.3, s"LSH-ANN top-3 recall $recall < 0.3")
+  }
+
   test("multimodal resize pads past-payload pixels and frame sampling " +
     "skips partial frames") {
     import spark.implicits._
@@ -204,8 +216,8 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(2) === 1L))
   }
 
-  test("LSH-bucketed ANN: neighbors share every hyperplane sign with " +
-    "their query") {
+  test("LSH-bucketed ANN: neighbors are within hamming-1 of the query's " +
+    "sign bucket (multi-probe)") {
     import spark.implicits._
     val out = Similarity.sAnnLsh(spark, dir)
       .select("query_id", "neighbor_id")
@@ -223,7 +235,9 @@ class LlmOpsSpec extends AnyFunSuite {
         if (d >= 0) 1L << i else 0L
       }.sum
     out.foreach { case (q, n) =>
-      assert(bucket(vecs(q)) === bucket(vecs(n)), s"query $q neighbor $n")
+      val hamming =
+        java.lang.Long.bitCount(bucket(vecs(q)) ^ bucket(vecs(n)))
+      assert(hamming <= 1, s"query $q neighbor $n hamming $hamming")
       assert(q !== n)
     }
   }
