@@ -51,6 +51,7 @@ object SparkEntry {
     "w_asof_join"          -> (EventQueries.wAsofJoin _),
     "w_range_join"         -> ((s, d) => EventQueries.wRangeJoin(s, d)),
     "g_rollup_metrics"     -> (EventQueries.gRollupMetrics _),
+    "g_cube_metrics"       -> (EventQueries.gCubeMetrics _),
     "v_approx_distinct"    -> (EventQueries.vApproxDistinct _),
     "g_pivot_daily"        -> (EventQueries.gPivotDaily _),
     "g_unpivot_daily"      -> (EventQueries.gUnpivotDaily _),
@@ -442,6 +443,14 @@ object SparkEntry {
         |SELECT o_custkey, 'early_only' AS cohort
         |FROM (SELECT o_custkey FROM e EXCEPT SELECT o_custkey FROM l) b
         |ORDER BY cohort, o_custkey""".stripMargin,
+    "g_cube_metrics" ->
+      """SELECT CAST(GROUPING(event_type, epoch_day) AS BIGINT) AS lvl,
+        |  event_type, epoch_day, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        |FROM (SELECT event_type, epoch_us(ts) // 86400000000 AS epoch_day,
+        |        value FROM events) e
+        |GROUP BY CUBE(event_type, epoch_day)
+        |ORDER BY lvl, event_type, epoch_day""".stripMargin,
     "v_approx_distinct" ->
       """SELECT n_exact,
         |  CAST(abs(n_approx - n_exact) AS DOUBLE) <=

@@ -260,6 +260,22 @@ object EventQueries {
         (col("ts_b") - col("ts_a")).as("gap_us"))
   }
 
+  /** CUBE — the full grouping-sets lattice: (type, day), (type),
+    * (day), () in ONE Expand+aggregate pass; the cross-classified
+    * margins [[gRollupMetrics]]'s hierarchy omits (lvl 2 = per-day
+    * totals across types). */
+  def gCubeMetrics(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .withColumn("epoch_day", expr(s"ts DIV ${NanosPerDay}L"))
+      .cube(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value"), 2).as("total_value"),
+        grouping_id().as("lvl"))
+      .select(col("lvl"), col("event_type"), col("epoch_day"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("lvl"), col("event_type"), col("epoch_day"))
+  }
+
   /** PIVOT: per-day event counts spread into one column per event
     * type. The pivot VALUES are pinned explicitly — with an explicit
     * list Spark skips the extra distinct-values job AND the output
