@@ -90,8 +90,9 @@ object SparkEntry {
     "s_cosine_pairs"    -> ((s, d) => Similarity.sCosinePairs(s, d)),
     "s_ann_ivf"         -> ((s, d) => Similarity.sAnnIvf(s, d)),
     "s_ann_lsh"         -> ((s, d) => Similarity.sAnnLsh(s, d)),
-    // trained k-means quantizer: not SQL-expressible -> no oracleSql
-    // entry; the driver records the weaker rows-only check
+    // trained k-means quantizer: deterministic fixed-seed Lloyd with a
+    // quantized (order-independent) update -> the oracle replays both
+    // iterations as CTEs and hash-matches exactly
     "s_ann_kmeans"      -> ((s, d) => Similarity.sAnnKmeans(s, d)),
     "mm_media_features" -> (Multimodal.mmMediaFeatures _),
     "mm_resize"         -> (Multimodal.mmResize _),
@@ -691,6 +692,75 @@ object SparkEntry {
         |  FROM a q JOIN a x ON q.vec_id < 20
         |    AND bit_count(xor(x.bucket, q.bucket)) <= 1
         |    AND x.vec_id != q.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cosine
+        |FROM r WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin,
+    // the trainer replayed exactly: seeds = 8 lowest vec_ids; two Lloyd
+    // iterations, each = argmax-cosine assignment (first-max tie-break
+    // = ORDER BY score DESC, cell) + quantized mean update
+    // (sum(floor(x*2^20)) as exact int64, one division) with
+    // empty-cell carry-over; then the same bucketed top-3 as s_ann_ivf.
+    // Integer update sums are order-independent -> bit-identical to
+    // Spark regardless of partitioning.
+    "s_ann_kmeans" ->
+      """WITH n AS (SELECT vec_id, emb,
+        |    sqrt(list_sum(list_transform(list_zip(emb, emb), x -> x[1] * x[2]))) AS nrm
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e),
+        |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+        |    emb AS c
+        |  FROM (SELECT vec_id, emb FROM n ORDER BY vec_id LIMIT 8)),
+        |s1 AS (SELECT n.vec_id, c.cell,
+        |    list_sum(list_transform(list_zip(n.emb, c.c), x -> x[1] * x[2]))
+        |      / sqrt(list_sum(list_transform(list_zip(c.c, c.c), x -> x[1] * x[2]))) AS score
+        |  FROM n CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
+        |  FROM s1) WHERE rk = 1),
+        |u1 AS (SELECT a1.cell, dd.d,
+        |    SUM(CAST(floor(n.emb[dd.d] * 1048576.0) AS BIGINT)) AS s,
+        |    COUNT(*) AS cnt
+        |  FROM a1 JOIN n USING (vec_id)
+        |    CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+        |  GROUP BY a1.cell, dd.d),
+        |m1 AS (SELECT cell,
+        |    list(CAST(s AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0) ORDER BY d) AS c
+        |  FROM u1 GROUP BY cell),
+        |c1 AS (SELECT c0.cell, COALESCE(m1.c, c0.c) AS c
+        |  FROM c0 LEFT JOIN m1 USING (cell)),
+        |s2 AS (SELECT n.vec_id, c.cell,
+        |    list_sum(list_transform(list_zip(n.emb, c.c), x -> x[1] * x[2]))
+        |      / sqrt(list_sum(list_transform(list_zip(c.c, c.c), x -> x[1] * x[2]))) AS score
+        |  FROM n CROSS JOIN c1 c),
+        |a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
+        |  FROM s2) WHERE rk = 1),
+        |u2 AS (SELECT a2.cell, dd.d,
+        |    SUM(CAST(floor(n.emb[dd.d] * 1048576.0) AS BIGINT)) AS s,
+        |    COUNT(*) AS cnt
+        |  FROM a2 JOIN n USING (vec_id)
+        |    CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+        |  GROUP BY a2.cell, dd.d),
+        |m2 AS (SELECT cell,
+        |    list(CAST(s AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0) ORDER BY d) AS c
+        |  FROM u2 GROUP BY cell),
+        |c2 AS (SELECT c1.cell, COALESCE(m2.c, c1.c) AS c
+        |  FROM c1 LEFT JOIN m2 USING (cell)),
+        |s3 AS (SELECT n.vec_id, c.cell,
+        |    list_sum(list_transform(list_zip(n.emb, c.c), x -> x[1] * x[2]))
+        |      / sqrt(list_sum(list_transform(list_zip(c.c, c.c), x -> x[1] * x[2]))) AS score
+        |  FROM n CROSS JOIN c2 c),
+        |a3 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
+        |  FROM s3) WHERE rk = 1),
+        |ax AS (SELECT n.vec_id, n.emb, n.nrm, a3.cell
+        |  FROM n JOIN a3 USING (vec_id)),
+        |p AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.emb, t.emb), x2 -> x2[1] * x2[2]))
+        |      / (q.nrm * t.nrm) AS cosine
+        |  FROM ax q JOIN ax t ON q.vec_id < 20 AND t.cell = q.cell
+        |    AND t.vec_id != q.vec_id),
         |r AS (SELECT query_id, neighbor_id, cosine,
         |    ROW_NUMBER() OVER (PARTITION BY query_id
         |      ORDER BY cosine DESC, neighbor_id) AS rk FROM p)

@@ -157,6 +157,15 @@ object Similarity {
     *    a fixed iteration count, and array_position's first-max
     *    tie-break — reruns partition identically (no Math.random
     *    k-means++ seeding);
+    *  - the Lloyd UPDATE is a QUANTIZED mean: per dimension it sums
+    *    `floor(x · 2²⁰)` as exact int64 and divides once at the end.
+    *    Integer sums are order-INDEPENDENT, so — unlike a floating
+    *    `avg()`, whose partition-merge order perturbs the last ulp —
+    *    the trained centroids are bit-identical across partitionings,
+    *    cluster sizes, AND engines (the DuckDB oracle replays the same
+    *    two iterations as CTEs and lands on the same bits). The ~1e-6
+    *    quantization of the update step is noise relative to Lloyd's
+    *    own convergence tolerance;
     *  - empty cells keep their previous centroid.
     *
     * `df` must carry `emb` (array<double>) and `nrm` ([[withNorm]]). */
@@ -166,14 +175,19 @@ object Similarity {
       .select(col("emb")).collect()
       .map(_.getSeq[Double](0).toArray)
     val d = centroids.head.length
+    val scale = 1048576.0 // 2^20: x·2^20 is exact for float-sourced doubles
     (0 until iters).foreach { _ =>
+      val aggs = count(lit(1)).as("cnt") +: (0 until d).map(i =>
+        sum(floor(element_at(col("emb"), i + 1) * scale)).as(s"m$i"))
       val means = withCell(df, centroids)
         .groupBy(col("cell"))
-        .agg(avg(element_at(col("emb"), 1)).as("m0"),
-          (1 until d).map(i =>
-            avg(element_at(col("emb"), i + 1)).as(s"m$i")): _*)
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
-        .map(r => r.getInt(0) -> (0 until d).map(i => r.getDouble(i + 1)).toArray)
+        .map { r =>
+          val cnt = r.getLong(1).toDouble
+          r.getInt(0) -> (0 until d)
+            .map(i => r.getLong(i + 2).toDouble / (cnt * scale)).toArray
+        }
         .toMap
       centroids = centroids.indices
         .map(c => means.getOrElse(c, centroids(c))).toArray
@@ -202,9 +216,10 @@ object Similarity {
 
   /** IVF with the TRAINED quantizer: k-means cells instead of the
     * given `label` buckets; each query searches only its own cell via
-    * the same broadcast + equi-join shape as [[sAnnIvf]]. Declared
-    * with a rows-level check only (the iterative trainer is not
-    * SQL-expressible in the oracle). */
+    * the same broadcast + equi-join shape as [[sAnnIvf]]. The trainer
+    * is fully deterministic (fixed seeds, fixed iterations, quantized
+    * order-independent update), so the DuckDB oracle unrolls the same
+    * two Lloyd iterations as CTEs and hash-matches exactly. */
   def sAnnKmeans(spark: SparkSession, dir: String, k: Int = 3,
       nQueries: Int = 20, nCells: Int = 8, iters: Int = 2): DataFrame = {
     val e = withNorm(embeddings(spark, dir))
