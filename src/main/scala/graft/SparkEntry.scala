@@ -118,6 +118,8 @@ object SparkEntry {
     // Sink layer (K1-K4) + resume (S3) round trips
     "near_sink_roundtrip"      -> (NearQueries.sinkRoundtrip _),
     "near_sink_resume"         -> (NearQueries.sinkResume _),
+    // K2 time travel: pin-0 before an overwrite+compaction, pin-1 after
+    "near_read_asof"           -> (NearQueries.readAsOf _),
     // Sources: S1/S2 block-file layout, S4 assets feed
     "near_s1_file_source"      -> (NearQueries.s1FileSource _),
     "near_s4_assets"           -> (NearQueries.s4Assets _),
@@ -837,6 +839,23 @@ object SparkEntry {
       """SELECT CAST(161 AS BIGINT) AS last_height,
         |  CAST(22 AS BIGINT) AS n_raw,
         |  CAST(11 AS BIGINT) AS n_final""".stripMargin,
+    // pin 0 = the pristine image; pin 1 = the post-overwrite FINAL
+    // image (index_in_log = 0 payloads mutated), which must survive
+    // compaction unchanged
+    "near_read_asof" ->
+      (s"WITH ${graft.fixtures.NearFixtures.eventsCte}\n" +
+        """SELECT CAST(0 AS BIGINT) AS pin, * FROM ne
+          |UNION ALL
+          |SELECT CAST(1 AS BIGINT) AS pin, block_height,
+          |  block_timestamp_ns, block_hash, contract_id,
+          |  execution_status, version, standard, index_in_log,
+          |  CASE WHEN index_in_log = 0 THEN 'mutated' ELSE event END AS event,
+          |  data, related_receipt_id, related_receipt_receiver_id,
+          |  related_receipt_predecessor_id, tx_hash,
+          |  receipt_index_in_block
+          |FROM ne
+          |ORDER BY pin, block_height, receipt_index_in_block,
+          |  index_in_log""".stripMargin),
     "near_s1_file_source"      -> graft.fixtures.NearFixtures.eventsSql,
     "near_s4_assets" ->
       (s"WITH ${graft.fixtures.NearFixtures.assetsCte}\n" +

@@ -52,17 +52,27 @@ object BucketedJoin {
 
   /** Orders-per-customer rollup over the bucketed pair — the same
     * result as a plain join + groupBy, with no shuffle anywhere in the
-    * plan between the bucket scans and the final ordered output. */
+    * plan between the bucket scans and the final ordered output.
+    *
+    * Table names are SESSION-UNIQUE (suffixed with the application id):
+    * the bucket write is a destructive side effect (DROP + warehouse
+    * delete + rewrite), and fixed global names would let concurrent
+    * sessions sharing a warehouse dir race on the same paths, and any
+    * repeated plan inspection rewrite shared catalog state (ADVICE
+    * r5). */
   def jBucketedOrders(spark: SparkSession, dir: String): DataFrame = {
+    val sfx = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val custTable = s"graft_bkt_customer_$sfx"
+    val ordTable = s"graft_bkt_orders_$sfx"
     writeBucketed(
       Tables.customer(spark, dir).select("c_custkey", "c_name"),
-      spark, "graft_bkt_customer", "c_custkey")
+      spark, custTable, "c_custkey")
     writeBucketed(
       Tables.orders(spark, dir).select("o_custkey", "o_totalprice"),
-      spark, "graft_bkt_orders", "o_custkey")
+      spark, ordTable, "o_custkey")
 
-    val c = spark.table("graft_bkt_customer")
-    val o = spark.table("graft_bkt_orders")
+    val c = spark.table(custTable)
+    val o = spark.table(ordTable)
     c.join(o, col("c_custkey") === col("o_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(count(lit(1)).as("n_orders"),

@@ -196,6 +196,36 @@ object NearQueries {
         col("index_in_log"))
   }
 
+  /** K2 TIME TRAVEL (`ParquetSink.readAsOf`): seq 0 writes the
+    * original events, seq 1 overwrites the `event` payload of the
+    * index_in_log = 0 rows, then the table is COMPACTED (survivors
+    * keep their version stamps). Returns the pin-0 image read BEFORE
+    * compaction stacked on the pin-1 image read AFTER it — proving a
+    * pre-overwrite pin sees only originals, and the latest pin keeps
+    * resolving across the merge. The pin-0 frame is checkpointed
+    * before compact() swaps the files out from under its lazy scan. */
+  def readAsOf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sink.ParquetSink
+    val path = freshSinkDir("events_asof")
+    val ev = eventsDf(spark)
+    ParquetSink.writeBatch(ev, path, 0L, eventPk)
+    ParquetSink.writeBatch(
+      ev.filter(col("index_in_log") === 0L)
+        .withColumn("event", lit("mutated")),
+      path, 1L, eventPk)
+    val pin0 = ParquetSink.readAsOf(spark.read.parquet(path), eventPk, 0L)
+      .select(NearFixtures.eventCols.map(col): _*)
+      .localCheckpoint()
+    ParquetSink.compact(spark, path, eventPk)
+    val pin1 = ParquetSink.readAsOf(spark.read.parquet(path), eventPk, 1L)
+      .select(NearFixtures.eventCols.map(col): _*)
+    pin0.withColumn("pin", lit(0L))
+      .unionByName(pin1.withColumn("pin", lit(1L)))
+      .select((col("pin") +: NearFixtures.eventCols.map(col)): _*)
+      .orderBy(col("pin"), col("block_height"),
+        col("receipt_index_in_block"), col("index_in_log"))
+  }
+
   /** S3 resume-from-last-height + raw-vs-FINAL row counts, before and
     * after compaction. */
   def sinkResume(spark: SparkSession, dir: String): DataFrame = {

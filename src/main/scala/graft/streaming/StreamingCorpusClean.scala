@@ -47,10 +47,13 @@ object StreamingCorpusClean {
   private val hashPk = Seq("norm_hash")
 
   /** One micro-batch fold (pure): returns (canon docs with gate
-    * metrics, new hash-state rows, new band rows, verified pairs). */
+    * metrics, new hash-state rows, new band rows, verified pairs,
+    * verify-stage persists for the caller to release after its
+    * writes). */
   def processBatch(newDocs: DataFrame,
       hashState: DataFrame, bandState: DataFrame,
-      canonDocs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      canonDocs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
     val gated = CorpusPipeline.gateBatch(newDocs)
       .withColumn("norm_hash", md5(lower(trim(col("text")))))
     // within-batch min-id per hash, then drop hashes already in state
@@ -61,11 +64,11 @@ object StreamingCorpusClean {
       .filter(col("rn") === 1).drop("rn")
       .join(hashState.select(col("norm_hash")), hashPk, "left_anti")
       .localCheckpoint() // consumed by 4 sinks/joins below
-    val (newBands, pairs) = StreamingDedup.processBatch(
+    val (newBands, pairs, cached) = StreamingDedup.processBatchTracked(
       batchCanon.select(col("doc_id"), col("text")), bandState,
       canonDocs.unionByName(batchCanon.select(col("doc_id"), col("text"))))
     (batchCanon, batchCanon.select(col("norm_hash"), col("doc_id")),
-      newBands, pairs)
+      newBands, pairs, cached)
   }
 
   /** Drain every unseen chunk file (Trigger.AvailableNow, resumable
@@ -86,14 +89,22 @@ object StreamingCorpusClean {
         val batch = b.localCheckpoint()
         if (!batch.isEmpty) {
           val maxId = batch.agg(max(col("doc_id"))).collect()(0).getLong(0)
-          val hashState = tableOr(hashPath,
-            Seq.empty[(String, Long)].toDF("norm_hash", "doc_id"))
+          // hash/canon state resolve through FINAL like
+          // StreamingDedup.runStream's allDocs: after a crash-replay the
+          // raw files hold duplicate rows per PK, and raw reads would
+          // multiply the anti-join/verify inputs (ADVICE r5). Band state
+          // stays raw: replayed band rows are identical and the
+          // candidate join ends in distinct().
+          val hashState = if (ParquetSink.hasData(hashPath))
+            ParquetSink.readFinal(spark.read.parquet(hashPath), hashPk)
+          else Seq.empty[(String, Long)].toDF("norm_hash", "doc_id")
           val bandState = tableOr(bandsPath,
             Seq.empty[(Long, Int, Long)].toDF("doc_id", "band", "bucket"))
-          val canonDocs = tableOr(docsPath,
-            Seq.empty[(Long, String)].toDF("doc_id", "text"))
+          val canonDocs = (if (ParquetSink.hasData(docsPath))
+            ParquetSink.readFinal(spark.read.parquet(docsPath), docsPk)
+          else Seq.empty[(Long, String)].toDF("doc_id", "text"))
             .select("doc_id", "text")
-          val (canon, hashRows, newBands, pairs) =
+          val (canon, hashRows, newBands, pairs, cached) =
             processBatch(batch, hashState, bandState, canonDocs)
           // write order per the object scaladoc: docs, pairs, bands,
           // hash state LAST (the replay barrier)
@@ -111,9 +122,9 @@ object StreamingCorpusClean {
           ParquetSink.writeBatch(
             hashRows.withColumn("block_height", col("doc_id")),
             hashPath, maxId, hashPk)
-          // drop this batch's verify-stage persists (see
-          // StreamingDedup.runStream for the leak rationale)
-          spark.catalog.clearCache()
+          // drop EXACTLY this batch's verify-stage persists (see
+          // StreamingDedup.runStream for the leak + scoping rationale)
+          cached.foreach(_.unpersist())
         }
       }
       .trigger(Trigger.AvailableNow())

@@ -56,28 +56,62 @@ object StreamingDedup {
     * (corpus, nChunks), so writing `takeChunks = 2` now and the full
     * feed later produces byte-identical early files — the checkpoint
     * recognizes them as consumed and resumes at the first unseen chunk
-    * (the mid-stream-arrival case). */
+    * (the mid-stream-arrival case).
+    *
+    * DISTRIBUTED: the corpus never collects to the driver (VERDICT r5
+    * #3 — the old single-collect shape was a driver OOM at real
+    * scale). Global ranks come from range-repartition + per-partition
+    * sort + `zipWithIndex` (one tiny count-per-partition job — the
+    * classic offset pattern); rows then hash-shuffle on their CHUNK id
+    * and each executor writes its chunks' files directly, rows already
+    * (chunk, rank)-sorted. Driver state: the total count and one task
+    * per chunk file — both bounded by nChunks, not the corpus. */
   def writeDocChunks(spark: SparkSession, docs: DataFrame, dir: String,
       nChunks: Int, takeChunks: Int = Int.MaxValue,
       schema: StructType = docSchema): Unit = {
-    val d = new java.io.File(dir)
-    d.mkdirs()
+    new java.io.File(dir).mkdirs()
     val cols = schema.fieldNames.toSeq
-    // one job: (json, doc_id) pairs from a single sorted pass (two
-    // independent collects would also silently rely on the two sorts
-    // agreeing)
-    val rows = docs
+    val total = docs.count()
+    val per = math.max(1L, (total + nChunks - 1) / nChunks)
+    val ordered = docs
       .select(to_json(struct(cols.map(col): _*)).as("j"), col("doc_id"))
-      .sort(col("doc_id")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val per = math.max(1, (rows.length + nChunks - 1) / nChunks)
-    rows.grouped(per).take(takeChunks).foreach { chunk =>
-      val firstId = chunk.head._2
-      val json = chunk.map(_._1).mkString("", "\n", "\n")
-      val p = java.nio.file.Paths.get(dir, f"docs_$firstId%012d.json")
-      java.nio.file.Files.writeString(p, json)
-      p.toFile.setLastModified(1600000000000L + firstId * 1000L): Unit
-    }
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    val take = takeChunks.toLong
+    val session = docs.sparkSession
+    import session.implicits._
+    val chunked = ordered.rdd.zipWithIndex()
+      .flatMap { case (r, i) =>
+        val c = i / per
+        if (c < take) Some((c, i, r.getString(0), r.getLong(1))) else None
+      }
+      .toDF("chunk", "rank", "j", "doc_id")
+    val dirStr = dir
+    chunked
+      .repartition(math.min(nChunks, 32), col("chunk"))
+      .sortWithinPartitions(col("chunk"), col("rank"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        // rows arrive (chunk, rank)-sorted; a partition may hold several
+        // whole chunks — write each as one file, named and mtime-stamped
+        // from its first doc_id
+        val grouped = new Iterator[Seq[org.apache.spark.sql.Row]] {
+          val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): Seq[org.apache.spark.sql.Row] = {
+            val c = buf.head.getLong(0)
+            val out = Seq.newBuilder[org.apache.spark.sql.Row]
+            while (buf.hasNext && buf.head.getLong(0) == c) out += buf.next()
+            out.result()
+          }
+        }
+        grouped.foreach { chunk =>
+          val firstId = chunk.head.getLong(3)
+          val json = chunk.map(_.getString(2)).mkString("", "\n", "\n")
+          val p = java.nio.file.Paths.get(dirStr, f"docs_$firstId%012d.json")
+          java.nio.file.Files.writeString(p, json)
+          p.toFile.setLastModified(1600000000000L + firstId * 1000L): Unit
+        }
+      }
   }
 
   /** Streaming read of a document feed: one chunk file per micro-batch,
@@ -97,6 +131,19 @@ object StreamingDedup {
       allDocs: DataFrame,
       gramHashes: String = "token_shingle_hashes(text, 3)",
       threshold: Double = 0.8): (DataFrame, DataFrame) = {
+    val (bands, pairs, _) =
+      processBatchTracked(newDocs, stateBands, allDocs, gramHashes, threshold)
+    (bands, pairs)
+  }
+
+  /** [[processBatch]] plus the DataFrames the verify stage persisted,
+    * so the stream can unpersist EXACTLY those after the batch's writes
+    * (a session-wide `clearCache()` would also drop caller-held caches
+    * — ADVICE r5). */
+  def processBatchTracked(newDocs: DataFrame, stateBands: DataFrame,
+      allDocs: DataFrame,
+      gramHashes: String = "token_shingle_hashes(text, 3)",
+      threshold: Double = 0.8): (DataFrame, DataFrame, Seq[DataFrame]) = {
     // localCheckpoint: consumed by the candidate join here AND written
     // to the band table by the caller — don't recompute signatures
     val newBands = Dedup.bandRows(
@@ -113,7 +160,9 @@ object StreamingDedup {
       .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
         greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
       .distinct()
-    (newBands, Dedup.verifiedPairs(cand, allDocs, gramHashes, threshold))
+    val (pairs, cached) =
+      Dedup.verifiedPairsTracked(cand, allDocs, gramHashes, threshold)
+    (newBands, pairs, cached)
   }
 
   /** Run the streaming dedup over every chunk file the checkpoint has
@@ -151,8 +200,8 @@ object StreamingDedup {
             if (ParquetSink.hasData(bandsPath))
               spark.read.parquet(bandsPath)
             else emptyBands(spark)
-          val (newBands, pairs) =
-            processBatch(batch, state, allDocs, gramHashes, threshold)
+          val (newBands, pairs, cached) =
+            processBatchTracked(batch, state, allDocs, gramHashes, threshold)
           ParquetSink.writeBatch(
             pairs.withColumn("block_height", col("doc_b")),
             pairsPath, maxId, pairsPk)
@@ -161,11 +210,13 @@ object StreamingDedup {
           ParquetSink.writeBatch(
             newBands.withColumn("block_height", col("doc_id")),
             bandsPath, maxId, Seq("doc_id", "band"))
-          // verifiedPairs persists per batch; drop the entries once the
-          // writes above have consumed them — CacheManager holds strong
-          // references, so a long-running stream would otherwise
-          // accumulate dead cache entries without bound
-          spark.catalog.clearCache()
+          // the verify stage persists per batch; drop EXACTLY those
+          // entries once the writes above have consumed them —
+          // CacheManager holds strong references (a long-running stream
+          // would accumulate dead entries without bound), and a
+          // session-wide clearCache() would also drop caches the CALLER
+          // holds (ADVICE r5)
+          cached.foreach(_.unpersist())
         }
       }
       .trigger(Trigger.AvailableNow())

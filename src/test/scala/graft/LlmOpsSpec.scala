@@ -267,6 +267,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
   }
 
+  test("min-label propagation collapses a long near-dup chain to one group") {
+    // a 100-link chain (0-1, 1-2, …, 99-100) is the worst case for
+    // plain O(diameter) propagation; pointer doubling must still
+    // converge (in ~log2(100) rounds) and label every vertex 0.
+    // Offsets make ids non-contiguous so the label is genuinely the
+    // component MINIMUM, not an artifact of id order.
+    import spark.implicits._
+    val chain = (0 until 100).map(i => (i * 7L + 3L, (i + 1) * 7L + 3L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.minLabelComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 101)
+    assert(labels.values.toSet === Set(3L))
+
+    // two disjoint components stay disjoint
+    val two = Seq((10L, 20L), (20L, 30L), (100L, 200L)).toDF("doc_a", "doc_b")
+    val l2 = Dedup.minLabelComponents(two)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2 === Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      100L -> 100L, 200L -> 100L))
+  }
+
   test("nearest-rank percentiles match a local sort model per language") {
     import spark.implicits._
     val out = graft.llm.TextAnalysis.tQualityPercentiles(spark, dir)
