@@ -768,16 +768,21 @@ object SparkEntry {
         |      ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cosine
         |FROM r WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin,
+    // the decoded raster is the text bytes zero-padded / truncated to
+    // width*height (PNG grayscale is lossless), so every feature of the
+    // ACTUALLY DECODED pixels is closed-form over the source text
     "mm_media_features" ->
-      """SELECT doc_id, 'image/fake' AS media_type,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
-        |  CAST((n_chars % 64) + 16 AS INTEGER) AS width,
-        |  CAST(((n_chars // 64) % 64) + 16 AS INTEGER) AS height,
-        |  CAST(list_sum(list_transform(range(1, length(text) + 1),
-        |    i -> ascii(substring(text, i, 1)))) AS DOUBLE)
-        |    / CAST(length(text) AS DOUBLE) AS mean_byte,
-        |  CAST((length(text) + 15) // 16 AS BIGINT) AS frames_sampled
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, 'image/png' AS media_type,
+        |  CAST(w * h AS BIGINT) AS n_bytes,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    range(1, least(length(text), w * h) + 1),
+        |    i -> ascii(substring(text, i, 1)))), 0) AS DOUBLE)
+        |    / CAST(w * h AS DOUBLE) AS mean_byte,
+        |  CAST((w * h + 15) // 16 AS BIGINT) AS frames_sampled
+        |FROM (SELECT doc_id, text, (n_chars % 64) + 16 AS w,
+        |  ((n_chars // 64) % 64) + 16 AS h FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // nearest-neighbor 16x16 resize replayed with integer index math:
     // out pixel p=(y*16+x) reads source index (y*h//16)*w + (x*w//16),
     // positions past the payload read 0; mean over 256 = sum/2^8, exact
@@ -798,20 +803,26 @@ object SparkEntry {
         |    THEN ascii(substring(text, idx, 1)) ELSE 0 END) AS DOUBLE) / 256
         |    AS mean_byte
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // every 4th 64-byte frame (full frames only); window mean =
-    // sum/2^6, exact in both engines
+    // every 4th 64-byte frame of the DECODED width*height raster (full
+    // frames only; positions past the text are the encoder's zero
+    // padding); window mean = sum/2^6, exact in both engines
     "mm_frame_sample" ->
-      """WITH f AS (
-        |  SELECT doc_id, text,
-        |    unnest(range(0, length(text) // 64, 4)) AS frame_idx
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    ((n_chars % 64) + 16) * (((n_chars // 64) % 64) + 16) AS n_px
         |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text, len,
+        |    unnest(range(0, n_px // 64, 4)) AS frame_idx
+        |  FROM d),
         |b AS (
-        |  SELECT doc_id, frame_idx, text,
+        |  SELECT doc_id, frame_idx, text, len,
         |    unnest(range(1, 65)) AS j
         |  FROM f)
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-        |  CAST(SUM(ascii(substring(text, frame_idx * 64 + j, 1)))
-        |    AS DOUBLE) / 64 AS mean_byte
+        |  CAST(SUM(CASE WHEN frame_idx * 64 + j <= len
+        |    THEN ascii(substring(text, frame_idx * 64 + j, 1))
+        |    ELSE 0 END) AS DOUBLE) / 64 AS mean_byte
         |FROM b GROUP BY doc_id, frame_idx
         |ORDER BY doc_id, frame_idx""".stripMargin,
     // NEAR fixture oracles: bronze/resolver = pinned VALUES golden rows;

@@ -7,18 +7,23 @@ import graft.Tables._
 /** Multimodal-column handling: media as an opaque `binary` column with
   * typed metadata, decoded/feature-extracted per partition.
   *
-  * The container has no image/audio codecs, so `decodeFeatures` is a
-  * DETERMINISTIC FAKE decoder (clearly marked below) — but the
-  * Spark-side plumbing is real and is the part that matters at scale:
-  * a typed `Dataset[MediaRow]` with a binary payload + metadata schema,
-  * `mapPartitions` batch processing (one decoder init per partition,
-  * not per row — the same batch shape a Pandas-UDF/mapInPandas decoder
-  * has), and per-row feature extraction that never leaves the executor.
+  * The codec is REAL: payloads are genuine grayscale PNGs encoded and
+  * decoded with the JDK's `javax.imageio` (zero extra dependencies,
+  * works offline), and every declared query's width/height/mean come
+  * from ACTUALLY DECODED pixels, not from metadata. PNG grayscale is
+  * lossless, so the decoded raster equals the deterministic source
+  * pixels — which is what lets the DuckDB oracle replay the features in
+  * closed form. The raw-raster operators ([[resize]], [[sampleFrames]],
+  * [[decodeFeatures]]) stay codec-agnostic byte/pixel transforms; a
+  * production lake would swap [[decodePng]] for a JPEG/WebP/video
+  * decoder behind the same `mapPartitions` seam.
   *
   * Scale design (100 TB): payloads stay opaque bytes end-to-end (no
-  * driver collect, no string round-trip); the decode stage is a narrow
-  * map so it pipelines with the scan; feature rows are tiny relative to
-  * payloads, so downstream shuffles only ever move features.
+  * driver collect, no string round-trip); encode/decode are narrow maps
+  * so they pipeline with the scan (one codec init per PARTITION —
+  * `ImageIO.setUseCache(false)` once, so executors never touch a disk
+  * scratch dir); feature rows are tiny relative to payloads, so
+  * downstream shuffles only ever move features.
   */
 object Multimodal {
 
@@ -33,34 +38,76 @@ object Multimodal {
       doc_id: Long, media_type: String, n_bytes: Long, width: Int,
       height: Int, mean_byte: Double, frames_sampled: Long)
 
-  /** Synthesize the media table from `documents`: the UTF-8 bytes of
-    * `text` stand in for an encoded image payload; width/height are
-    * derived metadata. Deterministic, so the DuckDB oracle can recompute
-    * every feature from the same source column. */
+  /** Synthesize the raw-pixel media table from `documents`: the UTF-8
+    * bytes of `text` are the row-major pixels of a `width`×`height`
+    * grayscale image (zero-padded / truncated to fit by [[encodePng]]).
+    * Deterministic, so the DuckDB oracle can recompute every decoded
+    * feature from the same source column. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     documents(spark, dir)
       .select(
         col("doc_id").cast("long").as("doc_id"),
-        lit("image/fake").as("media_type"),
+        lit("image/raw").as("media_type"),
         ((col("n_chars") % 64) + 16).cast("int").as("width"),
         (expr("(n_chars DIV 64) % 64") + 16).cast("int").as("height"),
         col("text").cast("binary").as("payload"))
       .as[MediaRow]
   }
 
-  /** Per-partition decode + feature extraction.
-    *
-    * STUB: a real implementation would initialize an image/audio codec
-    * once per partition here and decode `payload`; this container ships
-    * no codec, so the "decode" is a deterministic fake — unsigned byte
-    * mean over the payload and a stride-16 frame sample count. The
-    * iterator shape (init-per-partition, stream rows, no
-    * materialization) is exactly what a real decoder needs. */
+  /** Encode raw rasters as REAL grayscale PNGs (JDK `javax.imageio`).
+    * The payload is zero-padded / truncated to `width`×`height` pixels,
+    * so the (lossless) decode returns exactly that padded raster. */
+  def encodePng(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // once per partition
+      rows.map { r =>
+        val img = new java.awt.image.BufferedImage(
+          r.width, r.height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val px = new Array[Byte](r.width * r.height)
+        System.arraycopy(r.payload, 0, px, 0,
+          math.min(r.payload.length, px.length))
+        img.getRaster.setDataElements(0, 0, r.width, r.height, px)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        MediaRow(r.doc_id, "image/png", r.width, r.height, out.toByteArray)
+      }
+    }
+  }
+
+  /** Decode PNG payloads back to raw rasters. Width/height come from
+    * the DECODED image — the metadata columns are deliberately ignored,
+    * so stale or wrong metadata cannot poison downstream features (the
+    * spec pins this with a tampered-metadata row). `media_type` keeps
+    * naming the source asset format. */
+  def decodePng(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // once per partition
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        val w = img.getWidth
+        val h = img.getHeight
+        val samples = img.getRaster.getSamples(0, 0, w, h, 0,
+          null.asInstanceOf[Array[Int]])
+        val px = new Array[Byte](w * h)
+        var i = 0
+        while (i < px.length) { px(i) = samples(i).toByte; i += 1 }
+        MediaRow(r.doc_id, r.media_type, w, h, px)
+      }
+    }
+  }
+
+  /** Per-partition feature extraction over RAW rasters (compose after
+    * [[decodePng]] for encoded assets): unsigned byte mean over the
+    * pixels and a stride-16 frame sample count. Codec-agnostic by
+    * design — the decode happened in the previous narrow map, so the
+    * same feature stage serves any asset format. */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real codec init would happen once, here
       rows.map { r =>
         val n = r.payload.length
         var sum = 0L
@@ -73,11 +120,15 @@ object Multimodal {
     }
   }
 
-  /** Declared query: media metadata + extracted features per document.
-    * Oracle twin recomputes the byte stats from the ASCII source text
-    * (ascii(char) == byte value for this corpus). */
+  /** Declared query: PNG-encode the source rasters, GENUINELY decode
+    * them with `javax.imageio`, and extract features from the decoded
+    * pixels — width/height/mean all come from the decode, not metadata.
+    * Oracle twin recomputes the padded-raster stats from the ASCII
+    * source text (ascii(char) == byte value for this corpus; positions
+    * past the text are the encoder's zero padding), exact because PNG
+    * grayscale is lossless. */
   def mmMediaFeatures(spark: SparkSession, dir: String): DataFrame = {
-    decodeFeatures(mediaTable(spark, dir))
+    decodeFeatures(decodePng(encodePng(mediaTable(spark, dir))))
       .toDF()
       .select(col("doc_id"), col("media_type"), col("n_bytes"), col("width"),
         col("height"), col("mean_byte"), col("frames_sampled"))
@@ -88,16 +139,14 @@ object Multimodal {
     * out, so the stage composes with [[decodeFeatures]] (and any other
     * media op) without ever leaving the executor.
     *
-    * STUB decode as above: the payload is treated as a 1-byte-per-pixel
-    * `width`×`height` image (positions past the payload read as 0 —
-    * deterministic padding); a real implementation swaps the pixel
-    * arithmetic for a codec call, the `mapPartitions` shape and the
-    * payload-stays-opaque contract are the real thing. Integer-only
+    * Operates on RAW rasters (compose after [[decodePng]]): the payload
+    * is a 1-byte-per-pixel `width`×`height` image, positions past the
+    * payload read as 0 — the same zero padding [[encodePng]] writes, so
+    * the decoded path and a short raw payload agree. Integer-only
     * index math so an oracle can replay it exactly. */
   def resize(media: Dataset[MediaRow], tw: Int, th: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real codec init would happen once, here
       rows.map { r =>
         val out = new Array[Byte](tw * th)
         var y = 0
@@ -131,7 +180,6 @@ object Multimodal {
       every: Int = 4): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real codec init would happen once, here
       rows.flatMap { r =>
         val nFrames = r.payload.length / frameBytes
         Iterator.range(0, nFrames, every).map { f =>
@@ -145,21 +193,26 @@ object Multimodal {
     }
   }
 
-  /** Declared query: decode → resize 16×16 → feature-extract, the
-    * composed media pipeline. Every output is integer-derived (mean
-    * over 256 = sum/2^8), so the oracle replays it bit-exactly. */
+  /** Declared query: PNG-decode → resize 16×16 → feature-extract, the
+    * composed media pipeline over genuinely decoded pixels. Every
+    * output is integer-derived (mean over 256 = sum/2^8), so the oracle
+    * replays it bit-exactly: resize indexes never exceed width×height,
+    * so the decoded (padded) raster yields the same pixels as the
+    * "past-payload reads 0" rule the oracle encodes. */
   def mmResize(spark: SparkSession, dir: String): DataFrame = {
-    decodeFeatures(resize(mediaTable(spark, dir), 16, 16))
+    decodeFeatures(resize(decodePng(encodePng(mediaTable(spark, dir))), 16, 16))
       .toDF()
       .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
         col("mean_byte"))
       .orderBy(col("doc_id"))
   }
 
-  /** Declared query: every 4th 64-byte frame per document, one row per
-    * sampled frame. */
+  /** Declared query: every 4th 64-byte frame of the DECODED raster per
+    * document, one row per sampled frame. The raster is width×height
+    * bytes (zero-padded text), so frame count and window means follow
+    * the padded sequence. */
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
-    sampleFrames(mediaTable(spark, dir))
+    sampleFrames(decodePng(encodePng(mediaTable(spark, dir))))
       .toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
   }

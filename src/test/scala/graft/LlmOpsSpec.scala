@@ -309,6 +309,33 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG codec round-trips the padded raster and decode ignores metadata") {
+    import spark.implicits._
+    // short payload: encoder zero-pads to 3x2; decode must return the
+    // padded raster and REAL dims, losslessly
+    val src = Seq(
+      Multimodal.MediaRow(1L, "image/raw", 3, 2,
+        Array[Byte](10, 20, 30, 40)),
+      Multimodal.MediaRow(2L, "image/raw", 2, 2,
+        Array.tabulate(9)(i => (i * 40).toByte)) // truncated at 4 px
+    ).toDS()
+    val png = Multimodal.encodePng(src).collect().map(m => m.doc_id -> m).toMap
+    // genuine PNG payloads: magic bytes, not the raw raster
+    assert(png.values.forall(_.payload.take(4).toSeq ===
+      Seq[Byte](0x89.toByte, 'P', 'N', 'G')))
+
+    // tamper the metadata: decode must report the true decoded dims
+    val tampered = png.values.toSeq
+      .map(m => Multimodal.MediaRow(m.doc_id, m.media_type, 99, 99, m.payload))
+    val back = Multimodal.decodePng(tampered.toDS()).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(back(1L).width === 3 && back(1L).height === 2)
+    assert(back(1L).payload.toSeq === Seq[Byte](10, 20, 30, 40, 0, 0))
+    assert(back(2L).width === 2 && back(2L).height === 2)
+    assert(back(2L).payload.toSeq ===
+      Array.tabulate(4)(i => (i * 40).toByte).toSeq)
+  }
+
   test("multimodal decode computes byte stats from the payload") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, dir)
