@@ -25,24 +25,40 @@ object Bench {
     // that did not actually run (VERDICT r1 "What's wrong" #2).
     // Correctness-only queries (constant-size fixtures, streaming
     // twins) are excluded — see SparkEntry.correctnessOnly.
+    //
+    // Each query runs TWICE: `queries` is the first run (the same
+    // methodology every prior round reported, so round-over-round
+    // deltas stay comparable) and `queries_warm` the immediately
+    // consecutive second run. Per-query first-run cost is dominated by
+    // whole-stage-codegen compilation, which gives single-run numbers a
+    // ±20% order-dependent variance band; the warm column is the one to
+    // read before calling something a regression (VERDICT r5 #8).
     var failures = List.empty[String]
     val results = SparkEntry.queries
       .filter { case (name, _) => !SparkEntry.correctnessOnly(name) }
       .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: $e")
-            failures ::= name
-            false
-          }
-        spark.catalog.clearCache() // drop per-query persists between runs
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          val t =
+            try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: $e")
+              failures ::= name
+              -1.0
+            }
+          spark.catalog.clearCache() // drop per-query persists between runs
+          t
+        }
+        val cold = once()
+        val warm = if (cold >= 0) once() else -1.0
+        name -> (cold, warm)
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val qsWarm = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
+    val totalWarm = results.values.map(_._2).filter(_ >= 0).sum
     // End-to-end ingest throughput in the reference's own unit
     // (blocks/s; BASELINE: 0.4 current, 15 target): extraction +
     // receipt->tx resolution + event emission + nep245 silver decode
@@ -76,7 +92,14 @@ object Bench {
       -1.0
     }
     val failed = failures.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"ingest_blocks_per_sec":$blocksPerSec,"ingest_blocks_n":$nBlocks,"sf":"$sfDir"}""")
+    // `note` pins the two methodology facts a reader comparing rounds
+    // needs: what the two query columns mean, and that ingest times a
+    // warm run after an untimed full-pipeline warm-up (since r5 —
+    // earlier rounds' ingest numbers were cold-path; ADVICE r5).
+    val note = "queries=first run per query in a warmed session (prior rounds' methodology); " +
+      "queries_warm=second consecutive run (codegen warm, the regression-judging column); " +
+      "ingest is a warm rerun after an untimed full-pipeline warm-up (since r5; r1-r4 were cold)"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"queries":$qs,"queries_warm":$qsWarm,"failed":$failed,"ingest_blocks_per_sec":$blocksPerSec,"ingest_blocks_n":$nBlocks,"sf":"$sfDir","note":"$note"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
