@@ -213,6 +213,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("readAsOf pins never see post-pin or stale data under random maintenance") {
+    // The ParquetSink scaladoc contract: maintenance may make an old
+    // pin UNDER-report (compaction discards pre-pin versions of later-
+    // overwritten keys; TTL trims drop whole rows), but a pin must
+    // never return a row the pinned image didn't contain — no post-pin
+    // seqs, no resurrected older versions, no re-stamped values. Random
+    // insert/compact/trim interleavings, every live pin re-checked
+    // after each maintenance op and at the end.
+    import spark.implicits._
+    import graft.sink.ParquetSink
+    val pk = Seq("id")
+    (0 until 2).foreach { round =>
+      val rnd = new scala.util.Random(7100 + round)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"asof_prop$round").toString + "/t"
+      // model: insert_seq -> the full FINAL image at that seq
+      var history = Map.empty[Long, Map[Long, Long]]
+      var current = Map.empty[Long, Long]
+      var seq = 0L
+      def checkPins(n: Int): Unit = {
+        val pins = rnd.shuffle(history.keys.toList).take(n)
+        pins.foreach { p =>
+          val img = ParquetSink
+            .readAsOf(spark.read.parquet(dir), pk, p)
+            .select(col("id"), col("value"), col("insert_seq"))
+            .collect()
+          val model = history(p)
+          img.foreach { r =>
+            assert(r.getLong(2) <= p,
+              s"pin $p returned post-pin seq ${r.getLong(2)}")
+            assert(model.get(r.getLong(0)).contains(r.getLong(1)),
+              s"pin $p: id ${r.getLong(0)} -> ${r.getLong(1)} but " +
+                s"model says ${model.get(r.getLong(0))}")
+          }
+        }
+      }
+      (0 until 15).foreach { _ =>
+        val op = rnd.nextInt(10)
+        if (op < 6 || history.isEmpty) {
+          // insert a random subset of keys; block_height is a FIXED
+          // function of the key so every version of a key shares one
+          // height bucket (trims remove keys wholesale, the TTL shape)
+          seq += 1
+          val ids = List.fill(1 + rnd.nextInt(6))(rnd.nextInt(20).toLong)
+            .distinct
+          val rows = ids.map(id => (id, seq * 1000 + id, id * 13L))
+          ParquetSink.writeBatch(
+            rows.toDF("id", "value", "block_height"), dir, seq, pk)
+          current = current ++ rows.map(r => r._1 -> r._2)
+          history += seq -> current
+        } else if (op < 8) {
+          ParquetSink.compact(spark, dir, pk)
+          checkPins(3)
+        } else {
+          ParquetSink.dropBucketsBelow(dir, rnd.nextInt(20) * 13L)
+          checkPins(3)
+        }
+      }
+      checkPins(history.size) // every pin, after the full history
+    }
+  }
+
   test("as-of join equals a plain-Scala model under heavy timestamp ties") {
     import spark.implicits._
     // few users x tiny ts range -> same-(user,ts) purchase collisions
