@@ -53,7 +53,37 @@ object BatchRunner {
     "execution_outcomes" -> Some(Seq("execution_outcome_id")),
     "events" -> Some(Seq("related_receipt_id", "index_in_log")),
     "silver_nep245" -> None,
-    "silver_token_diff" -> None)
+    "silver_token_diff" -> None,
+    "silver_public_keys" -> None,
+    "silver_intents_executed" -> None,
+    "silver_fee_changed" -> None,
+    "silver_transfer" -> None,
+    "silver_staging_transfer" -> None)
+
+  /** The FULL silver MV cascade (M1–M7): every MV table the reference's
+    * ClickHouse schema materializes on an events insert
+    * (02-silver-tables.sql; M8/M9 are union VIEWS over these, M10 joins
+    * the referral dim at read time). ONE function both runners call, so
+    * the streaming and batch warehouses write the identical table set
+    * and the parity suite covers all of them via [[productTables]].
+    * Each MV fires on the inserted batch only — incremental by
+    * construction, like the ClickHouse originals. */
+  def writeSilverCascade(events: DataFrame, accounts: AccountsConfig,
+      warehouse: String, seq: Long): Unit = {
+    Seq(
+      "silver_nep245" -> SilverTransforms.nep245Events(events),
+      "silver_token_diff" -> SilverTransforms.dip4TokenDiff(events, accounts),
+      "silver_public_keys" -> SilverTransforms.dip4PublicKeys(events, accounts),
+      "silver_intents_executed" ->
+        SilverTransforms.dip4IntentsExecuted(events, accounts),
+      "silver_fee_changed" -> SilverTransforms.dip4FeeChanged(events, accounts),
+      "silver_transfer" -> SilverTransforms.dip4Transfer(events, accounts),
+      "silver_staging_transfer" ->
+        SilverTransforms.stagingDip4Transfer(events, accounts)
+    ).foreach { case (name, df) =>
+      ParquetSink.writeBatch(df, s"$warehouse/$name", seq, silverClusterKeys)
+    }
+  }
 
   /** Process every block in `blocksDir` newer than the sink's resume
     * height; returns None when there is nothing new. */
@@ -137,13 +167,9 @@ object BatchRunner {
       .localCheckpoint()
     ParquetSink.writeBatch(events, s"$warehouse/events", toHeight, eventsPk)
 
-    // silver: the MV cascade fires on the inserted batch only
+    // silver: the FULL MV cascade fires on the inserted batch only
     // (whole-row dedup on read — see silverClusterKeys)
-    ParquetSink.writeBatch(SilverTransforms.nep245Events(events),
-      s"$warehouse/silver_nep245", toHeight, BatchRunner.silverClusterKeys)
-    ParquetSink.writeBatch(SilverTransforms.dip4TokenDiff(events, accounts),
-      s"$warehouse/silver_token_diff", toHeight,
-      BatchRunner.silverClusterKeys)
+    writeSilverCascade(events, accounts, warehouse, toHeight)
 
     // The transactions table is the RESUME MARKER (lastHeight reads it),
     // so it commits LAST: a crash anywhere above leaves the resume point

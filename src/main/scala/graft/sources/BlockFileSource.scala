@@ -41,6 +41,31 @@ object BlockFileSource {
     }
   }
 
+  /** [[writeBlockFiles]] with `perFile` blocks per file (JSON lines) —
+    * the throughput layout: a file is one micro-batch, so a long chain
+    * streams in length/perFile batches instead of one batch per block.
+    * Height order still holds (blocks sorted, files mtime-stamped from
+    * their first height); within a micro-batch the fold is ordered by
+    * the batch DataFrame's own height columns, exactly like a batch
+    * run over the same range. ONE Spark job serializes the chain. */
+  def writeBlockFilesChunked(spark: SparkSession, blocks: Seq[Block],
+      dir: String, perFile: Int): Unit = {
+    import spark.implicits._
+    val d = new java.io.File(dir)
+    graft.sink.ParquetSink.delete(d)
+    d.mkdirs()
+    val ordered = blocks.sortBy(_.header.height)
+    val json = ordered.toDS().toJSON.collect()
+    val t0 = System.currentTimeMillis()
+    json.zip(ordered.map(_.header.height)).grouped(perFile).foreach { chunk =>
+      val firstH = chunk.head._2
+      val p = java.nio.file.Paths.get(dir, f"$firstH%012d.json")
+      java.nio.file.Files.writeString(p,
+        chunk.map(_._1).mkString("", "\n", "\n"))
+      p.toFile.setLastModified(t0 + firstH * 1000L): Unit
+    }
+  }
+
   /** Batch read, ordered by height. */
   def readBlocks(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(blockSchema).json(dir)

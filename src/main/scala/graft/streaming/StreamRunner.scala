@@ -78,9 +78,12 @@ object StreamRunner {
         val blocks = batch.localCheckpoint()
         if (!blocks.isEmpty) {
           import graft.bronze.BronzeExtractors
-          import graft.silver.SilverTransforms
           import graft.state.ReceiptTxResolver
-          val (st2, events0) = StreamingResolver.processBatch(
+          // carry = TTL-trimmed state for the next batch; lookup = the
+          // untrimmed entry set THIS batch's rows resolve against with
+          // per-row TTL (multi-block batches: early rows must not see
+          // the max-height trim)
+          val (st2, lookup, events0) = StreamingResolver.processBatchFull(
             state, blocks, accounts, ttlBlocks)
           val events = events0.localCheckpoint()
           val hAgg = blocks.agg(min(col("header.height")),
@@ -94,21 +97,16 @@ object StreamRunner {
           val ofInt = BronzeExtractors.outcomesOfInterest(outs, accounts)
           ParquetSink.writeBatch(
             ReceiptTxResolver.attachParentTx(
-              BronzeExtractors.receiptRows(ofInt), st2, ttlBlocks),
+              BronzeExtractors.receiptRows(ofInt), lookup, ttlBlocks),
             s"$warehouse/receipts", maxH, Seq("receipt_id"))
           ParquetSink.writeBatch(
             ReceiptTxResolver.attachParentTx(
-              BronzeExtractors.executionOutcomeRows(ofInt), st2, ttlBlocks),
+              BronzeExtractors.executionOutcomeRows(ofInt), lookup, ttlBlocks),
             s"$warehouse/execution_outcomes", maxH,
             Seq("execution_outcome_id"))
           ParquetSink.writeBatch(events, eventsPath, maxH, eventsPk)
-          ParquetSink.writeBatch(SilverTransforms.nep245Events(events),
-            s"$warehouse/silver_nep245", maxH,
-            graft.runner.BatchRunner.silverClusterKeys)
-          ParquetSink.writeBatch(
-            SilverTransforms.dip4TokenDiff(events, accounts),
-            s"$warehouse/silver_token_diff", maxH,
-            graft.runner.BatchRunner.silverClusterKeys)
+          graft.runner.BatchRunner.writeSilverCascade(
+            events, accounts, warehouse, maxH)
           // state commits AFTER the event-derived tables: a crash in
           // between replays the batch against the OLD state — identical
           // rows, FINAL-deduped — never against a state that skipped it.

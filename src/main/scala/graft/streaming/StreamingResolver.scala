@@ -43,13 +43,34 @@ object StreamingResolver {
       .toDF(stateCols: _*)
   }
 
-  /** Fold one micro-batch (a DataFrame of Block rows, normally exactly
-    * one block) into the state; returns (state′, resolved events). */
+  /** Fold one micro-batch (a DataFrame of Block rows — one block in
+    * ordering-test mode, many in throughput mode) into the state;
+    * returns (state′, resolved events). */
   def processBatch(
       state: DataFrame,
       batchBlocks: DataFrame,
       accounts: AccountsConfig = AccountsConfig(),
       ttlBlocks: Long = NearModel.TtlBlocks): (DataFrame, DataFrame) = {
+    val (carry, _, events) =
+      processBatchFull(state, batchBlocks, accounts, ttlBlocks)
+    (carry, events)
+  }
+
+  /** [[processBatch]] also returning the LOOKUP state: the untrimmed
+    * post-fixpoint entry set this batch's own rows must resolve
+    * against, with TTL applied PER ROW (each row sees entries live at
+    * its own height — the batch resolver's `entryLive` contract). The
+    * carried state is trimmed relative to the batch's newest height,
+    * which is safe for the FUTURE (the next batch's rows are all
+    * higher) but wrong for lookups inside a multi-block batch: an
+    * early block's receipt would miss entries the trim already
+    * expired at the batch's max height. Single-block batches can't
+    * tell the difference — per-row TTL at the one height ≡ the trim. */
+  def processBatchFull(
+      state: DataFrame,
+      batchBlocks: DataFrame,
+      accounts: AccountsConfig = AccountsConfig(),
+      ttlBlocks: Long = NearModel.TtlBlocks): (DataFrame, DataFrame, DataFrame) = {
 
     val txs = BronzeExtractors.transactions(batchBlocks, accounts)
     val outs = BronzeExtractors.outcomes(batchBlocks)
@@ -102,18 +123,23 @@ object StreamingResolver {
       else st = st.unionByName(nextDeduped)
     }
 
-    // TTL expiry relative to the newest height in this batch
+    // lookup state: untrimmed — each row applies its own TTL below
+    val lookup = st.localCheckpoint()
+
+    // carry state: TTL expiry relative to the newest height in this
+    // batch (a conservative superset of what any FUTURE row can see)
     val maxHeight = batchBlocks
       .agg(max(col("header.height"))).collect()(0).getLong(0)
-    val st2 = st
+    val carry = lookup
       .filter(col("entry_height") >= maxHeight - ttlBlocks)
       .localCheckpoint()
 
-    val events = BronzeExtractors.eventRows(outs, accounts)
-      .join(st2.select(col("receipt_id").as("related_receipt_id"),
-        col("tx_hash")), Seq("related_receipt_id"), "left")
-      .filter(col("tx_hash").isNotNull)
+    // per-row TTL + warn-and-drop, the same shared path the batch
+    // resolver uses (T5)
+    val events = graft.state.ReceiptTxResolver.attachTxHash(
+      BronzeExtractors.eventRows(outs, accounts), lookup,
+      ttlBlocks = ttlBlocks)
 
-    (st2, events)
+    (carry, lookup, events)
   }
 }

@@ -139,6 +139,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(legs === 2L, s"expected both diff legs of ih1, got $legs")
   }
 
+  test("chunked micro-batches stream the same warehouse as per-block, " +
+    "and the gold view computes over the streamed silvers") {
+    import graft.runner.BatchRunner
+    import graft.sources.BlockFileSource
+    def tmp(name: String): String = {
+      val d = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_test_$name")
+      graft.sink.ParquetSink.delete(d)
+      d.getAbsolutePath
+    }
+    val ordered = NearFixtures.blocks.sortBy(_.header.height)
+
+    // multi-block micro-batches (the throughput layout: 4 blocks/file)
+    // must produce the identical warehouse as a batch run — the
+    // within-batch fixpoint + height-stamped state make batch size an
+    // execution detail, not a semantics knob
+    val whChunk = tmp("cascade_wh_chunk")
+    val blocksChunk = tmp("cascade_blocks_chunk")
+    BlockFileSource.writeBlockFilesChunked(spark, ordered, blocksChunk, 4)
+    StreamRunner.runStream(spark, blocksChunk, whChunk, acc)
+    val whBatch = tmp("cascade_wh_batch")
+    BatchRunner.run(spark, blocksChunk, whBatch, acc)
+    BatchRunner.productTables.foreach { case (name, pk) =>
+      def img(wh: String): Seq[String] = {
+        val t = pk match {
+          case Some(k) => BatchRunner.tableFinal(spark, wh, name, k)
+          case None => BatchRunner.silverFinal(spark, wh, name)
+        }
+        t.select(t.columns.sorted.map(col): _*)
+          .collect().map(_.toString).sorted.toSeq
+      }
+      assert(img(whChunk) === img(whBatch), s"table $name diverges")
+      assert(img(whChunk).nonEmpty, s"table $name is empty")
+    }
+
+    // gold (G1-G8) over the STREAMED warehouse's silver tables equals
+    // the fixture-derived gold — the full reference read path served
+    // from streaming-written MVs
+    import spark.implicits._
+    val assets = spark.createDataset(NearFixtures.assetRows).toDF()
+    val goldStreamed = graft.gold.GoldViews.intentsMetrics(
+      BatchRunner.silverFinal(spark, whChunk, "silver_nep245"),
+      BatchRunner.silverFinal(spark, whChunk, "silver_token_diff"),
+      assets)
+      .collect().map(_.toString).sorted.toSeq
+    val goldFixture = NearQueries.goldMetrics(spark, "")
+      .collect().map(_.toString).sorted.toSeq
+    assert(goldStreamed === goldFixture)
+    assert(goldStreamed.nonEmpty)
+  }
+
   test("real Structured Streaming wiring: MemoryStream + foreachBatch, " +
     "one block per micro-batch") {
     import spark.implicits._
