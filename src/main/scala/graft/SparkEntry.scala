@@ -42,6 +42,9 @@ object SparkEntry {
     // Event stream / silver layer shapes (SURVEY §2.5)
     "m_json_extract"       -> (EventQueries.mJsonExtract _),
     "g_daily_metrics"      -> (EventQueries.gDailyMetrics _),
+    // incremental-aggregate MV via the SummingMergeTree-analog sink
+    // (replays + late replays + a background merge, all invisible)
+    "k_summing_daily"      -> (EventQueries.kSummingDaily _),
     "g_hourly_activity"    -> (EventQueries.gHourlyActivity _),
     "k_latest_event_per_user" -> (EventQueries.kLatestEventPerUser _),
     "v_error_ratio"        -> (EventQueries.vErrorRatio _),
@@ -267,6 +270,16 @@ object SparkEntry {
         |WHERE event_type IN ('purchase','signup')
         |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
         |ORDER BY event_id""".stripMargin,
+    // the summing sink's read must equal ONE plain GROUP BY over the
+    // raw events — partial batches, redeliveries, the merge, and the
+    // late replay are all storage-side mechanics the oracle never sees
+    "k_summing_daily" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS epoch_day,
+        |  event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "g_daily_metrics" ->
       """SELECT epoch_ns(ts) // 86400000000000 AS epoch_day,
         |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(28,2))) AS DOUBLE) AS purchase_value,

@@ -36,6 +36,49 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** INCREMENTAL AGGREGATE MV through the summing sink (the ClickHouse
+    * SummingMergeTree analog, [[graft.sink.ParquetSink.readSummed]]):
+    * daily per-type totals maintained as per-batch PARTIAL aggregates.
+    * The scenario stacks every replay hazard additive state has: three
+    * ingest batches (the events table split by event_id mod 3), an
+    * at-least-once REDELIVERY of batch 2, a background merge
+    * ([[graft.sink.ParquetSink.compactSummed]]), then a LATE replay of
+    * batch 1 from below the merge watermark, then a fresh batch 3.
+    * The read must equal one plain GROUP BY over the whole table — the
+    * DuckDB oracle — with every replay invisible. Value sums stay
+    * DECIMAL across partials/merges (order-independent addition) and
+    * cast to DOUBLE only at the edge (the dsum discipline). */
+  def kSummingDaily(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sink.ParquetSink
+    val d = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_sink_summing_daily")
+    ParquetSink.delete(d)
+    val path = d.getAbsolutePath
+    val keys = Seq("epoch_day", "event_type")
+    val sums = Seq("sum_value_dec", "n_events")
+    val e = events(spark, dir)
+      .withColumn("epoch_day", expr(s"ts DIV ${NanosPerDay}L"))
+    def partial(k: Int): DataFrame = e
+      .filter(pmod(col("event_id"), lit(3)) === k)
+      .groupBy(col("epoch_day"), col("event_type"))
+      .agg(
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+          .as("sum_value_dec"),
+        count(lit(1)).as("n_events"))
+      .withColumn("block_height", col("epoch_day"))
+    ParquetSink.writeSummedBatch(partial(0), path, 1L, keys)
+    ParquetSink.writeSummedBatch(partial(1), path, 2L, keys)
+    ParquetSink.writeSummedBatch(partial(1), path, 2L, keys) // redelivery
+    ParquetSink.compactSummed(spark, path, keys, sums)
+    ParquetSink.writeSummedBatch(partial(0), path, 1L, keys) // late replay
+    ParquetSink.writeSummedBatch(partial(2), path, 3L, keys)
+    ParquetSink.readSummed(spark.read.parquet(path), keys, sums)
+      .select(col("epoch_day"), col("event_type"),
+        col("n_events"),
+        col("sum_value_dec").cast("double").as("sum_value"))
+      .orderBy(col("epoch_day"), col("event_type"))
+  }
+
   /** Daily conditional aggregation (SURVEY G6/G7/G8): per epoch-day,
     * sum value for each event family; `multiIf`-style conditional sums.
     * Reference twin: 03-gold-views.sql:23-31. */

@@ -151,6 +151,88 @@ object ParquetSink {
     swapTmpIntoLive(tmp, path)
   }
 
+  /** SUMMING-table write (the ClickHouse SummingMergeTree analog — the
+    * storage half of an INCREMENTAL AGGREGATE MV): writers append
+    * per-batch PARTIAL aggregate rows; [[readSummed]] folds them into
+    * current totals; [[compactSummed]] pre-folds on disk. Additive
+    * state is replay-HOSTILE — a double-counted partial is silent data
+    * corruption, unlike ReplacingMergeTree where replays collapse by
+    * PK — so the format carries two guards:
+    *
+    *  - reads dedup partials per (key, insert_seq) before summing: an
+    *    at-least-once redelivery of a batch (same seq, identical rows —
+    *    the [[writeBatch]] replay contract) folds exactly once;
+    *  - merged rows carry `summed_through` = the max insert_seq folded
+    *    into them, and reads ignore partials at or below a key's
+    *    watermark: a LATE replay of a pre-compaction batch cannot
+    *    re-add rows already inside the merged total.
+    *
+    * Sum columns must be order-independent under addition (longs,
+    * DECIMALs — never raw doubles; aggregate into DECIMAL and cast at
+    * the edge, the [[graft.Tables.dsum]] discipline). At 100 TB this
+    * turns a full-fact re-aggregation per dashboard query into a scan
+    * of O(keys) pre-summed rows plus the partial tail since the last
+    * merge. */
+  def writeSummedBatch(df: DataFrame, path: String, insertSeq: Long,
+      keyCols: Seq[String], heightBucketSize: Long = 50L): Unit =
+    writeBatch(df.withColumn("summed_through", lit(0L)), path, insertSeq,
+      keyCols, heightBucketSize)
+
+  /** Current totals of a summing table: best merged row per key plus
+    * the not-yet-merged partial tail (replays collapsed as documented
+    * on [[writeSummedBatch]]), summed. Output columns: `keyCols` ++
+    * `sumCols` ++ `block_height` (per-key max — keeps bucket pruning
+    * and resume probes meaningful on the compacted image). */
+  def readSummed(raw: DataFrame, keyCols: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    val keep = keyCols.map(col) ++ sumCols.map(col) ++
+      Seq(col("block_height"), col("insert_seq"), col("summed_through"))
+    val merged = readFinal(raw.filter(col("summed_through") > 0L), keyCols)
+      .select(keep: _*)
+    val partials =
+      readFinal(raw.filter(col("summed_through") === 0L),
+        keyCols :+ "insert_seq")
+        .select(keep: _*)
+        .join(merged.select((keyCols.map(col) :+
+          col("summed_through").as("__w")): _*), keyCols, "left")
+        .filter(col("__w").isNull || col("insert_seq") > col("__w"))
+        .drop("__w")
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) :+
+      max(col("block_height")).as("block_height")
+    merged.unionByName(partials)
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Background merge for a summing table: rewrite as ONE pre-summed
+    * row per key, watermarked (`summed_through` = the max insert_seq on
+    * disk) so late replays of already-folded batches stay invisible.
+    * Same crash-safe rename swap as [[compact]]. */
+  def compactSummed(spark: SparkSession, path: String,
+      keyCols: Seq[String], sumCols: Seq[String],
+      heightBucketSize: Long = 50L): Unit = {
+    recoverSwap(path)
+    val raw = spark.read.parquet(path)
+    val wmark = raw.agg(max(col("insert_seq"))).collect()(0).getLong(0)
+    val summed = readSummed(raw, keyCols, sumCols)
+    // Spark's sum() WIDENS decimals (28,2 → 38,2); writing the widened
+    // type would mix physical parquet types in one table and break the
+    // next scan. Cast each column back to the table's declared type —
+    // callers size their decimal precision with merge headroom (an
+    // overflowing total is the caller's modeling error).
+    val fin = summed
+      .select(summed.columns.toIndexedSeq.map { c =>
+        raw.schema.find(_.name == c)
+          .map(f => col(c).cast(f.dataType).as(c)).getOrElse(col(c))
+      }: _*)
+      .withColumn("insert_seq", lit(wmark))
+      .withColumn("summed_through", lit(wmark))
+    val tmp = path + ".compact"
+    delete(new java.io.File(tmp)) // a stale tmp would be APPENDED onto
+    writeRetainingSeq(fin, tmp, keyCols, heightBucketSize)
+    swapTmpIntoLive(tmp, path)
+  }
+
   /** Full-replace snapshot write — the dimension-table refresh twin of
     * [[compact]] (S4's `REFRESH EVERY 1 DAY` materialization): the new
     * image lands in a tmp directory first, then the same crash-safe

@@ -275,6 +275,71 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("summing sink equals an additive model under random replays and merges") {
+    // Additive state is replay-hostile: the invariant is that totals
+    // NEVER move except when a genuinely new batch lands. Random
+    // interleavings of append / redeliver-any-previous-batch (incl.
+    // batches below a merge watermark — the late-replay case) /
+    // compactSummed, checked against a plain map model after every op.
+    import spark.implicits._
+    import graft.sink.ParquetSink
+    val keys = Seq("k")
+    val sums = Seq("amt", "n")
+    (0 until 2).foreach { round =>
+      val rnd = new scala.util.Random(8200 + round)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"summing_prop$round").toString + "/t"
+      val model = scala.collection.mutable.Map.empty[Long, (BigDecimal, Long)]
+      val batches = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Seq[(Long, BigDecimal, Long)])]
+      def writeRows(seq: Long, rows: Seq[(Long, BigDecimal, Long)]): Unit =
+        ParquetSink.writeSummedBatch(
+          rows.toDF("k", "amt", "n")
+            .withColumn("amt",
+              col("amt").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+            .withColumn("block_height", col("k")),
+          dir, seq, keys)
+      def check(): Unit = {
+        val got = ParquetSink
+          .readSummed(spark.read.parquet(dir), keys, sums)
+          .select(col("k"), col("amt").cast("string"), col("n"))
+          .collect()
+          .map(r => r.getLong(0) -> ((BigDecimal(r.getString(1)), r.getLong(2))))
+          .toMap
+        assert(got.keySet === model.keySet)
+        model.foreach { case (k, (amt, n)) =>
+          assert(got(k)._1 === amt, s"key $k amt ${got(k)._1} != $amt")
+          assert(got(k)._2 === n, s"key $k n ${got(k)._2} != $n")
+        }
+      }
+      var seq = 0L
+      (0 until 12).foreach { _ =>
+        val op = rnd.nextInt(10)
+        if (op < 5 || batches.isEmpty) {
+          seq += 1
+          val rows = List.fill(1 + rnd.nextInt(4))(rnd.nextInt(10).toLong)
+            .distinct.map { k =>
+              (k, BigDecimal(rnd.nextInt(10000)) / 100, rnd.nextInt(50).toLong)
+            }
+          writeRows(seq, rows)
+          batches += seq -> rows
+          rows.foreach { case (k, amt, n) =>
+            val (a0, n0) = model.getOrElse(k, (BigDecimal(0), 0L))
+            model(k) = (a0 + amt, n0 + n)
+          }
+        } else if (op < 8) {
+          // redeliver a random previous batch byte-identically — the
+          // at-least-once contract; totals must not move
+          val (s, rows) = batches(rnd.nextInt(batches.size))
+          writeRows(s, rows)
+        } else {
+          ParquetSink.compactSummed(spark, dir, keys, sums)
+        }
+        check()
+      }
+    }
+  }
+
   test("as-of join equals a plain-Scala model under heavy timestamp ties") {
     import spark.implicits._
     // few users x tiny ts range -> same-(user,ts) purchase collisions
