@@ -130,6 +130,8 @@ object SparkEntry {
     "near_sql_gold"            -> (NearQueries.sqlGoldMetrics _),
     // Full product path with restart (runner + resume + state window)
     "near_runner_events"       -> (NearQueries.runnerEvents _),
+    // incremental gold rollup (block-grain aggregate MV) via the runner
+    "near_gold_daily_rollup"   -> (NearQueries.goldDailyRollup _),
     // Streaming twin (T1 streaming semantics; S1-shape micro-batches)
     "near_stream_events"       -> (NearQueries.streamEvents _),
     // Validation harness (SURVEY §2.7 V5-V8, V10-V11)
@@ -886,6 +888,15 @@ object SparkEntry {
         "SELECT * FROM na ORDER BY defuse_asset_id, price_updated_at_ns"),
     "near_sql_gold"            -> graft.fixtures.NearOracles.goldSql,
     "near_runner_events"       -> graft.fixtures.NearFixtures.eventsSql,
+    // daily rollup over the M1 silver relation (the m1 oracle as a
+    // subquery) — resumed partial batches + the merge must be invisible
+    "near_gold_daily_rollup" ->
+      (s"""SELECT block_timestamp_ns // 86400000000000 AS epoch_day,
+         |  token_id, COUNT(*) AS n_transfers,
+         |  CAST(SUM(CAST(amount AS DECIMAL(28,6))) AS DOUBLE) AS amount_sum
+         |FROM (""".stripMargin +
+        graft.fixtures.NearOracles.m1Sql +
+        ") GROUP BY 1, 2 ORDER BY 1, 2"),
     "near_stream_events"       -> graft.fixtures.NearFixtures.eventsSql,
     "near_v_fingerprints"      -> graft.fixtures.NearOracles.vFingerprintsSql,
     "near_v_domain"            -> graft.fixtures.NearOracles.vDomainSql,

@@ -87,6 +87,31 @@ object GoldViews {
       .orderBy(col("day"))
   }
 
+  /** Per-batch rows of the incremental gold transfer rollup — the
+    * aggregate-MV twin of the query-time [[intentsMetrics]] view.
+    *
+    * GRAIN IS THE REPLAY-ATOMIC UNIT: one row per (block, token), NOT
+    * per (day, token). The batch runner's resume marker comes from the
+    * transactions table, so a block carrying no transactions (e.g. one
+    * holding only receipt outcomes) is legitimately RE-PROCESSED by the
+    * next run inside a DIFFERENT batch composition — an additive
+    * day-grain partial would double-count it (the summing sink's
+    * redelivery guard assumes replay-stable batch boundaries, which
+    * resume-overlap replays violate). At block grain a replay rewrites
+    * byte-identical rows and the ordinary keyed FINAL absorbs them,
+    * exactly like every other product table. Daily totals are then a
+    * read-time rollup over O(blocks x tokens) pre-aggregated rows —
+    * the fact-table scan is still amortized away, which is the point
+    * of the MV. Amount aggregates into DECIMAL (order-independent
+    * addition) and is cast to DOUBLE only at the reader's edge. */
+  def blockTransferRollup(nep245: DataFrame): DataFrame = nep245
+    .withColumn("epoch_day", expr(s"block_timestamp_ns DIV ${NanosPerDay}L"))
+    .groupBy(col("block_height"), col("epoch_day"), col("token_id"))
+    .agg(
+      sum(col("amount").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .as("amount_sum_dec"),
+      count(lit(1)).as("n_transfers"))
+
   /** S4 — defuse_assets loader: the reference refreshes this dimension
     * daily from an HTTP JSON feed `{items: [...]}` (README.md:293-310).
     * Here: parse a pre-fetched JSON document (zero-egress container) —

@@ -310,6 +310,32 @@ object NearQueries {
         col("index_in_log"))
   }
 
+  /** Incremental gold daily rollup through the runner's block-grain
+    * aggregate MV: two resumed runs (a prefix, then the full chain —
+    * the second run legitimately RE-PROCESSES the last prefix block,
+    * whose lack of transactions leaves it above the resume marker),
+    * then a warehouse merge. The daily read must equal a plain GROUP
+    * BY over the whole M1 silver relation — the DuckDB oracle
+    * re-derives it from the raw events CTE, so the resume-overlap
+    * replay and the compaction must both be invisible. */
+  def goldDailyRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.runner.BatchRunner
+    import graft.sources.BlockFileSource
+    graft.Tables.tune(spark)
+    val warehouse = freshSinkDir("gold_rollup_wh")
+    val blocksDir = freshSinkDir("gold_rollup_blocks")
+    val ordered = NearFixtures.blocks.sortBy(_.header.height)
+    BlockFileSource.writeBlockFiles(spark, ordered.take(3), blocksDir)
+    BatchRunner.run(spark, blocksDir, warehouse, acc)
+    BlockFileSource.writeBlockFiles(spark, ordered, blocksDir)
+    BatchRunner.run(spark, blocksDir, warehouse, acc)
+    BatchRunner.compactWarehouse(spark, warehouse) // background merge
+    BatchRunner.goldDailyFinal(spark, warehouse)
+      .select(col("epoch_day"), col("token_id"), col("n_transfers"),
+        col("amount_sum_dec").cast("double").as("amount_sum"))
+      .orderBy(col("epoch_day"), col("token_id"))
+  }
+
   // ------------------------------------------------------------ streaming
 
   /** The streaming path run by the REAL engine: a Structured Streaming

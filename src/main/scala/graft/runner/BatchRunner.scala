@@ -58,7 +58,21 @@ object BatchRunner {
     "silver_intents_executed" -> None,
     "silver_fee_changed" -> None,
     "silver_transfer" -> None,
-    "silver_staging_transfer" -> None)
+    "silver_staging_transfer" -> None,
+    "gold_block_rollup" -> Some(Seq("block_height", "token_id")))
+
+  /** Current daily totals of the incremental gold rollup: keyed FINAL
+    * over the block-grain MV rows (replays absorbed like any product
+    * table), then a read-time day rollup over O(blocks x tokens)
+    * pre-aggregated rows — never the fact table. See
+    * [[graft.gold.GoldViews.blockTransferRollup]] for why the grain is
+    * per block, not per day. */
+  def goldDailyFinal(spark: SparkSession, warehouse: String): DataFrame =
+    tableFinal(spark, warehouse, "gold_block_rollup",
+      Seq("block_height", "token_id"))
+      .groupBy(col("epoch_day"), col("token_id"))
+      .agg(sum(col("amount_sum_dec")).as("amount_sum_dec"),
+        sum(col("n_transfers")).as("n_transfers"))
 
   /** The FULL silver MV cascade (M1–M7): every MV table the reference's
     * ClickHouse schema materializes on an events insert
@@ -70,8 +84,16 @@ object BatchRunner {
     * construction, like the ClickHouse originals. */
   def writeSilverCascade(events: DataFrame, accounts: AccountsConfig,
       warehouse: String, seq: Long): Unit = {
+    val nep245 = SilverTransforms.nep245Events(events)
+    // incremental gold rollup at the replay-atomic (block, token)
+    // grain — resume-overlap replays rewrite identical rows and keyed
+    // FINAL absorbs them (see GoldViews.blockTransferRollup)
+    ParquetSink.writeBatch(
+      graft.gold.GoldViews.blockTransferRollup(nep245),
+      s"$warehouse/gold_block_rollup", seq,
+      Seq("block_height", "token_id"))
     Seq(
-      "silver_nep245" -> SilverTransforms.nep245Events(events),
+      "silver_nep245" -> nep245,
       "silver_token_diff" -> SilverTransforms.dip4TokenDiff(events, accounts),
       "silver_public_keys" -> SilverTransforms.dip4PublicKeys(events, accounts),
       "silver_intents_executed" ->

@@ -161,7 +161,13 @@ object ParquetSink {
     *
     *  - reads dedup partials per (key, insert_seq) before summing: an
     *    at-least-once redelivery of a batch (same seq, identical rows —
-    *    the [[writeBatch]] replay contract) folds exactly once;
+    *    the [[writeBatch]] replay contract) folds exactly once. NB this
+    *    requires REPLAY-STABLE batch boundaries — true for Structured
+    *    Streaming (a replayed micro-batch has the same id and content),
+    *    NOT for the batch runner's resume-overlap replays, which re-cut
+    *    batches; additive MVs fed by such writers must instead key
+    *    their partials at the replay-atomic grain and use keyed FINAL
+    *    ([[graft.gold.GoldViews.blockTransferRollup]]);
     *  - merged rows carry `summed_through` = the max insert_seq folded
     *    into them, and reads ignore partials at or below a key's
     *    watermark: a LATE replay of a pre-compaction batch cannot

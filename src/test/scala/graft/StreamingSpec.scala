@@ -174,6 +174,16 @@ class StreamingSpec extends AnyFunSuite {
       assert(img(whChunk).nonEmpty, s"table $name is empty")
     }
 
+    // the incremental gold rollup MV folds to the same daily totals
+    // whether fed by streaming micro-batches or one batch run
+    def goldDailyImg(wh: String): Seq[String] =
+      BatchRunner.goldDailyFinal(spark, wh)
+        .select(col("epoch_day"), col("token_id"),
+          col("amount_sum_dec").cast("string"), col("n_transfers"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(goldDailyImg(whChunk) === goldDailyImg(whBatch))
+    assert(goldDailyImg(whChunk).nonEmpty)
+
     // gold (G1-G8) over the STREAMED warehouse's silver tables equals
     // the fixture-derived gold — the full reference read path served
     // from streaming-written MVs
