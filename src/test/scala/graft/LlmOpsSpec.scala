@@ -287,6 +287,12 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(l2 === Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
       100L -> 100L, 200L -> 100L))
+
+    // an empty pair relation (nothing near-duplicated) must terminate
+    // and yield zero groups — the null-observation edge of the
+    // sum-based convergence test
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.minLabelComponents(none).collect().isEmpty)
   }
 
   test("nearest-rank percentiles match a local sort model per language") {
