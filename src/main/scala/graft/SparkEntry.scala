@@ -34,6 +34,8 @@ object SparkEntry {
     "q3_shipping_priority" -> (TpchQueries.q3ShippingPriority _),
     "q5_local_supplier"    -> (TpchQueries.q5LocalSupplier _),
     "q9_product_profit"    -> (TpchQueries.q9ProductProfit _),
+    "q6_forecast_revenue"  -> (TpchQueries.q6ForecastRevenue _),
+    "q10_returned_items"   -> (TpchQueries.q10ReturnedItems _),
     "p_filter_project"     -> (TpchQueries.pFilterProject _),
     "k_latest_order_per_customer" -> (TpchQueries.kLatestOrderPerCustomer _),
     "v_orphan_orders"      -> (TpchQueries.vOrphanOrders _),
@@ -71,6 +73,10 @@ object SparkEntry {
     "t_vocab_topk"      -> ((s, d) => TextAnalysis.tVocabTopk(s, d)),
     "t_split_assign"    -> (TextAnalysis.tSplitAssign _),
     "t_quality_percentiles" -> ((s, d) => TextAnalysis.tQualityPercentiles(s, d)),
+    "t_repetition"      -> (TextAnalysis.tRepetition _),
+    "t_tfidf_topk"      -> ((s, d) => TextAnalysis.tTfidfTopk(s, d)),
+    "t_pii_scrub"       -> (TextAnalysis.tPiiScrub _),
+    "t_decontaminate"   -> (TextAnalysis.tDecontaminate _),
     "d_exact_dedup"     -> (Dedup.dExactDedup _),
     "d_minhash_pairs"   -> ((s, d) => Dedup.dMinhashPairs(s, d)),
     "d_ngram_pairs"     -> ((s, d) => Dedup.dNgramPairs(s, d)),
@@ -233,6 +239,27 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name, p_brand
         |ORDER BY n_name, p_brand""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
     "p_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         |FROM lineitem
@@ -505,6 +532,105 @@ object SparkEntry {
         |FROM targets t JOIN ranked r
         |  ON t.lang = r.lang AND r.rn = t.target_rn
         |ORDER BY t.lang, t.p""".stripMargin,
+    "t_repetition" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |base AS (SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_bigrams,
+        |    CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_shingles3,
+        |    CAST(CASE WHEN len(t) >= 3 THEN len(list_distinct(list_transform(
+        |      range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+        |      ELSE 0 END AS BIGINT) AS n_distinct_shingles3
+        |  FROM tok),
+        |big AS (SELECT doc_id, MAX(c) AS top_bigram_cnt FROM (
+        |    SELECT doc_id, gram, COUNT(*) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |        i -> t[i] || ' ' || t[i+1])) AS gram
+        |      FROM tok WHERE len(t) >= 2) g
+        |    GROUP BY doc_id, gram) m GROUP BY doc_id),
+        |f AS (SELECT b.doc_id, b.n_tokens,
+        |    CAST(COALESCE(big.top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+        |    CASE WHEN b.n_bigrams > 0
+        |      THEN CAST(COALESCE(big.top_bigram_cnt, 0) AS DOUBLE)
+        |        / CAST(b.n_bigrams AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac,
+        |    CASE WHEN b.n_shingles3 > 0
+        |      THEN CAST(b.n_shingles3 - b.n_distinct_shingles3 AS DOUBLE)
+        |        / CAST(b.n_shingles3 AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END AS dup_shingle_frac
+        |  FROM base b LEFT JOIN big USING (doc_id))
+        |SELECT doc_id, n_tokens, top_bigram_cnt, top_bigram_frac,
+        |  dup_shingle_frac,
+        |  top_bigram_frac > CAST(0.1 AS DOUBLE)
+        |    OR dup_shingle_frac > CAST(0.3 AS DOUBLE) AS repetitive
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "t_tfidf_topk" ->
+      """WITH tf AS (SELECT doc_id, token, COUNT(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(trim(text), '\s+')) AS token
+        |        FROM documents) x
+        |  GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) *
+        |      (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, token) AS BIGINT) AS rn FROM s)
+        |SELECT doc_id, token, tf, df, tfidf, rn FROM r
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "t_pii_scrub" ->
+      """WITH aug AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' reach user' ||
+        |           CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+        |         WHEN doc_id % 10 = 5 THEN text || ' call 555-' ||
+        |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+        |         ELSE text END AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text2,
+        |    '[a-z0-9]+@[a-z0-9.]+[.][a-z]+', 0)) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text2,
+        |    '555-[0-9]{4}', 0)) AS BIGINT) AS n_phones,
+        |  len(regexp_extract_all(text2, '[a-z0-9]+@[a-z0-9.]+[.][a-z]+', 0))
+        |    + len(regexp_extract_all(text2, '555-[0-9]{4}', 0)) > 0 AS has_pii,
+        |  md5(regexp_replace(regexp_replace(text2,
+        |    '[a-z0-9]+@[a-z0-9.]+[.][a-z]+', '[EMAIL]', 'g'),
+        |    '555-[0-9]{4}', '[PHONE]', 'g')) AS redacted_hash
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    "t_decontaminate" ->
+      """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        |scan AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    text || ' leaked into the training crawl' AS text FROM ev),
+        |evt AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t FROM ev),
+        |sct AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t FROM scan),
+        |evsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, len(t) - 6),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] ||
+        |      ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' ||
+        |      t[i+7]))) AS shingle
+        |  FROM evt WHERE len(t) >= 8),
+        |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(t) - 6),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] ||
+        |      ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' ||
+        |      t[i+7]))) AS shingle
+        |  FROM sct WHERE len(t) >= 8),
+        |m AS (SELECT csh.doc_id, COUNT(*) AS n_matched
+        |  FROM csh JOIN evsh USING (shingle) GROUP BY csh.doc_id)
+        |SELECT s.doc_id,
+        |  CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+        |  COALESCE(m.n_matched, 0) > 0 AS contaminated
+        |FROM scan s LEFT JOIN m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "t_vocab_topk" ->
       """SELECT token, CAST(SUM(tf_doc) AS BIGINT) AS tf,
         |  CAST(COUNT(*) AS BIGINT) AS df

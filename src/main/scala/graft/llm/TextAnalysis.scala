@@ -219,6 +219,182 @@ object TextAnalysis {
       .orderBy(col("lang"), col("p"))
   }
 
+  /** Gopher-style repetition filters per document: the fraction of
+    * bigram slots taken by the single most frequent token bigram, and
+    * the fraction of 3-token shingles that are duplicates of an earlier
+    * shingle in the same doc — the "remove documents that repeat
+    * themselves" gate of a training-data quality pipeline.
+    *
+    * Scale shape: the shingle-duplication terms are narrow per-row
+    * array arithmetic (array_distinct is linear in doc length); the
+    * top-bigram count explodes to (doc_id, gram) rows and runs TWO
+    * hash-partitioned aggregations with map-side combine — never a
+    * per-doc quadratic scan of the gram list, so a pathological long
+    * doc costs O(len), not O(len²). The join back to the per-doc base
+    * is doc_id-to-doc_id (AQE-owned; both sides are corpus-row-count
+    * sized). All ratios are one IEEE double division over exact
+    * integers — bit-identical in the DuckDB oracle. */
+  def tRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = documents(spark, dir)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("n_bigrams",
+        greatest(col("n_tokens") - 1, lit(0L)).cast("long"))
+      .withColumn("n_shingles3",
+        greatest(col("n_tokens") - 2, lit(0L)).cast("long"))
+      .withColumn("n_distinct_shingles3",
+        when(size(col("t")) >= 3,
+          size(expr("array_distinct(transform(sequence(0, size(t) - 3), " +
+            "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))")))
+          .otherwise(lit(0)).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
+        col("n_shingles3"), col("n_distinct_shingles3"))
+    val topBigram = documents(spark, dir)
+      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
+      .withColumn("t", tokens(col("text")))
+      .filter(size(col("t")) >= 2) // sequence(0, negative) counts DOWN
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(t) - 2), " +
+          "i -> concat_ws(' ', t[i], t[i+1]))")).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_bigram_cnt"))
+    base.join(topBigram, Seq("doc_id"), "left")
+      .withColumn("top_bigram_cnt",
+        coalesce(col("top_bigram_cnt"), lit(0L)).cast("long"))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") > 0,
+          col("top_bigram_cnt").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("dup_shingle_frac",
+        when(col("n_shingles3") > 0,
+          (col("n_shingles3") - col("n_distinct_shingles3")).cast("double") /
+            col("n_shingles3").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("repetitive",
+        col("top_bigram_frac") > 0.1 || col("dup_shingle_frac") > 0.3)
+      .select(col("doc_id"), col("n_tokens"), col("top_bigram_cnt"),
+        col("top_bigram_frac"), col("dup_shingle_frac"), col("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Top-k salient terms per document by TF-IDF. The IDF is the plain
+    * corpus-size-over-document-frequency RATIO (unsmoothed linear idf),
+    * not log-idf: division is IEEE-exact in both engines, whereas ln is
+    * a transcendental whose last-ulp rounding is not mandated — the
+    * score ordering these inputs produce is identical, and the gate
+    * hash-compares raw doubles.
+    *
+    * Scale shape: TF is one explode + hash-partitioned aggregation with
+    * map-side combine; DF aggregates the TF relation (vocab-bounded
+    * output) and is explicitly broadcast — the classic bounded-dimension
+    * join; the corpus row count is a scalar aggregate (one tiny job,
+    * driver state = one long). The top-k window partitions by doc_id —
+    * partition size is a single document's vocabulary, so there is no
+    * skew regardless of corpus size, and (tfidf DESC, token ASC) is a
+    * total order making the k-cut deterministic under ties. */
+  def tTfidfTopk(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tf = documents(spark, dir)
+      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = documents(spark, dir).count()
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(broadcast(df), Seq("token"))
+      .withColumn("tfidf",
+        col("tf").cast("double") * (lit(n.toDouble) / col("df").cast("double")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("tfidf"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** PII detection + redaction — the scrubbing pass a training-data
+    * pipeline runs before anything else. The corpus carries no PII, so
+    * the query first plants deterministic synthetic PII (an email on
+    * doc_id ≡ 0 (mod 10), a phone number on ≡ 5 — the same
+    * model-the-input trick the dedup queries use with shifted-id
+    * copies), then detects and redacts it with engine-portable regexes.
+    *
+    * A narrow per-row projection: regex extraction and replacement are
+    * codegen'd string ops, no shuffle, no state; the redacted text is
+    * returned as its md5 so the gate compares content without hauling
+    * full text through the result. */
+  def tPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z0-9.]+[.][a-z]+"
+    val phoneRe = "555-[0-9]{4}"
+    documents(spark, dir)
+      .withColumn("text2",
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+            lit("@mail.example.com now")))
+          .when(col("doc_id") % 10 === 5,
+            concat(col("text"), lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" today")))
+          .otherwise(col("text")))
+      .withColumn("n_emails",
+        size(expr(s"regexp_extract_all(text2, '$emailRe', 0)")).cast("long"))
+      .withColumn("n_phones",
+        size(expr(s"regexp_extract_all(text2, '$phoneRe', 0)")).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text2"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]"))
+      .withColumn("redacted_hash", md5(col("redacted")))
+      .withColumn("has_pii", col("n_emails") + col("n_phones") > 0)
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        col("has_pii"), col("redacted_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * 8-token shingle with a held-out evaluation set — the overlap check
+    * every training build runs so eval answers don't leak into the
+    * training corpus. Eval set = doc_id ≡ 0 (mod 97); the corpus is
+    * modeled with those same eval docs RE-ENTERING the crawl under new
+    * ids with a trailing edit (the real-world leak this pass exists to
+    * catch), so the query provably fires on them and only them — an
+    * 8-token shingle colliding by chance is ~|eval shingles| / 31⁸.
+    *
+    * Scale shape: both sides explode to per-doc DISTINCT shingle rows
+    * (narrow + one explode); the eval side is bounded by the eval-set
+    * size (benchmarks are small — thousands of docs, not corpora) and
+    * is explicitly broadcast after a distinct — so the contamination
+    * check is a broadcast semi-join + per-doc count over the corpus
+    * scan, no shuffle of corpus shingles at all. The final left join
+    * restores zero-match docs (AQE-owned, doc_id keys). */
+  def tDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir).select(col("doc_id"), col("text"))
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+    // leaked ids sit far above the corpus range; (e + 200000) % 97 != 0
+    // for every eval id e, so the scan-side filter below keeps them
+    val leaked = evalDocs.select((col("doc_id") + 200000L).as("doc_id"),
+      concat(col("text"), lit(" leaked into the training crawl")).as("text"))
+    val scanSide = docs.filter(col("doc_id") % 97 =!= 0).unionByName(leaked)
+    val gram8 = "transform(sequence(0, size(t) - 8), i -> concat_ws(' ', " +
+      "t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7]))"
+    def shingles(df: DataFrame): DataFrame = df
+      .withColumn("t", tokens(col("text")))
+      .filter(size(col("t")) >= 8) // sequence(0, negative) counts DOWN
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct($gram8)")).as("shingle"))
+    val evalShingles = shingles(evalDocs).select(col("shingle")).distinct()
+    val matched = shingles(scanSide.repartition(col("doc_id")))
+      .join(broadcast(evalShingles), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"))
+    scanSide.select(col("doc_id"))
+      .join(matched, Seq("doc_id"), "left")
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)).cast("long"))
+      .withColumn("contaminated", col("n_matched") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprints per document: full md5 of the raw text, md5 of
     * the whitespace/case-normalized text (the exact-dedup key), a 64-bit
     * prefix fingerprint, and the distinct 3-token shingle count (the

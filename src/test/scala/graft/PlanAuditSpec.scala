@@ -36,7 +36,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "s_ann_kmeans" -> ((1, Set("query_id"))), // same bounded query set
     "s_ann_lsh" -> ((1, Set("query_id"))), // same bounded query set
     "near_gold_metrics" -> ((1, Set("defuse_asset_id"))), // bounded assets dim
-    "near_sql_gold" -> ((1, Set("defuse_asset_id"))) // same view via spark.sql
+    "near_sql_gold" -> ((1, Set("defuse_asset_id"))), // same view via spark.sql
+    "t_tfidf_topk" -> ((1, Set("df"))), // document-frequency dim: vocab-bounded
+    "t_decontaminate" -> ((1, Set("shingle"))) // eval-set shingles: benchmark-bounded
   )
 
   private def hints(df: DataFrame): Seq[ResolvedHint] =
