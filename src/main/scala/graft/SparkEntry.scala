@@ -77,6 +77,8 @@ object SparkEntry {
     "t_tfidf_topk"      -> ((s, d) => TextAnalysis.tTfidfTopk(s, d)),
     "t_pii_scrub"       -> (TextAnalysis.tPiiScrub _),
     "t_decontaminate"   -> (TextAnalysis.tDecontaminate _),
+    "t_stratified_sample" -> (TextAnalysis.tStratifiedSample _),
+    "t_token_budget"    -> ((s, d) => TextAnalysis.tTokenBudget(s, d)),
     "d_exact_dedup"     -> (Dedup.dExactDedup _),
     "d_minhash_pairs"   -> ((s, d) => Dedup.dMinhashPairs(s, d)),
     "d_ngram_pairs"     -> ((s, d) => Dedup.dNgramPairs(s, d)),
@@ -631,6 +633,39 @@ object SparkEntry {
         |  COALESCE(m.n_matched, 0) > 0 AS contaminated
         |FROM scan s LEFT JOIN m USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "t_stratified_sample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+        |mn AS (SELECT MIN(n_l) AS n_min FROM c),
+        |b AS (SELECT doc_id, lang,
+        |    CAST((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096 +
+        |      (instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 256 +
+        |      (instr('0123456789abcdef', substring(h, 3, 1)) - 1) * 16 +
+        |      instr('0123456789abcdef', substring(h, 4, 1)) - 1 AS BIGINT)
+        |      AS bucket
+        |  FROM (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+        |        FROM documents) x)
+        |SELECT b.doc_id, b.lang, b.bucket, c.n_l,
+        |  sqrt(CAST(mn.n_min AS DOUBLE) / CAST(c.n_l AS DOUBLE)) AS keep_rate
+        |FROM b JOIN c USING (lang) CROSS JOIN mn
+        |WHERE CAST(b.bucket AS DOUBLE) <
+        |  sqrt(CAST(mn.n_min AS DOUBLE) / CAST(c.n_l AS DOUBLE)) * 65536.0
+        |ORDER BY doc_id""".stripMargin,
+    "t_token_budget" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +
+        |      instr('0123456789abcdef', substring(h, 2, 1)) - 1 AS BIGINT)
+        |      AS bucket,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h
+        |        FROM documents) x)
+        |SELECT doc_id, bucket, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY bucket, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
+        |FROM s
+        |QUALIFY cum_tokens <= 20000
+        |ORDER BY bucket, doc_id""".stripMargin,
     "t_vocab_topk" ->
       """SELECT token, CAST(SUM(tf_doc) AS BIGINT) AS tf,
         |  CAST(COUNT(*) AS BIGINT) AS df

@@ -395,6 +395,86 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-based stratified sampling — the data-MIXING op of a
+    * multilingual training build: downsample dominant languages toward
+    * the rare ones so the mix follows p_l^α (α = 0.5) instead of the
+    * raw crawl distribution. Keep-rate per language = sqrt(n_min/n_l)
+    * (1.0 for the rarest stratum); membership is the same deterministic
+    * md5-bucket device as [[tSplitAssign]], widened to 16 bits of
+    * resolution — stable across reruns and engines, no rand().
+    *
+    * Cross-engine determinism: sqrt is IEEE-754 CORRECTLY ROUNDED
+    * (unlike ln/pow, which is why the temperature is exactly 0.5), and
+    * the rate never crosses engines as a normalized sum — n_min/n_l is
+    * one exact division, so Spark and DuckDB compare bit-identical
+    * doubles. Scale shape: per-language counts are one partial
+    * aggregation to a language-bounded relation, broadcast back; the
+    * filter is a narrow per-row projection. */
+  def tStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val counts = documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val nMin = counts.agg(min(col("n_l"))).collect()(0).getLong(0)
+    val bucket16 =
+      "((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096 + " +
+        "(instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 256 + " +
+        "(instr('0123456789abcdef', substring(h, 3, 1)) - 1) * 16 + " +
+        "instr('0123456789abcdef', substring(h, 4, 1)) - 1)"
+    documents(spark, dir)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bucket", expr(bucket16).cast("long"))
+      .join(broadcast(counts), Seq("lang"))
+      .withColumn("keep_rate",
+        sqrt(lit(nMin.toDouble) / col("n_l").cast("double")))
+      .filter(col("bucket").cast("double") < col("keep_rate") * 65536.0)
+      .select(col("doc_id"), col("lang"), col("bucket"), col("n_l"),
+        col("keep_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-budget prefix cut: take documents in a deterministic
+    * hash-priority order until a token budget is exhausted — how a
+    * training build caps a source at N tokens without biasing toward
+    * any id range. Priority order = (bucket, doc_id), bucket being the
+    * [[tSplitAssign]] md5 device, so the cut is reproducible and
+    * unbiased.
+    *
+    * Scale shape: a single global cumulative-sum window would put the
+    * WHOLE corpus in one task — the skew trap [[tQualityPercentiles]]
+    * dodges. Instead the classic two-pass offset pattern (same shape as
+    * the distributed chunk writer, [[graft.streaming.StreamingDedup]]):
+    * (1) per-bucket token totals — one partial aggregation to a
+    * 256-row relation; (2) running offsets over those 256 rows (the
+    * only single-partition window, bounded by the bucket count, not
+    * the corpus); (3) within-bucket cumulative sums, partitioned by
+    * bucket — parallel, each partition 1/256 of the corpus; offset +
+    * within-bucket cum = exact global prefix sum. All integer
+    * arithmetic — no float order sensitivity anywhere. */
+  def tTokenBudget(spark: SparkSession, dir: String,
+      budget: Long = 20000L): DataFrame = {
+    val scored = documents(spark, dir)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bucket",
+        expr("((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + " +
+          "instr('0123456789abcdef', substring(h, 2, 1)) - 1)").cast("long"))
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"))
+    val offsets = scored.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("bucket_tokens")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val wInBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_tokens",
+        (col("offset") + sum(col("n_tokens")).over(wInBucket)).cast("long"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("bucket"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("bucket"), col("doc_id"))
+  }
+
   /** Content fingerprints per document: full md5 of the raw text, md5 of
     * the whitespace/case-normalized text (the exact-dedup key), a 64-bit
     * prefix fingerprint, and the distinct 3-token shingle count (the

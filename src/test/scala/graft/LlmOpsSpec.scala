@@ -391,6 +391,58 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.map(_._1).toSet.intersect(evalIds).isEmpty)
   }
 
+  test("temperature sampling keeps sqrt-proportional strata, deterministically") {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nMin = counts.values.min
+    def bucket16(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 4), 16)
+    }
+    val expected = docs.filter { case (id, lang) =>
+      bucket16(id).toDouble <
+        math.sqrt(nMin.toDouble / counts(lang).toDouble) * 65536.0
+    }.map(_._1).toSet
+    val got = graft.llm.TextAnalysis.tStratifiedSample(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    // the rarest language is never downsampled (keep_rate exactly 1)
+    val rare = counts.minBy(_._2)._1
+    val rareIds = docs.filter(_._2 == rare).map(_._1).toSet
+    assert(rareIds.subsetOf(got))
+  }
+
+  test("token-budget cut equals a single global prefix sum") {
+    // the two-pass (bucket offsets + within-bucket windows) formulation
+    // must be EXACTLY the naive one-window global cumulative sum
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 2), 16)
+    }
+    val ordered = docs.map { case (id, text) =>
+      (bucket(id), id, text.trim.split("\\s+").length.toLong)
+    }.sortBy(t => (t._1, t._2))
+    val expected = ordered
+      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (b, id, n)) =>
+        (b, id, n, cum + n)
+      }.drop(1)
+      .takeWhile(_._4 <= 20000L)
+      .map(t => t._2 -> t._4).toMap
+    val got = graft.llm.TextAnalysis.tTokenBudget(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < docs.length) // the budget genuinely cuts
+  }
+
   test("nearest-rank percentiles match a local sort model per language") {
     import spark.implicits._
     val out = graft.llm.TextAnalysis.tQualityPercentiles(spark, dir)

@@ -38,7 +38,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "near_gold_metrics" -> ((1, Set("defuse_asset_id"))), // bounded assets dim
     "near_sql_gold" -> ((1, Set("defuse_asset_id"))), // same view via spark.sql
     "t_tfidf_topk" -> ((1, Set("df"))), // document-frequency dim: vocab-bounded
-    "t_decontaminate" -> ((1, Set("shingle"))) // eval-set shingles: benchmark-bounded
+    "t_decontaminate" -> ((1, Set("shingle"))), // eval-set shingles: benchmark-bounded
+    "t_stratified_sample" -> ((1, Set("n_l"))), // per-language counts: language-bounded
+    "t_token_budget" -> ((1, Set("offset"))) // bucket offsets: 256 rows by construction
   )
 
   private def hints(df: DataFrame): Seq[ResolvedHint] =
