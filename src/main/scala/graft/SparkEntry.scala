@@ -79,6 +79,7 @@ object SparkEntry {
     "t_decontaminate"   -> (TextAnalysis.tDecontaminate _),
     "t_stratified_sample" -> (TextAnalysis.tStratifiedSample _),
     "t_token_budget"    -> ((s, d) => TextAnalysis.tTokenBudget(s, d)),
+    "t_seq_pack"        -> ((s, d) => TextAnalysis.tSeqPack(s, d)),
     "d_exact_dedup"     -> (Dedup.dExactDedup _),
     "d_minhash_pairs"   -> ((s, d) => Dedup.dMinhashPairs(s, d)),
     "d_ngram_pairs"     -> ((s, d) => Dedup.dNgramPairs(s, d)),
@@ -666,6 +667,25 @@ object SparkEntry {
         |FROM s
         |QUALIFY cum_tokens <= 20000
         |ORDER BY bucket, doc_id""".stripMargin,
+    "t_seq_pack" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +
+        |      instr('0123456789abcdef', substring(h, 2, 1)) - 1 AS BIGINT)
+        |      AS bucket,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h
+        |        FROM documents) x),
+        |p AS (SELECT doc_id, bucket, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY bucket, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS tok_start
+        |  FROM s)
+        |SELECT doc_id, bucket, n_tokens, tok_start,
+        |  tok_start // 512 AS seq_first,
+        |  (tok_start + n_tokens - 1) // 512 AS seq_last,
+        |  (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 AS spans
+        |FROM p ORDER BY bucket, doc_id""".stripMargin,
     "t_vocab_topk" ->
       """SELECT token, CAST(SUM(tf_doc) AS BIGINT) AS tf,
         |  CAST(COUNT(*) AS BIGINT) AS df

@@ -475,6 +475,50 @@ object TextAnalysis {
       .orderBy(col("bucket"), col("doc_id"))
   }
 
+  /** Sequence packing (concat-and-chunk): lay all documents out on one
+    * deterministic token tape — hash-priority (bucket, doc_id) order,
+    * as in [[tTokenBudget]] — and cut it into fixed 512-token training
+    * sequences. Each document's placement is (tape offset, first/last
+    * sequence id, spans) — the manifest a sharded tokenizer job needs
+    * to emit packed sequences without any coordination beyond this
+    * metadata. The final stage of a training-data build.
+    *
+    * Scale shape: the exclusive global prefix sum is the same two-pass
+    * offset pattern as [[tTokenBudget]] (per-bucket parallel windows +
+    * a 256-row offsets relation; the only single-partition window is
+    * bucket-count-bounded). Everything else is per-row integer
+    * arithmetic — exact in both engines. */
+  def tSeqPack(spark: SparkSession, dir: String,
+      seqLen: Long = 512L): DataFrame = {
+    val scored = documents(spark, dir)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bucket",
+        expr("((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + " +
+          "instr('0123456789abcdef', substring(h, 2, 1)) - 1)").cast("long"))
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"))
+    val offsets = scored.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("bucket_tokens")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val wInBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scored.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("tok_start",
+        (col("offset") +
+          coalesce(sum(col("n_tokens")).over(wInBucket), lit(0L))).cast("long"))
+      .withColumn("seq_first", (col("tok_start") / seqLen).cast("long"))
+      .withColumn("seq_last",
+        ((col("tok_start") + col("n_tokens") - 1) / seqLen).cast("long"))
+      .withColumn("spans", (col("seq_last") - col("seq_first") + 1).cast("long"))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"), col("tok_start"),
+        col("seq_first"), col("seq_last"), col("spans"))
+      .orderBy(col("bucket"), col("doc_id"))
+  }
+
   /** Content fingerprints per document: full md5 of the raw text, md5 of
     * the whitespace/case-normalized text (the exact-dedup key), a 64-bit
     * prefix fingerprint, and the distinct 3-token shingle count (the

@@ -443,6 +443,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < docs.length) // the budget genuinely cuts
   }
 
+  test("sequence packing lays a gapless tape and spans are consistent") {
+    val rows = graft.llm.TextAnalysis.tSeqPack(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // rows arrive tape-ordered; every doc starts exactly where the
+    // previous one ended — no gaps, no overlaps
+    rows.sliding(2).foreach {
+      case Array((_, _, n1, s1, _, _, _), (_, _, _, s2, _, _, _)) =>
+        assert(s2 === s1 + n1)
+      case _ => ()
+    }
+    rows.foreach { case (_, id, n, start, first, last, spans) =>
+      assert(first === start / 512, s"doc $id first")
+      assert(last === (start + n - 1) / 512, s"doc $id last")
+      assert(spans === last - first + 1, s"doc $id spans")
+    }
+    // the tape covers every token exactly once
+    val (_, _, nL, sL, _, lastSeq, _) = rows.last
+    assert(sL + nL === rows.map(_._3).sum)
+    assert(lastSeq === (sL + nL - 1) / 512)
+  }
+
   test("nearest-rank percentiles match a local sort model per language") {
     import spark.implicits._
     val out = graft.llm.TextAnalysis.tQualityPercentiles(spark, dir)

@@ -40,7 +40,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_tfidf_topk" -> ((1, Set("df"))), // document-frequency dim: vocab-bounded
     "t_decontaminate" -> ((1, Set("shingle"))), // eval-set shingles: benchmark-bounded
     "t_stratified_sample" -> ((1, Set("n_l"))), // per-language counts: language-bounded
-    "t_token_budget" -> ((1, Set("offset"))) // bucket offsets: 256 rows by construction
+    "t_token_budget" -> ((1, Set("offset"))), // bucket offsets: 256 rows by construction
+    "t_seq_pack" -> ((1, Set("offset"))) // same 256-row offsets relation
   )
 
   private def hints(df: DataFrame): Seq[ResolvedHint] =
