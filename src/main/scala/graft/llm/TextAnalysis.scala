@@ -358,8 +358,11 @@ object TextAnalysis {
     * training corpus. Eval set = doc_id ≡ 0 (mod 97); the corpus is
     * modeled with those same eval docs RE-ENTERING the crawl under new
     * ids with a trailing edit (the real-world leak this pass exists to
-    * catch), so the query provably fires on them and only them — an
-    * 8-token shingle colliding by chance is ~|eval shingles| / 31⁸.
+    * catch), so the query provably fires on every leak — chance
+    * 8-shingle collisions are ~|eval shingles| / 31⁸, though organic
+    * NEAR-DUPLICATES of eval docs (the corpus carries injected twins)
+    * also fire, which is exactly the true positive an overlap check is
+    * for.
     *
     * Scale shape: both sides explode to per-doc DISTINCT shingle rows
     * (narrow + one explode); the eval side is bounded by the eval-set
@@ -510,9 +513,12 @@ object TextAnalysis {
       .withColumn("tok_start",
         (col("offset") +
           coalesce(sum(col("n_tokens")).over(wInBucket), lit(0L))).cast("long"))
-      .withColumn("seq_first", (col("tok_start") / seqLen).cast("long"))
+      // integer `div`, not `/`: long `/` goes through DOUBLE division,
+      // which is only exact below 2^53 — a 100 TB token tape is within
+      // that, but the integer form is exact unconditionally
+      .withColumn("seq_first", expr(s"tok_start div $seqLen").cast("long"))
       .withColumn("seq_last",
-        ((col("tok_start") + col("n_tokens") - 1) / seqLen).cast("long"))
+        expr(s"(tok_start + n_tokens - 1) div $seqLen").cast("long"))
       .withColumn("spans", (col("seq_last") - col("seq_first") + 1).cast("long"))
       .select(col("doc_id"), col("bucket"), col("n_tokens"), col("tok_start"),
         col("seq_first"), col("seq_last"), col("spans"))
