@@ -295,11 +295,17 @@ object TextAnalysis {
     * skew regardless of corpus size, and (tfidf DESC, token ASC) is a
     * total order making the k-cut deterministic under ties. */
   def tTfidfTopk(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    // persisted: DF derives from TF, and without the persist Catalyst
+    // re-runs the whole tokenize+explode+aggregate lineage a second
+    // time for the DF branch — 2× the corpus scan and shuffle at scale
+    // (cache contract: released by Verify/Bench between queries, see
+    // Dedup's scaladoc)
     val tf = documents(spark, dir)
       .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = documents(spark, dir).count()
     val w = Window.partitionBy(col("doc_id"))
@@ -373,7 +379,11 @@ object TextAnalysis {
     * restores zero-match docs (AQE-owned, doc_id keys). */
   def tDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir).select(col("doc_id"), col("text"))
-    val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+    // persisted: the eval set is benchmark-bounded and feeds THREE
+    // branches (its own shingles, the leaked-copy synthesis, and via
+    // scanSide the output id list) — without the persist each branch
+    // re-scans the corpus text column just to re-filter it
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0).persist()
     // leaked ids sit far above the corpus range; (e + 200000) % 97 != 0
     // for every eval id e, so the scan-side filter below keeps them
     val leaked = evalDocs.select((col("doc_id") + 200000L).as("doc_id"),
