@@ -36,6 +36,8 @@ object SparkEntry {
     "q9_product_profit"    -> (TpchQueries.q9ProductProfit _),
     "q6_forecast_revenue"  -> (TpchQueries.q6ForecastRevenue _),
     "q10_returned_items"   -> (TpchQueries.q10ReturnedItems _),
+    "q4_order_priority"    -> (TpchQueries.q4OrderPriority _),
+    "q18_large_orders"     -> (TpchQueries.q18LargeOrders _),
     "p_filter_project"     -> (TpchQueries.pFilterProject _),
     "k_latest_order_per_customer" -> (TpchQueries.kLatestOrderPerCustomer _),
     "v_orphan_orders"      -> (TpchQueries.vOrphanOrders _),
@@ -263,6 +265,29 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey ASC
         |LIMIT 20""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) > 250.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  total_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
     "p_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         |FROM lineitem

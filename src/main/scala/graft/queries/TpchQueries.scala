@@ -131,6 +131,46 @@ object TpchQueries {
       .limit(20)
   }
 
+  /** TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join with a
+    * mixed equi + range condition (the corpus has no commit/receipt
+    * dates, so "late" = a line shipped more than 90 days after the
+    * order date). The semi join keeps the probe side deduplicated by
+    * construction — no DISTINCT pass, no row explosion from multi-line
+    * orders; both date filters push into the scans. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val l = lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q18 shape: large-volume orders — a HAVING subquery
+    * (per-order quantity totals over the biggest table) feeding a
+    * selective join back to orders and customer, then a deterministic
+    * top-k. The aggregation is partial (map-side combine) and its
+    * output is order-count-bounded; AQE owns the join strategies; the
+    * top-k runs as TakeOrderedAndProject with the (o_totalprice DESC,
+    * o_orderkey ASC) total order making the cut deterministic. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity"), 2).as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+    orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
   /** Filter + projection pushdown showcase (SURVEY P3–P5 `isin` pattern):
     * both predicates reach the parquet scan, only 4 columns are read. */
   def pFilterProject(spark: SparkSession, dir: String): DataFrame = {
