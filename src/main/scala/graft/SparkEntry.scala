@@ -82,6 +82,7 @@ object SparkEntry {
     "t_stratified_sample" -> (TextAnalysis.tStratifiedSample _),
     "t_token_budget"    -> ((s, d) => TextAnalysis.tTokenBudget(s, d)),
     "t_seq_pack"        -> ((s, d) => TextAnalysis.tSeqPack(s, d)),
+    "t_dataset_card"    -> (TextAnalysis.tDatasetCard _),
     "d_exact_dedup"     -> (Dedup.dExactDedup _),
     "d_minhash_pairs"   -> ((s, d) => Dedup.dMinhashPairs(s, d)),
     "d_ngram_pairs"     -> ((s, d) => Dedup.dNgramPairs(s, d)),
@@ -711,6 +712,27 @@ object SparkEntry {
         |  (tok_start + n_tokens - 1) // 512 AS seq_last,
         |  (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 AS spans
         |FROM p ORDER BY bucket, doc_id""".stripMargin,
+    "t_dataset_card" ->
+      """WITH a AS (SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +
+        |      instr('0123456789abcdef', substring(h, 2, 1)) - 1 AS bucket
+        |  FROM (SELECT doc_id, lang, text, md5(CAST(doc_id AS VARCHAR)) AS h
+        |        FROM documents) x),
+        |per AS (SELECT
+        |    CASE WHEN bucket < 230 THEN 'train'
+        |         WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split,
+        |    lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |  FROM a GROUP BY 1, 2),
+        |tot AS (SELECT split, SUM(total_tokens) AS split_tokens
+        |  FROM per GROUP BY split)
+        |SELECT per.split, per.lang, per.n_docs, per.total_tokens,
+        |  CAST(per.total_tokens AS DOUBLE) / CAST(tot.split_tokens AS DOUBLE)
+        |    AS token_share
+        |FROM per JOIN tot USING (split)
+        |ORDER BY split, lang""".stripMargin,
     "t_vocab_topk" ->
       """SELECT token, CAST(SUM(tf_doc) AS BIGINT) AS tf,
         |  CAST(COUNT(*) AS BIGINT) AS df

@@ -133,18 +133,45 @@ object TextAnalysis {
     * with the same portable instr() arithmetic as [[Dedup.dSimhash]]),
     * split at 230/243 ≈ 90/5/5. A narrow per-row projection — no
     * shuffle, no state, pushes column pruning to the scan. */
+  /** THE split assignment — md5 bucket + 230/243 thresholds — shared by
+    * [[tSplitAssign]] and the dataset card so the two can never drift. */
+  private[llm] def withSplit(df: DataFrame): DataFrame = df
+    .withColumn("h", md5(col("doc_id").cast("string")))
+    .withColumn("bucket",
+      expr("((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + " +
+        "instr('0123456789abcdef', substring(h, 2, 1)) - 1)").cast("long"))
+    .withColumn("split",
+      when(col("bucket") < 230, lit("train"))
+        .when(col("bucket") < 243, lit("val"))
+        .otherwise(lit("test")))
+
   def tSplitAssign(spark: SparkSession, dir: String): DataFrame = {
-    documents(spark, dir)
-      .withColumn("h", md5(col("doc_id").cast("string")))
-      .withColumn("bucket",
-        expr("((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + " +
-          "instr('0123456789abcdef', substring(h, 2, 1)) - 1)").cast("long"))
-      .withColumn("split",
-        when(col("bucket") < 230, lit("train"))
-          .when(col("bucket") < 243, lit("val"))
-          .otherwise(lit("test")))
+    withSplit(documents(spark, dir))
       .select(col("doc_id"), col("bucket"), col("split"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Dataset card: the per-(split, language) composition report every
+    * dataset release ships — document counts, exact token totals, and
+    * each language's token share of its split. One partial aggregation
+    * to a (splits × languages)-bounded relation; the per-split totals
+    * it joins against are an even smaller (≤3-row) broadcast. Shares
+    * are one double division over exact integer sums — deterministic
+    * in both engines. */
+  def tDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val per = withSplit(documents(spark, dir))
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+    val splitTotals = per.groupBy(col("split"))
+      .agg(sum(col("total_tokens")).as("split_tokens"))
+    per.join(broadcast(splitTotals), Seq("split"))
+      .withColumn("token_share",
+        col("total_tokens").cast("double") / col("split_tokens").cast("double"))
+      .select(col("split"), col("lang"), col("n_docs"), col("total_tokens"),
+        col("token_share"))
+      .orderBy(col("split"), col("lang"))
   }
 
   /** Top-k vocabulary across the corpus: term frequency (total

@@ -465,6 +465,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(lastSeq === (sL + nL - 1) / 512)
   }
 
+  test("dataset card is consistent with split assignment and text stats") {
+    val card = graft.llm.TextAnalysis.tDatasetCard(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // doc counts roll up to the whole corpus
+    assert(card.map(_._3).sum === 500L)
+    // within each split the language token shares partition the split
+    card.groupBy(_._1).foreach { case (split, rows) =>
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9, s"split $split")
+    }
+    // per-(split, lang) doc counts agree with the split-assign op
+    val splits = graft.llm.TextAnalysis.tSplitAssign(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val langs = Tables.documents(spark, dir).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = langs.toSeq
+      .groupBy { case (id, lang) => (splits(id), lang) }
+      .view.mapValues(_.size.toLong).toMap
+    assert(card.map(t => (t._1, t._2) -> t._3).toMap === expected)
+  }
+
   test("nearest-rank percentiles match a local sort model per language") {
     import spark.implicits._
     val out = graft.llm.TextAnalysis.tQualityPercentiles(spark, dir)

@@ -41,7 +41,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_decontaminate" -> ((1, Set("shingle"))), // eval-set shingles: benchmark-bounded
     "t_stratified_sample" -> ((1, Set("n_l"))), // per-language counts: language-bounded
     "t_token_budget" -> ((1, Set("offset"))), // bucket offsets: 256 rows by construction
-    "t_seq_pack" -> ((1, Set("offset"))) // same 256-row offsets relation
+    "t_seq_pack" -> ((1, Set("offset"))), // same 256-row offsets relation
+    "t_dataset_card" -> ((1, Set("split_tokens"))) // per-split totals: ≤3 rows
   )
 
   private def hints(df: DataFrame): Seq[ResolvedHint] =
