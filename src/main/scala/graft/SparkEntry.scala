@@ -87,6 +87,7 @@ object SparkEntry {
     "d_minhash_pairs"   -> ((s, d) => Dedup.dMinhashPairs(s, d)),
     "d_ngram_pairs"     -> ((s, d) => Dedup.dNgramPairs(s, d)),
     "d_simhash"         -> (Dedup.dSimhash _),
+    "d_shingle_novelty" -> (Dedup.dShingleNovelty _),
     "d_simhash_pairs"   -> ((s, d) => Dedup.dSimhashPairs(s, d)),
     // incremental dedup through the real streaming engine (checkpoint,
     // mid-stream restart); same oracle as the batch twin
@@ -777,6 +778,22 @@ object SparkEntry {
         |FROM (SELECT doc_id, text FROM documents
         |      UNION ALL SELECT doc_id + 100000, text FROM documents) u
         |GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    "d_shingle_novelty" ->
+      """WITH sh AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents) x
+        |  WHERE len(t) >= 3),
+        |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+        |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared,
+        |  CAST(1 AS DOUBLE) -
+        |    CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE) AS novelty
+        |FROM sh JOIN df USING (shingle)
+        |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
     "d_minhash_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(

@@ -311,6 +311,45 @@ object Dedup {
     labels
   }
 
+  /** Per-document shingle NOVELTY — the memorization-risk metric of a
+    * training corpus: for each doc, the fraction of its distinct
+    * 3-token shingles that appear in NO other document (novelty 0 = the
+    * doc is entirely assembled from phrases that exist elsewhere). The
+    * aggregate view of the same shingle-sharing structure the pair
+    * miners ([[dMinhashPairs]]) sample, useful as a corpus health
+    * metric and as a cheap pre-filter before pair mining.
+    *
+    * Scale shape: one explode to per-doc DISTINCT shingle rows
+    * (persisted — both the document-frequency aggregation and the join
+    * back consume it), one hash-partitioned count per shingle, and a
+    * shingle-keyed join back — all corpus-scale relations stay
+    * hash-partitioned and AQE-owned, nothing is broadcast (the shingle
+    * vocabulary grows with the corpus, unlike the bounded token vocab).
+    * Docs with <3 tokens have no shingles and no row — stated in the
+    * oracle too. Novelty = one IEEE double division, identical both
+    * engines. */
+  def dShingleNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = documents(spark, dir)
+      .repartition(col("doc_id")) // parallelize the narrow stage
+      .withColumn("t", tokens(col("text")))
+      .filter(size(col("t")) >= 3) // sequence(0, negative) counts DOWN
+      .select(col("doc_id"),
+        explode(expr("array_distinct(transform(sequence(0, size(t) - 3), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))")).as("shingle"))
+      .persist()
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("novelty",
+        lit(1.0) - col("n_shared").cast("double") /
+          col("n_shingles").cast("double"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        col("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-duplicate pairs: all (a < b) pairs within hamming
     * distance `maxHamming` of each other's 64-bit SimHash — the
     * signature-distance dedup family (Manku/Jain/Sarma's web-dedup

@@ -465,6 +465,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(lastSeq === (sL + nL - 1) / 512)
   }
 
+  test("shingle novelty matches a local document-frequency model") {
+    val texts = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val shingleSets = texts.view.mapValues { text =>
+      text.trim.split("\\s+").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    }.toMap.filter(_._2.nonEmpty)
+    val dfMap = shingleSets.values.flatten.toSeq.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val expected = shingleSets.map { case (id, ss) =>
+      val shared = ss.count(dfMap(_) >= 2).toLong
+      id -> (ss.size.toLong, shared,
+        1.0 - shared.toDouble / ss.size.toDouble)
+    }
+    val got = Dedup.dShingleNovelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === expected)
+    // the corpus carries injected near-dup twins, so shared shingles
+    // genuinely exist — the metric is exercised, not vacuously 1.0
+    assert(got.values.exists(_._3 < 1.0))
+  }
+
   test("dataset card is consistent with split assignment and text stats") {
     val card = graft.llm.TextAnalysis.tDatasetCard(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
