@@ -58,6 +58,7 @@ object SparkEntry {
     "w_asof_join"          -> (EventQueries.wAsofJoin _),
     "w_range_join"         -> ((s, d) => EventQueries.wRangeJoin(s, d)),
     "g_rollup_metrics"     -> (EventQueries.gRollupMetrics _),
+    "w_value_deciles"      -> (EventQueries.wValueDeciles _),
     "g_cube_metrics"       -> (EventQueries.gCubeMetrics _),
     "v_approx_distinct"    -> (EventQueries.vApproxDistinct _),
     "g_pivot_daily"        -> (EventQueries.gPivotDaily _),
@@ -481,6 +482,30 @@ object SparkEntry {
         |  AND a.event_id < b.event_id
         |  AND abs(a.ts_us - b.ts_us) <= 3600000000
         |ORDER BY a.user_id, event_a, event_b""".stripMargin,
+    "w_value_deciles" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |hist AS (SELECT event_type, value, COUNT(*) AS cnt
+        |  FROM e GROUP BY event_type, value),
+        |cum AS (SELECT event_type, value, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist),
+        |targets AS (SELECT event_type, CAST(p AS DOUBLE) AS p,
+        |    CAST(ceil(CAST(p AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT)
+        |      AS target_rn
+        |  FROM (SELECT event_type, SUM(cnt) AS n FROM hist GROUP BY 1) c
+        |  CROSS JOIN (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+        |                AS p) ps),
+        |b AS (SELECT t.event_type, t.p, MIN(c.value) AS b
+        |  FROM targets t JOIN cum c ON t.event_type = c.event_type
+        |    AND c.cum >= t.target_rn
+        |  GROUP BY 1, 2),
+        |bs AS (SELECT event_type, list(b ORDER BY b) AS bs FROM b GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CAST(1 + len(list_filter(bs.bs, x -> x < e.value)) AS BIGINT)
+        |    AS decile
+        |FROM e JOIN bs USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     "g_rollup_metrics" ->
       """SELECT CAST(GROUPING(event_type, epoch_day) AS BIGINT) AS lvl,
         |  event_type, epoch_day, COUNT(*) AS n_events,

@@ -407,4 +407,45 @@ object EventQueries {
         col("n_events"), col("total_value"))
       .orderBy(col("lvl"), col("event_type"), col("epoch_day"))
   }
+
+  /** Per-type decile labels for event values — the deterministic,
+    * scale-safe alternative to NTILE. NTILE splits TIES across buckets
+    * by arbitrary row order, so its labels are not reproducible across
+    * engines (or even runs); here equal values always get equal labels:
+    * decile = 1 + #(boundaries strictly below the value), boundaries
+    * being the nearest-rank p=0.1..0.9 values.
+    *
+    * Scale shape: boundaries come from the same HISTOGRAM formulation
+    * as [[graft.llm.TextAnalysis.tQualityPercentiles]] — the cumulative
+    * window runs over DISTINCT values per type, and the value grid is
+    * fixed-precision (2 decimals), so that window is bounded by grid
+    * cardinality regardless of corpus size. Row labeling is then a
+    * broadcast of the (types × 9)-bounded boundary arrays + a narrow
+    * per-row filter — no per-group window over raw rows anywhere. */
+  def wValueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val hist = e.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist() // cumulative window + per-type totals both read it
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val targets = hist.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+      .select(col("event_type"), col("n"),
+        explode(array((1 to 9).map(i => lit(i / 10.0)): _*)).as("p"))
+      .withColumn("target_rn",
+        ceil(col("p") * col("n").cast("double")).cast("long"))
+    val bounds = targets.join(cum, Seq("event_type"))
+      .filter(col("cum") >= col("target_rn"))
+      .groupBy(col("event_type"), col("p"))
+      .agg(min(col("value")).as("b"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("b"))).as("bs"))
+    e.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("decile",
+        (lit(1) + size(expr("filter(bs, x -> x < value)"))).cast("long"))
+      .select(col("event_id"), col("event_type"), col("value"), col("decile"))
+      .orderBy(col("event_id"))
+  }
 }

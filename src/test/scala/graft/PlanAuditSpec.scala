@@ -42,7 +42,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_stratified_sample" -> ((1, Set("n_l"))), // per-language counts: language-bounded
     "t_token_budget" -> ((1, Set("offset"))), // bucket offsets: 256 rows by construction
     "t_seq_pack" -> ((1, Set("offset"))), // same 256-row offsets relation
-    "t_dataset_card" -> ((1, Set("split_tokens"))) // per-split totals: ≤3 rows
+    "t_dataset_card" -> ((1, Set("split_tokens"))), // per-split totals: ≤3 rows
+    "w_value_deciles" -> ((1, Set("bs"))) // boundary arrays: types × 9 rows
   )
 
   private def hints(df: DataFrame): Seq[ResolvedHint] =

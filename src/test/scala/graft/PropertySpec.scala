@@ -340,6 +340,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("decile labels equal a nearest-rank model on the corpus, and ties " +
+    "always share a label") {
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byType = e.groupBy(_._2)
+    val bounds = byType.view.mapValues { rows =>
+      val vs = rows.map(_._3).sorted
+      // duplicate boundaries are KEPT: a value above a cut shared by
+      // several deciles jumps several labels, same as the operator's
+      // per-p boundary list
+      (1 to 9).map(i => vs(math.ceil(i / 10.0 * vs.length).toInt - 1))
+    }.toMap
+    val expected = e.map { case (id, t, v) =>
+      id -> (1L + bounds(t).count(_ < v))
+    }.toMap
+    val got = graft.queries.EventQueries
+      .wValueDeciles(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === expected)
+    // equal values share a label by construction (the NTILE failure mode)
+    e.groupBy(t => (t._2, t._3)).foreach { case (_, rows) =>
+      assert(rows.map(r => got(r._1)).toSet.size === 1)
+    }
+  }
+
   test("as-of join equals a plain-Scala model under heavy timestamp ties") {
     import spark.implicits._
     // few users x tiny ts range -> same-(user,ts) purchase collisions
