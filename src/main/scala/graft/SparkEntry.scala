@@ -25,7 +25,8 @@ object SparkEntry {
     * work, so timing it would measure the harness, not the operator. */
   val correctnessOnly: String => Boolean =
     name => name.startsWith("near_") ||
-      name == "d_stream_minhash" || name == "pipe_stream_clean"
+      name == "d_stream_minhash" || name == "pipe_stream_clean" ||
+      name == "t_stream_dataset_card"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -84,6 +85,11 @@ object SparkEntry {
     "t_token_budget"    -> ((s, d) => TextAnalysis.tTokenBudget(s, d)),
     "t_seq_pack"        -> ((s, d) => TextAnalysis.tSeqPack(s, d)),
     "t_dataset_card"    -> (TextAnalysis.tDatasetCard _),
+    // incremental twin: summing-MV card maintained by the real
+    // streaming engine (checkpoint, mid-stream restart, merge);
+    // same oracle as the batch card
+    "t_stream_dataset_card" -> ((s, d) =>
+      graft.streaming.StreamingDatasetCard.tStreamDatasetCard(s, d)),
     "d_exact_dedup"     -> (Dedup.dExactDedup _),
     "d_minhash_pairs"   -> ((s, d) => Dedup.dMinhashPairs(s, d)),
     "d_ngram_pairs"     -> ((s, d) => Dedup.dNgramPairs(s, d)),
@@ -160,6 +166,30 @@ object SparkEntry {
 
   /** Shared by `pipe_corpus_clean` and its streaming twin
     * `pipe_stream_clean` - one oracle, two execution engines. */
+  /** The dataset-card oracle — shared by the batch query and its
+    * streaming summing-MV twin. */
+  private val datasetCardSql: String =
+      """WITH a AS (SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +
+        |      instr('0123456789abcdef', substring(h, 2, 1)) - 1 AS bucket
+        |  FROM (SELECT doc_id, lang, text, md5(CAST(doc_id AS VARCHAR)) AS h
+        |        FROM documents) x),
+        |per AS (SELECT
+        |    CASE WHEN bucket < 230 THEN 'train'
+        |         WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split,
+        |    lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |  FROM a GROUP BY 1, 2),
+        |tot AS (SELECT split, SUM(total_tokens) AS split_tokens
+        |  FROM per GROUP BY split)
+        |SELECT per.split, per.lang, per.n_docs, per.total_tokens,
+        |  CAST(per.total_tokens AS DOUBLE) / CAST(tot.split_tokens AS DOUBLE)
+        |    AS token_share
+        |FROM per JOIN tot USING (split)
+        |ORDER BY split, lang""".stripMargin
+
   private val corpusCleanSql: String =
     """WITH corpus AS (
         |  SELECT doc_id, lang, text FROM documents
@@ -738,27 +768,10 @@ object SparkEntry {
         |  (tok_start + n_tokens - 1) // 512 AS seq_last,
         |  (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 AS spans
         |FROM p ORDER BY bucket, doc_id""".stripMargin,
-    "t_dataset_card" ->
-      """WITH a AS (SELECT doc_id, lang,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-        |      AS n_tokens,
-        |    (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +
-        |      instr('0123456789abcdef', substring(h, 2, 1)) - 1 AS bucket
-        |  FROM (SELECT doc_id, lang, text, md5(CAST(doc_id AS VARCHAR)) AS h
-        |        FROM documents) x),
-        |per AS (SELECT
-        |    CASE WHEN bucket < 230 THEN 'train'
-        |         WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split,
-        |    lang, COUNT(*) AS n_docs,
-        |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-        |  FROM a GROUP BY 1, 2),
-        |tot AS (SELECT split, SUM(total_tokens) AS split_tokens
-        |  FROM per GROUP BY split)
-        |SELECT per.split, per.lang, per.n_docs, per.total_tokens,
-        |  CAST(per.total_tokens AS DOUBLE) / CAST(tot.split_tokens AS DOUBLE)
-        |    AS token_share
-        |FROM per JOIN tot USING (split)
-        |ORDER BY split, lang""".stripMargin,
+    "t_dataset_card" -> datasetCardSql,
+    // the streaming twin accumulates to the same composition report
+    "t_stream_dataset_card" -> datasetCardSql,
+
     "t_vocab_topk" ->
       """SELECT token, CAST(SUM(tf_doc) AS BIGINT) AS tf,
         |  CAST(COUNT(*) AS BIGINT) AS df

@@ -134,8 +134,9 @@ object TextAnalysis {
     * split at 230/243 ≈ 90/5/5. A narrow per-row projection — no
     * shuffle, no state, pushes column pruning to the scan. */
   /** THE split assignment — md5 bucket + 230/243 thresholds — shared by
-    * [[tSplitAssign]] and the dataset card so the two can never drift. */
-  private[llm] def withSplit(df: DataFrame): DataFrame = df
+    * [[tSplitAssign]], the dataset card, and its streaming twin so the
+    * three can never drift. */
+  private[graft] def withSplit(df: DataFrame): DataFrame = df
     .withColumn("h", md5(col("doc_id").cast("string")))
     .withColumn("bucket",
       expr("((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + " +

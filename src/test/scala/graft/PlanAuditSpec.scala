@@ -126,7 +126,7 @@ class PlanAuditSpec extends AnyFunSuite {
     * by their own suites. The audit covers the declarative queries. */
   private val sideEffecting = Set("near_runner_events", "near_stream_events",
     "near_sink_roundtrip", "near_sink_resume", "d_stream_minhash",
-    "pipe_stream_clean")
+    "pipe_stream_clean", "t_stream_dataset_card")
 
   test("no declared query plans a CartesianProduct, and forced broadcasts stay on bounded relations") {
     graft.Tables.tune(spark)

@@ -248,6 +248,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dataset card (restart + mid-sequence merge) equals the " +
+    "batch card exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingDatasetCard
+      .tStreamDatasetCard(spark, dir)
+      .collect().map(_.toString).toSeq
+    val batch = graft.llm.TextAnalysis.tDatasetCard(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch) // identical rows, order, and doubles
+  }
+
   test("streaming corpus clean (checkpointed, mid-stream restart) " +
     "converges to the batch pipeline's surviving corpus") {
     import graft.streaming.StreamingCorpusClean
