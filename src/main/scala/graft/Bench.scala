@@ -46,7 +46,8 @@ object Bench {
               failures ::= name
               -1.0
             }
-          spark.catalog.clearCache() // drop per-query persists between runs
+          QueryCaches.releaseAll() // the tracked cache contract
+          spark.catalog.clearCache() // backstop for untracked persists
           t
         }
         val cold = once()

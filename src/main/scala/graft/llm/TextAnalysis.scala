@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.QueryCaches
 import graft.Tables._
 
 /** Text-analysis operators for a large-scale training-data pipeline over
@@ -229,9 +230,9 @@ object TextAnalysis {
       .withColumn("n_distinct", size(array_distinct(col("t"))).cast("long"))
       .withColumn("quality", qualityCol(col("n_tokens"), col("n_distinct")))
       .select(col("lang"), col("quality"))
-    val hist = scored.groupBy(col("lang"), col("quality"))
-      .agg(count(lit(1)).as("cnt"))
-      .persist() // cumulative window + per-lang totals both read it
+    val hist = QueryCaches.persistTracked(
+      scored.groupBy(col("lang"), col("quality"))
+        .agg(count(lit(1)).as("cnt"))) // window + per-lang totals read it
     val w = Window.partitionBy(col("lang")).orderBy(col("quality"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
@@ -326,14 +327,13 @@ object TextAnalysis {
     // persisted: DF derives from TF, and without the persist Catalyst
     // re-runs the whole tokenize+explode+aggregate lineage a second
     // time for the DF branch — 2× the corpus scan and shuffle at scale
-    // (cache contract: released by Verify/Bench between queries, see
+    // (cache contract: tracked, released by the materializer — see
     // Dedup's scaladoc)
-    val tf = documents(spark, dir)
+    val tf = QueryCaches.persistTracked(documents(spark, dir)
       .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .persist()
+      .agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = documents(spark, dir).count()
     val w = Window.partitionBy(col("doc_id"))
@@ -411,10 +411,22 @@ object TextAnalysis {
     // branches (its own shingles, the leaked-copy synthesis, and via
     // scanSide the output id list) — without the persist each branch
     // re-scans the corpus text column just to re-filter it
-    val evalDocs = docs.filter(col("doc_id") % 97 === 0).persist()
-    // leaked ids sit far above the corpus range; (e + 200000) % 97 != 0
-    // for every eval id e, so the scan-side filter below keeps them
-    val leaked = evalDocs.select((col("doc_id") + 200000L).as("doc_id"),
+    val evalDocs =
+      QueryCaches.persistTracked(docs.filter(col("doc_id") % 97 === 0))
+    // Leaked ids are shifted by the power of 10 with one more digit than
+    // max(doc_id): always above the corpus range at ANY scale (a fixed
+    // +200000 silently collides once the corpus passes 200001 docs —
+    // ADVICE r6), derived by exact integer/string arithmetic so the
+    // DuckDB oracle computes the identical shift. The mod-97
+    // disjointness argument survives: 97 is prime and divides no power
+    // of 10, so (e + shift) % 97 != 0 for eval ids e ≡ 0 (mod 97)
+    // whenever shift % 97 != 0 — which 10^k guarantees. One narrow
+    // max() aggregate over the id column (parquet stats make it a
+    // metadata-cheap scan), the same driver-scalar device as
+    // tStratifiedSample's n_min.
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val shift = ("1" + "0" * maxId.toString.length).toLong
+    val leaked = evalDocs.select((col("doc_id") + shift).as("doc_id"),
       concat(col("text"), lit(" leaked into the training crawl")).as("text"))
     val scanSide = docs.filter(col("doc_id") % 97 =!= 0).unionByName(leaked)
     val gram8 = "transform(sequence(0, size(t) - 8), i -> concat_ws(' ', " +
@@ -492,13 +504,16 @@ object TextAnalysis {
     * arithmetic — no float order sensitivity anywhere. */
   def tTokenBudget(spark: SparkSession, dir: String,
       budget: Long = 20000L): DataFrame = {
-    val scored = documents(spark, dir)
+    // persisted: both the 256-row offsets aggregate and the main join
+    // consume `scored` — unpersisted, the full scan+md5+tokenize
+    // lineage would execute twice (ADVICE r6; tracked cache contract)
+    val scored = QueryCaches.persistTracked(documents(spark, dir)
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("bucket",
         expr("((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + " +
           "instr('0123456789abcdef', substring(h, 2, 1)) - 1)").cast("long"))
       .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
-      .select(col("doc_id"), col("bucket"), col("n_tokens"))
+      .select(col("doc_id"), col("bucket"), col("n_tokens")))
     val offsets = scored.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("bucket_tokens"))
       .withColumn("offset",
@@ -531,13 +546,14 @@ object TextAnalysis {
     * arithmetic — exact in both engines. */
   def tSeqPack(spark: SparkSession, dir: String,
       seqLen: Long = 512L): DataFrame = {
-    val scored = documents(spark, dir)
+    // persisted: offsets + main join both read it (see tTokenBudget)
+    val scored = QueryCaches.persistTracked(documents(spark, dir)
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("bucket",
         expr("((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + " +
           "instr('0123456789abcdef', substring(h, 2, 1)) - 1)").cast("long"))
       .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
-      .select(col("doc_id"), col("bucket"), col("n_tokens"))
+      .select(col("doc_id"), col("bucket"), col("n_tokens")))
     val offsets = scored.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("bucket_tokens"))
       .withColumn("offset",

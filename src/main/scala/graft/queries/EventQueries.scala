@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.QueryCaches
 import graft.Tables._
 
 /** Event-stream analytics over the `events` table (event_id, ts
@@ -425,9 +426,9 @@ object EventQueries {
   def wValueDeciles(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
-    val hist = e.groupBy(col("event_type"), col("value"))
-      .agg(count(lit(1)).as("cnt"))
-      .persist() // cumulative window + per-type totals both read it
+    val hist = QueryCaches.persistTracked(
+      e.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("cnt"))) // window + per-type totals read it
     val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum", sum(col("cnt")).over(w))

@@ -381,7 +381,12 @@ class LlmOpsSpec extends AnyFunSuite {
     // which share long shingle runs — those are exactly the true
     // positives a decontamination pass exists to find, so the flag set
     // is a superset of the leaks, never a proper subset
-    val leaked = evalIds.map(_ + 200000L)
+    // the leak shift is the power of 10 one digit above max(doc_id) —
+    // scale-proof, derived exactly as the query and oracle derive it
+    val maxId = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val shift = ("1" + "0" * maxId.toString.length).toLong
+    val leaked = evalIds.map(_ + shift)
     assert(leaked.subsetOf(contaminated))
     // a leaked doc matches on its whole prefix — many shingles, the
     // strong signal a triage UI would sort by
@@ -555,6 +560,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(back(2L).width === 2 && back(2L).height === 2)
     assert(back(2L).payload.toSeq ===
       Array.tabulate(4)(i => (i * 40).toByte).toSeq)
+  }
+
+  test("corrupt payload fails decode with the asset's identity, not an NPE") {
+    import spark.implicits._
+    // ImageIO.read returns null for unrecognized bytes; the decode must
+    // surface doc_id/media_type so a bad asset is diagnosable at scale
+    // (ADVICE r6), instead of a bare executor-side NullPointerException
+    val bad = Seq(Multimodal.MediaRow(42L, "image/garbage", 1, 1,
+      Array[Byte](1, 2, 3, 4))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePng(bad).collect()
+    }
+    val msg = e.getCause match { case null => e.getMessage; case c => c.getMessage }
+    assert(msg.contains("doc_id=42") && msg.contains("image/garbage"))
   }
 
   test("multimodal decode computes byte stats from the payload") {
