@@ -2,6 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // 1-minute system load at start/end: bench wall times carry 2-5×
+    // outliers when the machine is busy with other work, and a reader
+    // comparing rounds needs that visible in the artifact itself
+    // rather than re-deriving it from timing variance (VERDICT r6 #8)
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -139,7 +147,8 @@ object Bench {
     val note = "queries=first run per query in a warmed session (prior rounds' methodology); " +
       "queries_warm=second consecutive run (codegen warm, the regression-judging column); " +
       "ingest is a warm rerun after an untimed full-pipeline warm-up (since r5; r1-r4 were cold)"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"queries":$qs,"queries_warm":$qsWarm,"failed":$failed,"ingest_blocks_per_sec":$blocksPerSec,"ingest_blocks_n":$nBlocks,"ingest_cascade_blocks_per_sec":$cascadeBps,"ingest_cascade_blocks_n":$cascadeBlocks,"ingest_cascade_per_file":$perFile,"sf":"$sfDir","note":"$note"}""")
+    val loadEnd = loadAvg
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"queries":$qs,"queries_warm":$qsWarm,"failed":$failed,"ingest_blocks_per_sec":$blocksPerSec,"ingest_blocks_n":$nBlocks,"ingest_cascade_blocks_per_sec":$cascadeBps,"ingest_cascade_blocks_n":$cascadeBlocks,"ingest_cascade_per_file":$perFile,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir","note":"$note"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

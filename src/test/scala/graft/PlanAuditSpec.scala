@@ -123,10 +123,14 @@ class PlanAuditSpec extends AnyFunSuite {
   /** Queries whose BUILDER is the side effect (full runner/stream/sink
     * round trips) — their returned plan is a plain parquet scan, and
     * executing the builder re-runs minutes of pipeline already covered
-    * by their own suites. The audit covers the declarative queries. */
+    * by their own suites. The audit covers the declarative queries.
+    * `j_bucketed_orders` belongs here too (VERDICT r6 #4): its builder
+    * DROPs and rewrites bucketed catalog tables, so a plan sweep must
+    * not re-trigger the write — its plan shape (zero hash exchanges)
+    * has its own dedicated test above. */
   private val sideEffecting = Set("near_runner_events", "near_stream_events",
     "near_sink_roundtrip", "near_sink_resume", "d_stream_minhash",
-    "pipe_stream_clean", "t_stream_dataset_card")
+    "pipe_stream_clean", "t_stream_dataset_card", "j_bucketed_orders")
 
   test("no declared query plans a CartesianProduct, and forced broadcasts stay on bounded relations") {
     graft.Tables.tune(spark)
