@@ -277,21 +277,39 @@ class PropertySpec extends AnyFunSuite {
 
   test("summing sink equals an additive model under random replays and merges") {
     // Additive state is replay-hostile: the invariant is that totals
-    // NEVER move except when a genuinely new batch lands. Random
-    // interleavings of append / redeliver-any-previous-batch (incl.
-    // batches below a merge watermark — the late-replay case) /
-    // compactSummed, checked against a plain map model after every op.
+    // NEVER move except when a genuinely new batch lands (VERDICT r6
+    // #1). Randomized (Gen, fixed seeds): batch composition, redelivery
+    // MULTIPLICITY (a batch may be redelivered several times, possibly
+    // back-to-back), merge timing, and below-watermark replays (every
+    // compact is chased by a redelivery of the OLDEST batch — the one
+    // certainly at-or-below the new watermark — on top of random ones
+    // that land above it). After every op, readSummed must equal a
+    // plain additive map model; after the schedule, it must also equal
+    // one plain Spark GROUP BY over the delivered rows (each batch
+    // counted exactly once), the same oracle shape the declared
+    // queries' DuckDB twins use.
     import spark.implicits._
     import graft.sink.ParquetSink
     val keys = Seq("k")
     val sums = Seq("amt", "n")
-    (0 until 2).foreach { round =>
-      val rnd = new scala.util.Random(8200 + round)
+    // composition gen: 1-5 DISTINCT keys (the writer contract: one
+    // partial row per key per batch), cents-precision decimals
+    val batchGen = for {
+      nk <- Gen.chooseNum(1, 5)
+      ks <- Gen.pick(nk, 0L to 9L)
+      rows <- Gen.sequence[List[(Long, BigDecimal, Long)], (Long, BigDecimal, Long)](
+        ks.toList.map(k => for {
+          cents <- Gen.chooseNum(-5000L, 10000L) // negatives: retractions
+          n <- Gen.chooseNum(0L, 50L)
+        } yield (k, BigDecimal(cents) / 100, n)))
+    } yield rows
+    val opGen = Gen.chooseNum(0, 9)
+    (0 until 3).foreach { round =>
       val dir = java.nio.file.Files
         .createTempDirectory(s"summing_prop$round").toString + "/t"
       val model = scala.collection.mutable.Map.empty[Long, (BigDecimal, Long)]
       val batches = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, Seq[(Long, BigDecimal, Long)])]
+        .empty[(Long, List[(Long, BigDecimal, Long)])]
       def writeRows(seq: Long, rows: Seq[(Long, BigDecimal, Long)]): Unit =
         ParquetSink.writeSummedBatch(
           rows.toDF("k", "amt", "n")
@@ -299,44 +317,69 @@ class PropertySpec extends AnyFunSuite {
               col("amt").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
             .withColumn("block_height", col("k")),
           dir, seq, keys)
-      def check(): Unit = {
+      def check(tag: String): Unit = {
         val got = ParquetSink
           .readSummed(spark.read.parquet(dir), keys, sums)
           .select(col("k"), col("amt").cast("string"), col("n"))
           .collect()
           .map(r => r.getLong(0) -> ((BigDecimal(r.getString(1)), r.getLong(2))))
           .toMap
-        assert(got.keySet === model.keySet)
+        assert(got.keySet === model.keySet, tag)
         model.foreach { case (k, (amt, n)) =>
-          assert(got(k)._1 === amt, s"key $k amt ${got(k)._1} != $amt")
-          assert(got(k)._2 === n, s"key $k n ${got(k)._2} != $n")
+          assert(got(k)._1 === amt, s"$tag key $k amt ${got(k)._1} != $amt")
+          assert(got(k)._2 === n, s"$tag key $k n ${got(k)._2} != $n")
         }
       }
       var seq = 0L
-      (0 until 12).foreach { _ =>
-        val op = rnd.nextInt(10)
-        if (op < 5 || batches.isEmpty) {
-          seq += 1
-          val rows = List.fill(1 + rnd.nextInt(4))(rnd.nextInt(10).toLong)
-            .distinct.map { k =>
-              (k, BigDecimal(rnd.nextInt(10000)) / 100, rnd.nextInt(50).toLong)
-            }
-          writeRows(seq, rows)
-          batches += seq -> rows
-          rows.foreach { case (k, amt, n) =>
-            val (a0, n0) = model.getOrElse(k, (BigDecimal(0), 0L))
-            model(k) = (a0 + amt, n0 + n)
-          }
-        } else if (op < 8) {
+      var step = 0
+      def deliverNew(): Unit = {
+        seq += 1
+        val rows = sample(batchGen, 8200L * (round + 1) + seq)
+        writeRows(seq, rows)
+        batches += seq -> rows
+        rows.foreach { case (k, amt, n) =>
+          val (a0, n0) = model.getOrElse(k, (BigDecimal(0), 0L))
+          model(k) = (a0 + amt, n0 + n)
+        }
+      }
+      (0 until 16).foreach { _ =>
+        step += 1
+        val op = sample(opGen, 9100L * (round + 1) + step)
+        if (op < 5 || batches.isEmpty) deliverNew()
+        else if (op < 8) {
           // redeliver a random previous batch byte-identically — the
           // at-least-once contract; totals must not move
-          val (s, rows) = batches(rnd.nextInt(batches.size))
+          val (s, rows) = batches(
+            sample(Gen.chooseNum(0, batches.size - 1), 9300L * (round + 1) + step))
           writeRows(s, rows)
         } else {
           ParquetSink.compactSummed(spark, dir, keys, sums)
+          check(s"round $round step $step post-compact")
+          // late replay from BELOW the fresh watermark: the oldest
+          // batch is folded into the merged image by construction
+          val (s, rows) = batches.head
+          writeRows(s, rows)
         }
-        check()
+        check(s"round $round step $step")
       }
+      // the verdict-shape oracle: one plain GROUP BY over delivered
+      // rows, each batch exactly once, vs the sink's folded state
+      val delivered = batches.toList.flatMap(_._2)
+        .toDF("k", "amt", "n")
+        .withColumn("amt",
+          col("amt").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+      val plain = delivered.groupBy(col("k"))
+        .agg(sum(col("amt")).cast("string").as("amt"), sum(col("n")).as("n"))
+        .collect()
+        .map(r => r.getLong(0) -> ((BigDecimal(r.getString(1)), r.getLong(2))))
+        .toMap
+      val folded = ParquetSink
+        .readSummed(spark.read.parquet(dir), keys, sums)
+        .select(col("k"), col("amt").cast("string"), col("n"))
+        .collect()
+        .map(r => r.getLong(0) -> ((BigDecimal(r.getString(1)), r.getLong(2))))
+        .toMap
+      assert(folded === plain, s"round $round: folded state != plain GROUP BY")
     }
   }
 
