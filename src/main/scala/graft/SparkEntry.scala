@@ -26,7 +26,7 @@ object SparkEntry {
   val correctnessOnly: String => Boolean =
     name => name.startsWith("near_") ||
       name == "d_stream_minhash" || name == "pipe_stream_clean" ||
-      name == "t_stream_dataset_card"
+      name == "t_stream_dataset_card" || name == "s_stream_ann_lsh"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -113,6 +113,10 @@ object SparkEntry {
     "s_cosine_pairs"    -> ((s, d) => Similarity.sCosinePairs(s, d)),
     "s_ann_ivf"         -> ((s, d) => Similarity.sAnnIvf(s, d)),
     "s_ann_lsh"         -> ((s, d) => Similarity.sAnnLsh(s, d)),
+    // the same index maintained as a streaming MV (checkpoint,
+    // mid-stream restart); same probe set, same oracle as the batch
+    "s_stream_ann_lsh"  -> ((s, d) =>
+      graft.streaming.StreamingAnnIndex.sStreamAnnLsh(s, d)),
     // trained k-means quantizer: deterministic fixed-seed Lloyd with a
     // quantized (order-independent) update -> the oracle replays both
     // iterations as CTEs and hash-matches exactly
@@ -232,6 +236,35 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Shared by `s_ann_lsh` and its streaming-MV twin
+    * `s_stream_ann_lsh`: the exact sign-bucket + hamming-1 multi-probe
+    * search, recomputed from the static table — both index builds must
+    * land on this one answer. */
+  private val annLshOracle: String =
+    """WITH n AS (SELECT vec_id, emb,
+      |    sqrt(list_sum(list_transform(list_zip(emb, emb), x -> x[1] * x[2]))) AS nrm
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e),
+      |h AS (SELECT vec_id AS h_id, emb AS h_emb FROM n WHERE vec_id < 4),
+      |d AS (SELECT n.vec_id, h.h_id,
+      |    list_sum(list_transform(list_zip(n.emb, h.h_emb), x -> x[1] * x[2])) AS dt
+      |  FROM n CROSS JOIN h),
+      |b AS (SELECT vec_id,
+      |    SUM(CASE WHEN dt >= 0 THEN CAST(pow(2, h_id) AS BIGINT) ELSE 0 END) AS bucket
+      |  FROM d GROUP BY vec_id),
+      |a AS (SELECT n.vec_id, n.emb, n.nrm, b.bucket
+      |  FROM n JOIN b ON n.vec_id = b.vec_id),
+      |p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+      |    list_sum(list_transform(list_zip(q.emb, x.emb), x2 -> x2[1] * x2[2]))
+      |      / (q.nrm * x.nrm) AS cosine
+      |  FROM a q JOIN a x ON q.vec_id < 20
+      |    AND bit_count(xor(x.bucket, q.bucket)) <= 1
+      |    AND x.vec_id != q.vec_id),
+      |r AS (SELECT query_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
+      |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cosine
+      |FROM r WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -977,30 +1010,10 @@ object SparkEntry {
         |      ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cosine
         |FROM r WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin,
-    "s_ann_lsh" ->
-      """WITH n AS (SELECT vec_id, emb,
-        |    sqrt(list_sum(list_transform(list_zip(emb, emb), x -> x[1] * x[2]))) AS nrm
-        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e),
-        |h AS (SELECT vec_id AS h_id, emb AS h_emb FROM n WHERE vec_id < 4),
-        |d AS (SELECT n.vec_id, h.h_id,
-        |    list_sum(list_transform(list_zip(n.emb, h.h_emb), x -> x[1] * x[2])) AS dt
-        |  FROM n CROSS JOIN h),
-        |b AS (SELECT vec_id,
-        |    SUM(CASE WHEN dt >= 0 THEN CAST(pow(2, h_id) AS BIGINT) ELSE 0 END) AS bucket
-        |  FROM d GROUP BY vec_id),
-        |a AS (SELECT n.vec_id, n.emb, n.nrm, b.bucket
-        |  FROM n JOIN b ON n.vec_id = b.vec_id),
-        |p AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
-        |    list_sum(list_transform(list_zip(q.emb, x.emb), x2 -> x2[1] * x2[2]))
-        |      / (q.nrm * x.nrm) AS cosine
-        |  FROM a q JOIN a x ON q.vec_id < 20
-        |    AND bit_count(xor(x.bucket, q.bucket)) <= 1
-        |    AND x.vec_id != q.vec_id),
-        |r AS (SELECT query_id, neighbor_id, cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
-        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cosine
-        |FROM r WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin,
+    "s_ann_lsh" -> annLshOracle,
+    // the streamed index must answer the probe set IDENTICALLY to the
+    // batch build — one search over two index builds, one oracle
+    "s_stream_ann_lsh" -> annLshOracle,
     // the trainer replayed exactly: seeds = 8 lowest vec_ids; two Lloyd
     // iterations, each = argmax-cosine assignment (first-max tie-break
     // = ORDER BY score DESC, cell) + quantized mean update

@@ -277,16 +277,36 @@ object Similarity {
       nQueries: Int = 20, nPlanes: Int = 4): DataFrame = {
     val e = withNorm(embeddings(spark, dir))
       .select(col("vec_id"), col("emb"), col("nrm"))
-    val planes: Array[Array[Double]] = e
-      .filter(col("vec_id") < nPlanes).orderBy(col("vec_id"))
-      .select(col("emb")).collect()
-      .map(_.getSeq[Double](0).toArray)
-    val bucketCol = planes.zipWithIndex.map { case (p, i) =>
+    val assigned = e.withColumn("bucket", signBucketCol(annPlanes(e, nPlanes)))
+    annLshSearch(assigned, k, nQueries, nPlanes)
+  }
+
+  /** The index CONFIG of the sign-bucket LSH: the first `nPlanes`
+    * corpus vectors, fixed at index-build time. Bounded (nPlanes·d
+    * doubles), shared by the batch build and the streaming index MV
+    * ([[graft.streaming.StreamingAnnIndex]]) so the two cannot drift. */
+  private[graft] def annPlanes(e: DataFrame,
+      nPlanes: Int): Array[Array[Double]] = e
+    .filter(col("vec_id") < nPlanes).orderBy(col("vec_id"))
+    .select(col("emb")).collect()
+    .map(_.getSeq[Double](0).toArray)
+
+  /** Sign-bit bucket of `emb` against the plane set, unrolled into
+    * codegen'd `dot_product(emb, array(<literals>))` columns — one
+    * narrow map, no join against a plane relation. */
+  private[graft] def signBucketCol(planes: Array[Array[Double]]): org.apache.spark.sql.Column =
+    planes.zipWithIndex.map { case (p, i) =>
       val arr = p.map(x => s"${x}D").mkString("array(", ",", ")")
       when(expr(s"dot_product(emb, $arr)") >= 0, lit(1L << i))
         .otherwise(lit(0L))
     }.reduce(_ + _)
-    val assigned = e.withColumn("bucket", bucketCol)
+
+  /** Multi-probe search over an assigned (vec_id, emb, nrm, bucket)
+    * index relation — shared by the batch query and the streaming
+    * index MV, so "streamed index answers the probe set identically"
+    * is a property of ONE search implementation over two index builds. */
+  private[graft] def annLshSearch(assigned: DataFrame, k: Int,
+      nQueries: Int, nPlanes: Int): DataFrame = {
     // probe set: own bucket + each single-bit flip (hamming-1)
     val probes = (0L +: (0 until nPlanes).map(1L << _)).map(m =>
       expr(s"bucket ^ ${m}L"))

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+
+import graft.sink.ParquetSink
+
+/** Streaming maintenance of the sign-bucket ANN index (VERDICT r6 #5):
+  * the LSH bucket table of [[graft.llm.Similarity.sAnnLsh]] kept as an
+  * incrementally-absorbed streaming MV instead of a batch build — the
+  * index a training-data pipeline needs when the corpus is a feed, not
+  * a snapshot (new documents must become searchable without re-hashing
+  * the world).
+  *
+  * Design, at the 100-TB lens:
+  *  - the plane set is the index CONFIG — bounded (nPlanes·d doubles),
+  *    fixed at index creation and shipped into each micro-batch as
+  *    codegen'd literals ([[graft.llm.Similarity.signBucketCol]] — the
+  *    SAME column expression as the batch build, so the two cannot
+  *    drift); re-deriving planes from arriving data would silently
+  *    re-bucket history;
+  *  - each micro-batch is one NARROW map (norm + sign bits per vector,
+  *    no join, no shuffle) appended through the ReplacingMergeTree-
+  *    analog sink keyed on vec_id: an at-least-once redelivery of a
+  *    chunk collapses by FINAL instead of duplicating index rows, and
+  *    a mid-stream restart resumes from the checkpoint exactly as the
+  *    dedup stream does ([[StreamingDedup.runStream]]);
+  *  - search is [[graft.llm.Similarity.annLshSearch]] over the
+  *    accumulated table — one shared search implementation over two
+  *    index builds, so "the streamed index answers the probe set
+  *    identically to the batch index" is pinned by construction plus
+  *    the shared DuckDB oracle (the dataset-card twin pattern).
+  *
+  * Reference analog: the reference maintains its silver tables as
+  * incrementally-absorbed MVs over the block stream
+  * (clickhouse/init/02-silver-mvs.sql); this applies the same
+  * build-as-you-ingest discipline to an ANN index.
+  */
+object StreamingAnnIndex {
+
+  /** Feed schema: vec_id rides the chunk writer's `doc_id` rail (the
+    * writer orders/names files by that column); embeddings are cast to
+    * array<double> BEFORE the JSON feed — Java double round-trips
+    * through JSON text exactly, so the streamed vectors are
+    * bit-identical to the parquet originals. */
+  private[streaming] val vecSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("embedding", ArrayType(DoubleType))))
+
+  /** Stream every unconsumed chunk into the index table, then stop
+    * (Trigger.AvailableNow — the [[StreamingDedup.runStream]] resume
+    * contract: call again after new chunks land and the same
+    * checkpoint continues from the first unseen file). */
+  def runStream(spark: SparkSession, feedDir: String, warehouse: String,
+      planes: Array[Array[Double]]): Unit = {
+    val path = s"$warehouse/ann_vectors"
+    val query = StreamingDedup.readDocStream(spark, feedDir, vecSchema)
+      .writeStream
+      .option("checkpointLocation", s"$warehouse/_ann_checkpoint")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val batch = b.localCheckpoint()
+        if (!batch.isEmpty) {
+          val maxId = batch.agg(max(col("doc_id"))).collect()(0).getLong(0)
+          val assigned = batch
+            .select(col("doc_id").as("vec_id"), col("embedding").as("emb"))
+            .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+            .withColumn("bucket",
+              graft.llm.Similarity.signBucketCol(planes))
+            .withColumn("block_height", col("vec_id"))
+          ParquetSink.writeBatch(assigned, path, maxId, Seq("vec_id"))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** The accumulated index, FINAL-deduped — the search surface. */
+  def indexTable(spark: SparkSession, warehouse: String): DataFrame =
+    ParquetSink.readFinal(
+      spark.read.parquet(s"$warehouse/ann_vectors"), Seq("vec_id"))
+      .select("vec_id", "emb", "nrm", "bucket")
+
+  /** Declared query (`s_stream_ann_lsh`): build the ANN index by
+    * STREAMING the embeddings table — checkpointed file source, two
+    * chunks, a stop, then the full feed against the same checkpoint
+    * (the mid-stream restart, byte-identical early chunks skipped by
+    * the source) — then answer the batch query's exact probe set over
+    * the streamed index. Oracle: shared with `s_ann_lsh` (one search
+    * over two index builds must be one result). Correctness-only:
+    * its cost is micro-batch orchestration, the batch twin is the
+    * benched operator. */
+  def sStreamAnnLsh(spark: SparkSession, dir: String, k: Int = 3,
+      nQueries: Int = 20, nPlanes: Int = 4, nChunks: Int = 5): DataFrame = {
+    graft.Tables.tune(spark)
+    val feed = StreamingDedup.freshDir("ann_feed")
+    val warehouse = StreamingDedup.freshDir("ann_wh")
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    // index config: same plane derivation as the batch build
+    val planes = graft.llm.Similarity.annPlanes(
+      vecs.select(col("doc_id").as("vec_id"),
+        col("embedding").as("emb")), nPlanes)
+    StreamingDedup.writeDocChunks(spark, vecs, feed, nChunks,
+      takeChunks = 2, schema = vecSchema)
+    runStream(spark, feed, warehouse, planes)
+    // mid-stream restart over the full feed, same checkpoint
+    StreamingDedup.writeDocChunks(spark, vecs, feed, nChunks,
+      schema = vecSchema)
+    runStream(spark, feed, warehouse, planes)
+    graft.llm.Similarity.annLshSearch(
+      indexTable(spark, warehouse), k, nQueries, nPlanes)
+  }
+}

@@ -248,6 +248,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming ANN index (checkpointed, mid-stream restart) answers " +
+    "the probe set identically to the batch index") {
+    val dir = "/root/testdata/sf0.001"
+    // sStreamAnnLsh drives the full product shape: chunked vector feed,
+    // checkpointed stream building the bucket table, a stop after two
+    // chunks, a resumed run over the full feed, then the SAME search
+    // as the batch query over the streamed index
+    val streamed = graft.streaming.StreamingAnnIndex
+      .sStreamAnnLsh(spark, dir)
+      .collect().map(_.toString).toSeq
+    val batch = graft.llm.Similarity.sAnnLsh(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch) // identical rows, order, and doubles
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dataset card (restart + mid-sequence merge) equals the " +
     "batch card exactly") {
     val dir = "/root/testdata/sf0.001"
