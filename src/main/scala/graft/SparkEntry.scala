@@ -39,6 +39,8 @@ object SparkEntry {
     "q10_returned_items"   -> (TpchQueries.q10ReturnedItems _),
     "q4_order_priority"    -> (TpchQueries.q4OrderPriority _),
     "q18_large_orders"     -> (TpchQueries.q18LargeOrders _),
+    "q17_small_qty_revenue" -> (TpchQueries.q17SmallQtyRevenue _),
+    "q11_supplier_share"   -> (TpchQueries.q11SupplierShare _),
     "p_filter_project"     -> (TpchQueries.pFilterProject _),
     "k_latest_order_per_customer" -> (TpchQueries.kLatestOrderPerCustomer _),
     "v_orphan_orders"      -> (TpchQueries.vOrphanOrders _),
@@ -354,6 +356,35 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC
         |LIMIT 100""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH b AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#12'),
+        |a AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        |  FROM b GROUP BY l_partkey)
+        |SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+        |    / CAST(7.0 AS DOUBLE) AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM b JOIN a USING (l_partkey)
+        |WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""".stripMargin,
+    "q11_supplier_share" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(28,6))) AS value_dec
+        |  FROM lineitem GROUP BY l_suppkey),
+        |t AS (SELECT SUM(value_dec) AS total_dec FROM rev)
+        |SELECT l_suppkey, s_name, CAST(value_dec AS DOUBLE) AS value
+        |FROM rev CROSS JOIN t
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE CAST(value_dec AS DOUBLE) >
+        |  CAST(total_dec AS DOUBLE) * CAST(0.001 AS DOUBLE)
+        |ORDER BY value DESC, l_suppkey ASC""".stripMargin,
     "p_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         |FROM lineitem

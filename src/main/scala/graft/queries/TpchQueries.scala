@@ -171,6 +171,71 @@ object TpchQueries {
       .limit(100)
   }
 
+  /** TPC-H Q17 shape: a CORRELATED SCALAR SUBQUERY per group
+    * ("lineitems below 20% of their part's average quantity"),
+    * decorrelated to an aggregate join — the rewrite Catalyst's
+    * subquery decorrelation performs, written explicitly so the plan
+    * is the one a 100-TB run needs: the per-part average is one
+    * partial aggregation to a part-bounded relation, joined back on
+    * the part key (AQE-owned — NOT force-broadcast: the brand slice of
+    * part is data-proportional, the round-1/round-3 driver-OOM
+    * lesson).
+    *
+    * The brand-filtered lineitem slice feeds BOTH the average and the
+    * final filter, so it is persisted once (tracked cache contract)
+    * instead of re-running the scan+join lineage twice. Cross-engine
+    * determinism: the average is [[graft.Tables.davg]] (exact decimal
+    * sum, ONE double division), 0.2·avg is one more exact-rounded
+    * multiply, and the final sum is the dsum discipline — every double
+    * bit-identical in both engines. */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir).filter(col("p_brand") === "Brand#12")
+      .select(col("p_partkey"))
+    val branded = graft.QueryCaches.persistTracked(
+      lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .drop("p_partkey"))
+    val avgs = branded.groupBy(col("l_partkey"))
+      .agg(davg(col("l_quantity"), 2).as("avg_qty"))
+    branded.join(avgs, Seq("l_partkey"))
+      .filter(col("l_quantity") <
+        lit(0.2).cast("double") * col("avg_qty"))
+      .agg(
+        (dsum(col("l_extendedprice"), 2) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q11 shape: a HAVING filter against a GLOBAL-aggregate
+    * scalar ("suppliers whose revenue exceeds 0.1% of total revenue";
+    * the corpus has no partsupp, so supplier revenue stands in for
+    * partsupp value — same plan shape). The global total is computed
+    * once from the per-supplier aggregate (supplier-bounded, NOT a
+    * second lineitem scan) and reaches every row as a broadcast
+    * 1-row cross join — a broadcast SCALAR, no driver-side collect in
+    * the plan. Group sums and the total are exact decimal; the 0.1%
+    * threshold compare casts both sides to double (one exact-rounded
+    * multiply), identical in DuckDB. */
+  def q11SupplierShare(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the supplier-bounded aggregate feeds both the global
+    // total and the filter — unpersisted, the lineitem scan+aggregate
+    // lineage would run twice (tracked cache contract)
+    val rev = graft.QueryCaches.persistTracked(
+      lineitem(spark, dir)
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .as("value_dec")))
+    val total = rev.agg(sum(col("value_dec")).as("total_dec"))
+    rev.crossJoin(broadcast(total))
+      .filter(col("value_dec").cast("double") >
+        col("total_dec").cast("double") * lit(0.001).cast("double"))
+      .join(supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_suppkey"), col("s_name"),
+        col("value_dec").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_suppkey").asc)
+  }
+
   /** Filter + projection pushdown showcase (SURVEY P3–P5 `isin` pattern):
     * both predicates reach the parquet scan, only 4 columns are read. */
   def pFilterProject(spark: SparkSession, dir: String): DataFrame = {

@@ -22,7 +22,8 @@ class CacheContractSpec extends AnyFunSuite {
     "t_tfidf_topk", "t_decontaminate", "t_quality_percentiles",
     "t_token_budget", "t_seq_pack", "d_shingle_novelty",
     "d_simhash_pairs", "d_minhash_pairs", "d_ngram_pairs",
-    "d_embed_dedup", "w_value_deciles", "pipe_corpus_clean")
+    "d_embed_dedup", "w_value_deciles", "pipe_corpus_clean",
+    "q17_small_qty_revenue", "q11_supplier_share")
 
   test("materialize + releaseAll leaves zero cached blocks per query") {
     val cm = spark.sharedState.cacheManager
