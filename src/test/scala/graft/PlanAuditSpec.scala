@@ -121,6 +121,46 @@ class PlanAuditSpec extends AnyFunSuite {
       s"as-of join must not degrade to a product join\n$plan")
   }
 
+  test("AQE splits the hot partition of a skewed gold-style join") {
+    // SURVEY §7.2: the receipt join's natural skew (`intents.near`
+    // dominates the account distribution). Pin that the engine's
+    // standing answer — AQE skew-join — actually ENGAGES on a skewed
+    // shuffle join: one hot key ≫ others, broadcast disabled so the
+    // join is a genuine two-sided shuffle, skew thresholds scaled to
+    // test-sized data (the 256 MB production default ÷ ~10⁴, same
+    // ratio as the corpus). Fails if someone turns
+    // spark.sql.adaptive.skewJoin off in the session builders or
+    // regresses the join into a shape AQE cannot split.
+    val s = spark
+    import s.implicits._
+    val hot = (0 until 60000).map { i =>
+      (if (i % 20 == 0) s"acct${i % 97}" else "intents.near", i.toLong)
+    }
+    val facts = hot.toDF("account_id", "v")
+    val dim = (0 until 97).map(i => (s"acct$i", i)) :+ (("intents.near", 97))
+    val dimDf = dim.toDF("account_id", "tag")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = facts.join(dimDf, Seq("account_id"), "left")
+      // materialize THIS dataset's execution (count() would plan a new
+      // aggregate query and leave this one un-executed) — AQE decides
+      // skew handling at runtime, so inspect only after the action
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot-key join skewed:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Queries whose BUILDER is the side effect (full runner/stream/sink
     * round trips) — their returned plan is a plain parquet scan, and
     * executing the builder re-runs minutes of pipeline already covered
