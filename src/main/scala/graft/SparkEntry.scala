@@ -1118,17 +1118,29 @@ object SparkEntry {
     // width*height (PNG grayscale is lossless), so every feature of the
     // ACTUALLY DECODED pixels is closed-form over the source text
     "mm_media_features" ->
-      """SELECT doc_id, 'image/png' AS media_type,
-        |  CAST(w * h AS BIGINT) AS n_bytes,
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |    (n_chars % 64) + 16 AS w,
+        |    ((n_chars // 64) % 64) + 16 AS h FROM documents),
+        |c AS (SELECT doc_id, w, h,
+        |    coalesce(list_sum(list_transform(range(0, w * h),
+        |      i -> CASE WHEN 3 * i + 1 <= len
+        |        THEN ascii(substring(text, 3 * i + 1, 1)) ELSE 0 END)), 0) AS sr,
+        |    coalesce(list_sum(list_transform(range(0, w * h),
+        |      i -> CASE WHEN 3 * i + 2 <= len
+        |        THEN ascii(substring(text, 3 * i + 2, 1)) ELSE 0 END)), 0) AS sg,
+        |    coalesce(list_sum(list_transform(range(0, w * h),
+        |      i -> CASE WHEN 3 * i + 3 <= len
+        |        THEN ascii(substring(text, 3 * i + 3, 1)) ELSE 0 END)), 0) AS sb
+        |  FROM d)
+        |SELECT doc_id, 'image/png' AS media_type,
+        |  CAST(3 * w * h AS BIGINT) AS n_bytes,
         |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-        |  CAST(coalesce(list_sum(list_transform(
-        |    range(1, least(length(text), w * h) + 1),
-        |    i -> ascii(substring(text, i, 1)))), 0) AS DOUBLE)
-        |    / CAST(w * h AS DOUBLE) AS mean_byte,
-        |  CAST((w * h + 15) // 16 AS BIGINT) AS frames_sampled
-        |FROM (SELECT doc_id, text, (n_chars % 64) + 16 AS w,
-        |  ((n_chars // 64) % 64) + 16 AS h FROM documents)
-        |ORDER BY doc_id""".stripMargin,
+        |  CAST(sr + sg + sb AS DOUBLE) / CAST(3 * w * h AS DOUBLE) AS mean_byte,
+        |  CAST(sr AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_r,
+        |  CAST(sg AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_g,
+        |  CAST(sb AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_b,
+        |  CAST((3 * w * h + 15) // 16 AS BIGINT) AS frames_sampled
+        |FROM c ORDER BY doc_id""".stripMargin,
     // nearest-neighbor 16x16 resize replayed with integer index math:
     // out pixel p=(y*16+x) reads source index (y*h//16)*w + (x*w//16),
     // positions past the payload read 0; mean over 256 = sum/2^8, exact

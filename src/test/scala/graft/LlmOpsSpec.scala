@@ -562,6 +562,78 @@ class LlmOpsSpec extends AnyFunSuite {
       Array.tabulate(4)(i => (i * 40).toByte).toSeq)
   }
 
+  test("RGB PNG codec round-trips interleaved triplets and decode " +
+    "ignores metadata") {
+    import spark.implicits._
+    // 2x2 RGB image: 12 bytes of distinct channel values, plus a short
+    // payload that the encoder must zero-pad
+    val src = Seq(
+      Multimodal.MediaRow(1L, "image/rgb-raw", 2, 2,
+        Array.tabulate(12)(i => (i * 20 + 3).toByte)),
+      Multimodal.MediaRow(2L, "image/rgb-raw", 2, 2,
+        Array[Byte](100, 50, 25, 7))
+    ).toDS()
+    val png = Multimodal.encodePngRgb(src).collect().map(m => m.doc_id -> m).toMap
+    assert(png.values.forall(_.payload.take(4).toSeq ===
+      Seq[Byte](0x89.toByte, 'P', 'N', 'G')))
+    val tampered = png.values.toSeq
+      .map(m => Multimodal.MediaRow(m.doc_id, m.media_type, 99, 99, m.payload))
+    val back = Multimodal.decodePngRgb(tampered.toDS()).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(back(1L).width === 2 && back(1L).height === 2)
+    assert(back(1L).payload.toSeq ===
+      Array.tabulate(12)(i => (i * 20 + 3).toByte).toSeq)
+    assert(back(2L).payload.toSeq ===
+      (Seq[Byte](100, 50, 25, 7) ++ Seq.fill(8)(0.toByte)))
+    // per-channel means come from decoded pixels
+    val feats = Multimodal.decodeFeaturesRgb(Multimodal.decodePngRgb(
+      png.values.toSeq.toDS())).collect().map(f => f.doc_id -> f).toMap
+    val p1 = Array.tabulate(12)(i => i * 20 + 3)
+    assert(feats(1L).mean_r === (p1(0) + p1(3) + p1(6) + p1(9)) / 4.0)
+    assert(feats(1L).mean_g === (p1(1) + p1(4) + p1(7) + p1(10)) / 4.0)
+    assert(feats(1L).mean_b === (p1(2) + p1(5) + p1(8) + p1(11)) / 4.0)
+  }
+
+  test("frame series packs independently-decodable PNG frames and " +
+    "sampling decodes only the kept ones") {
+    import spark.implicits._
+    // 16x16 raster -> four 8x8 frames; every=4 keeps frame 0 only;
+    // every=1 decodes all four
+    val bytes = Array.tabulate(256)(i => (i % 251).toByte)
+    val src = Seq(Multimodal.MediaRow(7L, "image/raw", 16, 16, bytes)).toDS()
+    val series = Multimodal.encodeFrameSeries(src).collect().head
+    assert(series.media_type === "video/png-series")
+    // container framing: 4-byte BE length + a REAL PNG per frame
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(series.payload))
+    val frames = Iterator.continually {
+      if (in.available() < 4) None
+      else { val l = in.readInt(); val b = new Array[Byte](l)
+        in.readFully(b); Some(b) }
+    }.takeWhile(_.isDefined).map(_.get).toSeq
+    assert(frames.size === 4)
+    assert(frames.forall(_.take(4).toSeq ===
+      Seq[Byte](0x89.toByte, 'P', 'N', 'G')))
+    val all = Multimodal.sampleFrameSeries(Seq(series).toDS(), every = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(all.map(_.frame_idx).toSeq === Seq(0L, 1L, 2L, 3L))
+    all.foreach { f =>
+      val w = (0 until 64).map(i => bytes(f.frame_idx.toInt * 64 + i) & 0xff)
+      assert(f.mean_byte === w.sum / 64.0, s"frame ${f.frame_idx}")
+    }
+    val sampled = Multimodal.sampleFrameSeries(Seq(series).toDS(), every = 4)
+      .collect()
+    assert(sampled.map(_.frame_idx).toSeq === Seq(0L))
+    // a corrupt frame surfaces the doc and frame identity
+    val corrupt = Multimodal.MediaRow(9L, "video/png-series", 8, 8,
+      Array[Byte](0, 0, 0, 4, 1, 2, 3, 4))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFrameSeries(Seq(corrupt).toDS(), every = 1).collect()
+    }
+    val msg = e.getCause match { case null => e.getMessage; case c => c.getMessage }
+    assert(msg.contains("doc_id=9") && msg.contains("frame 0"))
+  }
+
   test("corrupt payload fails decode with the asset's identity, not an NPE") {
     import spark.implicits._
     // ImageIO.read returns null for unrecognized bytes; the decode must
