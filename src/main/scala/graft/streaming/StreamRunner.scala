@@ -48,12 +48,21 @@ object StreamRunner {
     *    same PKs and FINAL dedup absorbs them (K2) — the reference's
     *    at-least-once + ReplacingMergeTree pairing exactly.
     */
+  /** `failpoint(batchMaxHeight, writePoint)` fires before each of the
+    * six per-batch table writes (0=receipts, 1=execution_outcomes,
+    * 2=events, 3=silver cascade, 4=resolver state, 5=transactions) —
+    * the crash-injection seam the soak suite uses to kill the runner
+    * mid-cascade at arbitrary points (a thrown exception fails the
+    * query before the checkpoint commits, so the batch replays whole on
+    * the next start and the write-order contract below must absorb the
+    * partial writes). Default no-op. */
   def runStream(
       spark: SparkSession,
       blocksDir: String,
       warehouse: String,
       accounts: AccountsConfig = AccountsConfig(),
-      ttlBlocks: Long = NearModel.TtlBlocks): Unit = {
+      ttlBlocks: Long = NearModel.TtlBlocks,
+      failpoint: (Long, Int) => Unit = (_, _) => ()): Unit = {
     val statePath = s"$warehouse/resolver_state"
     val eventsPath = s"$warehouse/events"
 
@@ -95,16 +104,20 @@ object StreamRunner {
           val txs = BronzeExtractors.transactions(blocks, accounts)
           val outs = BronzeExtractors.outcomes(blocks)
           val ofInt = BronzeExtractors.outcomesOfInterest(outs, accounts)
+          failpoint(maxH, 0)
           ParquetSink.writeBatch(
             ReceiptTxResolver.attachParentTx(
               BronzeExtractors.receiptRows(ofInt), lookup, ttlBlocks),
             s"$warehouse/receipts", maxH, Seq("receipt_id"))
+          failpoint(maxH, 1)
           ParquetSink.writeBatch(
             ReceiptTxResolver.attachParentTx(
               BronzeExtractors.executionOutcomeRows(ofInt), lookup, ttlBlocks),
             s"$warehouse/execution_outcomes", maxH,
             Seq("execution_outcome_id"))
+          failpoint(maxH, 2)
           ParquetSink.writeBatch(events, eventsPath, maxH, eventsPk)
+          failpoint(maxH, 3)
           graft.runner.BatchRunner.writeSilverCascade(
             events, accounts, warehouse, maxH)
           // state commits AFTER the event-derived tables: a crash in
@@ -114,6 +127,7 @@ object StreamRunner {
           // means pre-existing entries never change, so the table + the
           // trim below stay O(TTL window), not O(stream length));
           // block_height = entry_height drives the sink's bucketing.
+          failpoint(maxH, 4)
           ParquetSink.writeBatch(
             st2.filter(col("entry_height") >= minH)
               .withColumn("block_height", col("entry_height")),
@@ -121,6 +135,7 @@ object StreamRunner {
           ParquetSink.dropBucketsBelow(statePath, maxH - ttlBlocks)
           // transactions last — the lastHeight resume marker consumers
           // read stays behind every other table (BatchRunner parity)
+          failpoint(maxH, 5)
           ParquetSink.writeBatch(
             txs.filter(col("of_interest"))
               .drop("first_receipt_id", "of_interest"),

@@ -10,6 +10,10 @@ import graft.queries.NearQueries
 import graft.silver.SilverTransforms
 import graft.streaming.{StreamRunner, StreamingResolver}
 
+/** Long-running suites (the cascade soak) — excludable with
+  * `testOnly * -- -l graft.Slow` when iterating. */
+object Slow extends org.scalatest.Tag("graft.Slow")
+
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   private val acc = NearFixtures.accounts
@@ -246,6 +250,83 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(streamed === batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("soak: randomized restarts, checkpoint wipes, and mid-cascade " +
+    "kills converge to the one-shot warehouse", Slow) {
+    // VERDICT r6 #10: the crash-recovery analog of the reference's
+    // resume discipline at 10x the single-restart test's depth. Ten
+    // rounds over a 100-block rich chain: each round reveals 1-2 more
+    // chunk files, sometimes wipes the checkpoint (worst-case
+    // at-least-once replay of EVERYTHING), and kills the runner at a
+    // random write point of a random micro-batch via the failpoint
+    // seam — a genuine mid-cascade crash, partial tables on disk —
+    // then restarts. After every crash+recovery the warehouse must
+    // keep converging; at the end it must equal a one-shot batch run
+    // table for table.
+    import graft.sources.BlockFileSource
+    import graft.runner.BatchRunner
+    def tmp(name: String): String = {
+      val d = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_test_$name")
+      graft.sink.ParquetSink.delete(d)
+      d.getAbsolutePath
+    }
+    val warehouse = tmp("soak_wh")
+    val blocksDir = tmp("soak_blocks")
+    val rnd = new scala.util.Random(4242)
+    val blocks = graft.fixtures.BlockGen.genBlocks(100, rich = true)
+      .sortBy(_.header.height)
+    val perFile = 10
+    val nChunks = blocks.size / perFile
+    var revealed = 0
+    var kills = 0
+    (1 to 10).foreach { round =>
+      revealed = math.min(nChunks, revealed + 1 + rnd.nextInt(2))
+      BlockFileSource.writeBlockFilesChunked(
+        spark, blocks.take(revealed * perFile), blocksDir, perFile)
+      if (rnd.nextInt(4) == 0)
+        graft.sink.ParquetSink.delete(
+          new java.io.File(s"$warehouse/_stream_checkpoint"))
+      // kill at a random write point (0..5) of a random batch of this
+      // run; if the run has fewer batches the kill simply never fires
+      val killBatch = rnd.nextInt(2)
+      val killPoint = rnd.nextInt(6)
+      var batchNo = -1
+      val fp: (Long, Int) => Unit = (_, wp) => {
+        if (wp == 0) batchNo += 1
+        if (batchNo == killBatch && wp == killPoint)
+          throw new RuntimeException(
+            s"soak-kill round $round batch $killBatch point $killPoint")
+      }
+      try StreamRunner.runStream(spark, blocksDir, warehouse, acc,
+        failpoint = fp)
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          assert(e.getMessage.contains("soak-kill") ||
+            Option(e.getCause).exists(_.getMessage.contains("soak-kill")))
+          kills += 1
+      }
+      // recovery: a clean restart from whatever the crash left behind
+      StreamRunner.runStream(spark, blocksDir, warehouse, acc)
+    }
+    assert(revealed === nChunks, "schedule must reveal the whole chain")
+    assert(kills > 0, "the soak never actually crashed the runner")
+    // the soaked warehouse equals a one-shot batch run, table by table
+    val batchWh = tmp("soak_wh_batch")
+    BatchRunner.run(spark, blocksDir, batchWh, acc)
+    BatchRunner.productTables.foreach { case (name, pk) =>
+      def img(wh: String): Seq[String] = {
+        val t = pk match {
+          case Some(k) => BatchRunner.tableFinal(spark, wh, name, k)
+          case None => BatchRunner.silverFinal(spark, wh, name)
+        }
+        t.select(t.columns.sorted.map(col): _*)
+          .collect().map(_.toString).sorted.toSeq
+      }
+      assert(img(warehouse) === img(batchWh), s"table $name diverges")
+      assert(img(warehouse).nonEmpty, s"table $name is empty")
+    }
   }
 
   test("streaming ANN index (checkpointed, mid-stream restart) answers " +
