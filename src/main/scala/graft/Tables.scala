@@ -15,10 +15,11 @@ object Tables {
 
   /** Idempotent per-session settings every query path relies on. */
   def tune(spark: SparkSession): SparkSession = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's TimestampType
-    // (µs) cannot hold; read as raw Long nanos — mirrors the reference's
-    // decision to keep block_timestamp as u64 nanos as the source of
-    // truth (SURVEY.md §1.3).
+    // If events.parquet carries TIMESTAMP(NANOS) — which Spark's
+    // TimestampType (µs) cannot hold — read it as raw Long nanos;
+    // mirrors the reference's decision to keep block_timestamp as u64
+    // nanos as the source of truth (SURVEY.md §1.3). Corpora written at
+    // µs precision instead are normalized in [[events]].
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.functions.GraftFunctions.register(spark)
@@ -37,7 +38,27 @@ object Tables {
   def part(s: SparkSession, d: String)      = table(s, d, "part")
   def orders(s: SparkSession, d: String)    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String)    = table(s, d, "events")
+  /** The events stream table with `ts` ALWAYS exposed as Long epoch
+    * nanos, whatever physical type the parquet carries.
+    *
+    * The corpus has shipped `ts` both as TIMESTAMP(NANOS) (read as Long
+    * via `nanosAsLong` above) and as µs-precision timestamp[us] (which
+    * Spark reads as TIMESTAMP_NTZ). Every downstream query does pure
+    * integer arithmetic on nanos (`ts DIV <const>`) — engine-exact and
+    * identical in the DuckDB oracles, which spell the same instants as
+    * `epoch_ns(ts)` — so normalize here, at the one choke point. The
+    * NTZ→instant reading matches the oracle: session tz is UTC, and
+    * DuckDB's `epoch_ns` treats naive timestamps as UTC-naive too.
+    * The conversion is a codegen'd scalar projection on the scan — no
+    * shuffle, no pushdown loss for the non-ts predicates. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
+  }
   def documents(s: SparkSession, d: String) = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
 
