@@ -41,6 +41,18 @@ object SparkEntry {
     "q18_large_orders"     -> (TpchQueries.q18LargeOrders _),
     "q17_small_qty_revenue" -> (TpchQueries.q17SmallQtyRevenue _),
     "q11_supplier_share"   -> (TpchQueries.q11SupplierShare _),
+    "q2_min_cost_supplier" -> (TpchFullQueries.q2MinCostSupplier _),
+    "q7_volume_shipping"   -> (TpchFullQueries.q7VolumeShipping _),
+    "q8_market_share"      -> (TpchFullQueries.q8MarketShare _),
+    "q12_late_priority"    -> (TpchFullQueries.q12LatePriority _),
+    "q13_customer_distribution" -> (TpchFullQueries.q13CustomerDistribution _),
+    "q14_promo_revenue"    -> (TpchFullQueries.q14PromoRevenue _),
+    "q15_top_supplier"     -> (TpchFullQueries.q15TopSupplier _),
+    "q16_parts_supplier_cnt" -> (TpchFullQueries.q16PartsSupplierCnt _),
+    "q19_disjunctive_revenue" -> (TpchFullQueries.q19DisjunctiveRevenue _),
+    "q20_part_availability" -> (TpchFullQueries.q20PartAvailability _),
+    "q21_waiting_supplier" -> (TpchFullQueries.q21WaitingSupplier _),
+    "q22_sales_opportunity" -> (TpchFullQueries.q22SalesOpportunity _),
     "p_filter_project"     -> (TpchQueries.pFilterProject _),
     "k_latest_order_per_customer" -> (TpchQueries.kLatestOrderPerCustomer _),
     "v_orphan_orders"      -> (TpchQueries.vOrphanOrders _),
@@ -385,6 +397,182 @@ object SparkEntry {
         |WHERE CAST(value_dec AS DOUBLE) >
         |  CAST(total_dec AS DOUBLE) * CAST(0.001 AS DOUBLE)
         |ORDER BY value DESC, l_suppkey ASC""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH eu_supp AS (
+        |  SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |offers AS (
+        |  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal,
+        |    l_extendedprice
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN eu_supp ON l_suppkey = s_suppkey
+        |  WHERE p_size = 15),
+        |mc AS (SELECT p_partkey AS mc_partkey,
+        |         MIN(l_extendedprice) AS min_price
+        |       FROM offers GROUP BY 1)
+        |SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name, s_acctbal,
+        |  min_price
+        |FROM offers JOIN mc
+        |  ON p_partkey = mc_partkey AND l_extendedprice = min_price
+        |ORDER BY s_acctbal DESC, p_partkey ASC, s_suppkey ASC
+        |LIMIT 100""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(CASE WHEN n_name = 'NATION_5'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+        |    AS DECIMAL(28,6))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS mkt_share,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS total_rev
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_type = 'PROMO'
+        |  AND o_custkey IN (
+        |    SELECT c_custkey FROM customer
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |    WHERE r_name = 'EUROPE')
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT l_returnflag,
+        |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 END) AS high_line_count,
+        |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q13_customer_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM per_cust GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT
+        |  100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+        |    AS DECIMAL(28,6))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS promo_share_pct,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS total_rev,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(28,6))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey),
+        |m AS (SELECT MAX(rev_dec) AS max_rev FROM rev)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM rev JOIN m ON rev_dec = max_rev
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_parts_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1,4,9,14,19,23,36,45)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q20_part_availability" ->
+      """WITH shipped AS (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_partkey IN
+        |      (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |  GROUP BY l_partkey, l_suppkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+        |    > 40.0)
+        |SELECT s_suppkey, s_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM shipped)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH lines AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |per_order AS (
+        |  SELECT l_orderkey AS po_orderkey,
+        |    COUNT(DISTINCT l_suppkey) AS n_supp,
+        |    COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+        |  FROM lines GROUP BY 1
+        |  HAVING COUNT(DISTINCT l_suppkey) > 1
+        |    AND COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) = 1),
+        |waiters AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lines WHERE is_late)
+        |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        |FROM waiters JOIN per_order ON l_orderkey = po_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey ASC
+        |LIMIT 100""".stripMargin,
+    "q22_sales_opportunity" ->
+      """WITH a AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT n_name, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer CROSS JOIN a
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > avg_bal
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "p_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         |FROM lineitem

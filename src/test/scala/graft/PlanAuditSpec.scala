@@ -44,7 +44,19 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_seq_pack" -> ((1, Set("offset"))), // same 256-row offsets relation
     "t_dataset_card" -> ((1, Set("split_tokens"))), // per-split totals: ≤3 rows
     "w_value_deciles" -> ((1, Set("bs"))), // boundary arrays: types × 9 rows
-    "q11_supplier_share" -> ((1, Set("total_dec"))) // global scalar: 1 row
+    "q11_supplier_share" -> ((1, Set("total_dec"))), // global scalar: 1 row
+    "q2_min_cost_supplier" ->
+      // nation(25) + region(5); ×2 — the offers subtree (and its hints)
+      // appears under both the min-aggregate and the join-back branch
+      ((4, Set("n_nationkey", "r_regionkey"))),
+    "q7_volume_shipping" -> ((2, Set("s_nk", "c_nk"))), // nation twice (25)
+    "q8_market_share" ->
+      ((3, Set("n_nationkey", "r_regionkey", "s_nk"))), // nation×2 + region
+    "q15_top_supplier" -> ((1, Set("max_rev"))), // global scalar: 1 row
+    "q20_part_availability" ->
+      ((2, Set("n_nationkey", "r_regionkey"))), // nation(25) + region(5)
+    "q22_sales_opportunity" ->
+      ((2, Set("avg_bal", "n_nationkey"))) // 1-row scalar + nation(25)
   )
 
   private def hints(df: DataFrame): Seq[ResolvedHint] =
