@@ -73,6 +73,8 @@ object SparkEntry {
     "w_asof_join"          -> (EventQueries.wAsofJoin _),
     "w_range_join"         -> ((s, d) => EventQueries.wRangeJoin(s, d)),
     "g_rollup_metrics"     -> (EventQueries.gRollupMetrics _),
+    "g_grouping_sets"      -> (EventQueries.gGroupingSets _),
+    "w_rolling_7d"         -> (EventQueries.wRolling7d _),
     "w_value_deciles"      -> (EventQueries.wValueDeciles _),
     "g_cube_metrics"       -> (EventQueries.gCubeMetrics _),
     "v_approx_distinct"    -> (EventQueries.vApproxDistinct _),
@@ -796,6 +798,24 @@ object SparkEntry {
         |        value FROM events) e
         |GROUP BY ROLLUP(event_type, epoch_day)
         |ORDER BY lvl, event_type, epoch_day""".stripMargin,
+    "g_grouping_sets" ->
+      """SELECT CAST(GROUPING(event_type, epoch_day) AS BIGINT) AS lvl,
+        |  event_type, epoch_day, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        |FROM (SELECT event_type, epoch_us(ts) // 86400000000 AS epoch_day,
+        |        value FROM events) e
+        |GROUP BY GROUPING SETS ((event_type), (epoch_day), ())
+        |ORDER BY lvl, event_type, epoch_day""".stripMargin,
+    "w_rolling_7d" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS epoch_day,
+        |    SUM(CAST(value AS DECIMAL(28,2))) AS day_dec
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, epoch_day, CAST(day_dec AS DOUBLE) AS day_value,
+        |  CAST(SUM(day_dec) OVER (PARTITION BY event_type ORDER BY epoch_day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS rolling_7d
+        |FROM daily ORDER BY event_type, epoch_day""".stripMargin,
     "g_pivot_daily" ->
       """SELECT epoch_us(ts) // 86400000000 AS epoch_day,
         |  COUNT(*) FILTER (event_type = 'click') AS click,

@@ -100,6 +100,52 @@ object EventQueries {
       .orderBy(col("epoch_day"))
   }
 
+  /** ROLLING 7-day totals per event type — the RANGE-frame window shape
+    * ([[wEventGaps]] is ROWS-frame lag; this is value-range framing:
+    * `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` over epoch_day, which
+    * correctly spans calendar GAPS — a missing day still bounds the
+    * window by VALUE, where a ROWS frame would wrongly reach 7 rows
+    * back).
+    *
+    * Scale shape: the window runs over the DAILY aggregate (bounded by
+    * days × types), never over raw events — the fact table collapses in
+    * one partial-agg shuffle first, so per-partition window state is
+    * grid-sized at any SF. Sums stay DECIMAL through both the daily agg
+    * AND the window; only the output edge casts to double. */
+  def wRolling7d(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = events(spark, dir)
+      .withColumn("epoch_day", expr(s"ts DIV ${NanosPerDay}L"))
+      .groupBy(col("event_type"), col("epoch_day"))
+      .agg(sum(col("value").cast(DecimalType(28, 2))).as("day_dec"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("rolling_7d", sum(col("day_dec")).over(w).cast("double"))
+      .select(col("event_type"), col("epoch_day"),
+        col("day_dec").cast("double").as("day_value"), col("rolling_7d"))
+      .orderBy(col("event_type"), col("epoch_day"))
+  }
+
+  /** Explicit GROUPING SETS — the grouping-set list { (type), (day),
+    * () } that NEITHER [[gRollupMetrics]]'s hierarchy NOR
+    * [[gCubeMetrics]]'s full lattice produces (no (type, day) cell):
+    * one Expand + one partial-aggregated shuffle for exactly the
+    * requested sets, not a superset filtered after the fact. */
+  def gGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .withColumn("epoch_day", expr(s"ts DIV ${NanosPerDay}L"))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("epoch_day")), Seq.empty),
+        col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value"), 2).as("total_value"),
+        grouping_id().as("lvl"))
+      .select(col("lvl"), col("event_type"), col("epoch_day"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("lvl"), col("event_type"), col("epoch_day"))
+  }
+
   /** Hourly tumbling-window aggregation by pure integer bucketing —
     * the batch twin of a Structured Streaming `window(ts, "1 hour")`
     * (same bucket boundaries), exact in both engines. */
