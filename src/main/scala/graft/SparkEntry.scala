@@ -78,6 +78,7 @@ object SparkEntry {
     "w_value_deciles"      -> (EventQueries.wValueDeciles _),
     "g_cube_metrics"       -> (EventQueries.gCubeMetrics _),
     "v_approx_distinct"    -> (EventQueries.vApproxDistinct _),
+    "v_approx_quantiles"   -> (EventQueries.vApproxQuantiles _),
     "g_pivot_daily"        -> (EventQueries.gPivotDaily _),
     "g_unpivot_daily"      -> (EventQueries.gUnpivotDaily _),
     "v_set_ops"            -> (EventQueries.vSetOps _),
@@ -860,6 +861,22 @@ object SparkEntry {
         |FROM (SELECT COUNT(DISTINCT user_id) AS n_exact,
         |        approx_count_distinct(user_id) AS n_approx
         |      FROM events) x""".stripMargin,
+    "v_approx_quantiles" ->
+      // engines compare only the deterministic surface: exact
+      // nearest-rank quantiles + TRUE for the engine-local bound check
+      """WITH hist AS (SELECT value, COUNT(*) AS cnt FROM events
+        |             GROUP BY value),
+        |cum AS (SELECT value, SUM(cnt) OVER (ORDER BY value) AS cum
+        |        FROM hist),
+        |t AS (SELECT COUNT(*) AS n FROM events)
+        |SELECT
+        |  (SELECT MIN(value) FROM cum, t
+        |    WHERE cum >= ceil(0.5 * n)) AS q50_exact,
+        |  (SELECT MIN(value) FROM cum, t
+        |    WHERE cum >= ceil(0.9 * n)) AS q90_exact,
+        |  (SELECT MIN(value) FROM cum, t
+        |    WHERE cum >= ceil(0.99 * n)) AS q99_exact,
+        |  TRUE AS within_rank_bound""".stripMargin,
     "t_split_assign" ->
       """SELECT doc_id,
         |  CAST((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +

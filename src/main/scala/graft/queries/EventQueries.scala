@@ -438,6 +438,53 @@ object EventQueries {
           col("n_exact").cast("double") * lit(0.05)).as("within_bound"))
   }
 
+  /** Approximate QUANTILES with a rank-error contract — the
+    * percentile/sketch sibling of [[vApproxDistinct]]'s HLL pattern:
+    * each engine checks ITS OWN sketch against ITS OWN exact ranks and
+    * the engines compare only the deterministic surface (exact
+    * nearest-rank quantiles + the bound verdict) — sketch outputs
+    * themselves are implementation-defined and never cross-engine.
+    *
+    * The exact side is the histogram formulation ([[wValueDeciles]]):
+    * the cumulative window runs over DISTINCT 2-decimal values —
+    * domain-bounded, not corpus-bounded — never a sort of raw rows.
+    * The GK sketch (`percentile_approx`, accuracy 1000) guarantees
+    * rank error ≤ n/accuracy; the verdict allows exactly that: the
+    * returned value's occupied rank interval, widened by n/1000, must
+    * cover the target rank ceil(p·n). */
+  def vApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(col("value"))
+    val hist = e.groupBy(col("value")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("rank_lo", col("cum") - col("cnt") + lit(1L))
+    val ps = Seq(0.5, 0.9, 0.99)
+    val totals = e.agg(count(lit(1)).as("n"),
+      percentile_approx(col("value"),
+        array(ps.map(lit): _*), lit(1000)).as("approx"))
+    val probes = totals
+      .select(col("n"), posexplode(col("approx")).as(Seq("i", "a")))
+      .withColumn("p", element_at(array(ps.map(lit): _*), col("i") + 1))
+      .withColumn("target_rn", ceil(col("p") * col("n").cast("double")).cast("long"))
+      .withColumn("slack", (col("n") / lit(1000L)).cast("long") + lit(1L))
+    // exact nearest-rank per p: min value whose cum reaches the target
+    val exact = cum.join(broadcast(probes.select(col("p"), col("target_rn"))),
+        col("cum") >= col("target_rn"))
+      .groupBy(col("p")).agg(min(col("value")).as("exact_q"))
+    // the sketch value's occupied rank interval vs the target, ± slack
+    val verdict = cum.join(broadcast(probes), col("value") === col("a"))
+      .select(col("p"),
+        (col("target_rn") >= col("rank_lo") - col("slack") &&
+          col("target_rn") <= col("cum") + col("slack")).as("ok"))
+    exact.join(verdict, "p")
+      .agg(
+        min(when(col("p") === 0.5, col("exact_q"))).as("q50_exact"),
+        min(when(col("p") === 0.9, col("exact_q"))).as("q90_exact"),
+        min(when(col("p") === 0.99, col("exact_q"))).as("q99_exact"),
+        min(col("ok")).as("within_rank_bound"))
+  }
+
   /** Multi-level rollup (GROUPING SETS family): per (event_type, day),
     * per event_type, and grand total in ONE pass — Spark's `rollup`
     * expands the grouping sets inside a single partial-aggregated

@@ -56,7 +56,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q20_part_availability" ->
       ((2, Set("n_nationkey", "r_regionkey"))), // nation(25) + region(5)
     "q22_sales_opportunity" ->
-      ((2, Set("avg_bal", "n_nationkey"))) // 1-row scalar + nation(25)
+      ((2, Set("avg_bal", "n_nationkey"))), // 1-row scalar + nation(25)
+    "v_approx_quantiles" ->
+      ((2, Set("target_rn", "a"))) // 3-row probe sets off a 1-row agg
   )
 
   private def hints(df: DataFrame): Seq[ResolvedHint] =
