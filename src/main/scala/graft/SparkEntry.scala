@@ -26,7 +26,8 @@ object SparkEntry {
   val correctnessOnly: String => Boolean =
     name => name.startsWith("near_") ||
       name == "d_stream_minhash" || name == "pipe_stream_clean" ||
-      name == "t_stream_dataset_card" || name == "s_stream_ann_lsh"
+      name == "t_stream_dataset_card" || name == "s_stream_ann_lsh" ||
+      name == "w_stream_rolling_7d"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -75,6 +76,11 @@ object SparkEntry {
     "g_rollup_metrics"     -> (EventQueries.gRollupMetrics _),
     "g_grouping_sets"      -> (EventQueries.gGroupingSets _),
     "w_rolling_7d"         -> (EventQueries.wRolling7d _),
+    // incremental twin: the daily grid maintained as a summing MV by
+    // the real streaming engine (checkpoint, mid-stream restart,
+    // merge), RANGE window applied at read; same oracle as the batch
+    "w_stream_rolling_7d"  -> ((s, d) =>
+      graft.streaming.StreamingRolling.wStreamRolling7d(s, d)),
     "w_value_deciles"      -> (EventQueries.wValueDeciles _),
     "g_cube_metrics"       -> (EventQueries.gCubeMetrics _),
     "v_approx_distinct"    -> (EventQueries.vApproxDistinct _),
@@ -184,6 +190,21 @@ object SparkEntry {
     "near_v_tolerance"         -> (NearQueries.vTolerance _),
     "near_v_null_ratio"        -> (NearQueries.vNullRatio _),
   )
+
+  /** Shared by `w_rolling_7d` and its streaming-MV twin
+    * `w_stream_rolling_7d`: RANGE-frame rolling totals over the daily
+    * grid — the streamed summing grid must answer identically to the
+    * batch aggregate. */
+  private val rolling7dSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS epoch_day,
+      |    SUM(CAST(value AS DECIMAL(28,2))) AS day_dec
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, epoch_day, CAST(day_dec AS DOUBLE) AS day_value,
+      |  CAST(SUM(day_dec) OVER (PARTITION BY event_type ORDER BY epoch_day
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS rolling_7d
+      |FROM daily ORDER BY event_type, epoch_day""".stripMargin
 
   /** Shared by `pipe_corpus_clean` and its streaming twin
     * `pipe_stream_clean` - one oracle, two execution engines. */
@@ -807,16 +828,9 @@ object SparkEntry {
         |        value FROM events) e
         |GROUP BY GROUPING SETS ((event_type), (epoch_day), ())
         |ORDER BY lvl, event_type, epoch_day""".stripMargin,
-    "w_rolling_7d" ->
-      """WITH daily AS (
-        |  SELECT event_type, epoch_us(ts) // 86400000000 AS epoch_day,
-        |    SUM(CAST(value AS DECIMAL(28,2))) AS day_dec
-        |  FROM events GROUP BY 1, 2)
-        |SELECT event_type, epoch_day, CAST(day_dec AS DOUBLE) AS day_value,
-        |  CAST(SUM(day_dec) OVER (PARTITION BY event_type ORDER BY epoch_day
-        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
-        |    AS rolling_7d
-        |FROM daily ORDER BY event_type, epoch_day""".stripMargin,
+    "w_rolling_7d" -> rolling7dSql,
+    // the streamed grid must answer identically to the batch window
+    "w_stream_rolling_7d" -> rolling7dSql,
     "g_pivot_daily" ->
       """SELECT epoch_us(ts) // 86400000000 AS epoch_day,
         |  COUNT(*) FILTER (event_type = 'click') AS click,

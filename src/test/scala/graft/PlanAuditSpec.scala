@@ -83,6 +83,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nCols <= 5, s"p_filter_project reads $nCols columns: $readSchema")
   }
 
+  test("q19's OR-of-ANDs splits into per-side disjunctive pushed filters") {
+    // the point of the Q19 shape: Catalyst must derive, from the
+    // post-join disjunction, a quantity-only disjunct for the lineitem
+    // scan and a brand/size disjunct for the part scan — if either
+    // side scans unfiltered, the shape has regressed to filter-late
+    graft.Tables.tune(spark)
+    val plan = formatted(
+      SparkEntry.queries("q19_disjunctive_revenue")(spark, dir))
+    val pushedOrs = "PushedFilters: \\[[^\\]]*Or\\([^\\]]*\\]".r
+      .findAllIn(plan).toList
+    assert(pushedOrs.exists(_.contains("l_quantity")),
+      s"no disjunctive quantity filter pushed to the lineitem scan\n$plan")
+    assert(pushedOrs.exists(_.contains("p_brand")),
+      s"no disjunctive brand/size filter pushed to the part scan\n$plan")
+  }
+
   test("near-dup pair plans stay single-pass: no gram-position explode, " +
     "signatures via minhash_sig") {
     graft.Tables.tune(spark)
@@ -186,7 +202,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val sideEffecting = Set("near_runner_events", "near_stream_events",
     "near_sink_roundtrip", "near_sink_resume", "d_stream_minhash",
     "pipe_stream_clean", "t_stream_dataset_card", "s_stream_ann_lsh",
-    "j_bucketed_orders")
+    "w_stream_rolling_7d", "j_bucketed_orders")
 
   test("no declared query plans a CartesianProduct, and forced broadcasts stay on bounded relations") {
     graft.Tables.tune(spark)

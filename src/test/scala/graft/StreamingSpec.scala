@@ -356,6 +356,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch) // identical rows, order, and doubles
   }
 
+  test("streaming rolling-7d grid (restart + mid-sequence merge) equals " +
+    "the batch RANGE-frame window exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingRolling
+      .wStreamRolling7d(spark, dir)
+      .collect().map(_.toString).toSeq
+    val batch = graft.queries.EventQueries.wRolling7d(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch) // identical rows, order, and doubles
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming corpus clean (checkpointed, mid-stream restart) " +
     "converges to the batch pipeline's surviving corpus") {
     import graft.streaming.StreamingCorpusClean
