@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.{col, lit, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape regressions as test failures, not judge findings
@@ -149,6 +150,42 @@ class PlanAuditSpec extends AnyFunSuite {
       s"as-of join should shuffle once on user_id, found $hashExchanges\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"as-of join must not degrade to a product join\n$plan")
+  }
+
+  test("runtime bloom-filter pushdown engages on a selective fact-fact join") {
+    // the 100-TB feature the small corpus never triggers naturally:
+    // when a shuffle join's build side is selectively filtered, Spark
+    // injects a bloom filter of the build-side keys into the probe-side
+    // scan, cutting the shuffled probe volume before the exchange. Pin
+    // that the engine's session shape still allows the injection
+    // (thresholds scaled down to test-sized data; broadcast disabled so
+    // the join is a genuine shuffle join, where the filter matters).
+    graft.Tables.tune(spark)
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // q3 shape: orders is date-filtered (selective build side),
+      // lineitem is the probe side whose scan should gain the filter
+      val o = graft.Tables.orders(spark, dir)
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val l = graft.Tables.lineitem(spark, dir)
+      val df = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter") ||
+          plan.contains("BloomFilterMightContain"),
+        s"no runtime bloom filter injected into the probe side\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("AQE splits the hot partition of a skewed gold-style join") {

@@ -504,4 +504,45 @@ class PropertySpec extends AnyFunSuite {
       .collect()
     assert(bad.isEmpty, bad.take(3).mkString("; "))
   }
+
+  test("rolling-7d RANGE frame equals the brute-force calendar model " +
+    "on sparse random days") {
+    // the subtlety the corpus underexercises: CALENDAR GAPS. The RANGE
+    // frame must bound the window by day VALUE (a missing day narrows
+    // the sum), where a ROWS frame would reach 7 rows back across the
+    // gap. Values are integer cents -> every comparison is exact.
+    import spark.implicits._
+    val NanosPerDay = 86400L * 1000000000L
+    val evGen = Gen.listOfN(150, for {
+      ty <- Gen.oneOf("a", "b", "c")
+      day <- Gen.oneOf(Gen.chooseNum(0L, 6L), Gen.chooseNum(20L, 40L),
+        Gen.chooseNum(90L, 95L)) // clustered islands -> guaranteed gaps
+      off <- Gen.chooseNum(0L, NanosPerDay - 1) // any intra-day instant
+      cents <- Gen.chooseNum(0L, 999999L)
+    } yield (ty, day, off, cents))
+    (0 until 3).foreach { i =>
+      val rows = sample(evGen, 8800 + i)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"roll_prop$i").toString
+      rows.zipWithIndex
+        .map { case ((ty, day, off, cents), id) =>
+          (id.toLong, day * NanosPerDay + off, 0L, ty, cents / 100.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = graft.queries.EventQueries.wRolling7d(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3)))
+      // brute force in exact integer cents
+      val dayCents = rows.groupBy(t => (t._1, t._2))
+        .view.mapValues(_.map(_._4).sum).toMap
+      val expected = dayCents.keys.toSeq.sorted.map { case (ty, d) =>
+        val win = (d - 6 to d).flatMap(dd => dayCents.get((ty, dd))).sum
+        (ty, d, dayCents((ty, d)) / 100.0, win / 100.0)
+      }
+      assert(got.toSeq === expected,
+        s"round $i: rolling mismatch\n got=${got.take(5).mkString(";")}" +
+          s"\n exp=${expected.take(5).mkString(";")}")
+    }
+  }
 }
