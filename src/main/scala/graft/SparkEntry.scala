@@ -85,6 +85,7 @@ object SparkEntry {
     "g_cube_metrics"       -> (EventQueries.gCubeMetrics _),
     "v_approx_distinct"    -> (EventQueries.vApproxDistinct _),
     "v_approx_quantiles"   -> (EventQueries.vApproxQuantiles _),
+    "j_full_outer_recon"   -> (EventQueries.jFullOuterRecon _),
     "g_pivot_daily"        -> (EventQueries.gPivotDaily _),
     "g_unpivot_daily"      -> (EventQueries.gUnpivotDaily _),
     "v_set_ops"            -> (EventQueries.vSetOps _),
@@ -875,6 +876,19 @@ object SparkEntry {
         |FROM (SELECT COUNT(DISTINCT user_id) AS n_exact,
         |        approx_count_distinct(user_id) AS n_approx
         |      FROM events) x""".stripMargin,
+    "j_full_outer_recon" ->
+      """WITH p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events
+        |           WHERE event_type = 'purchase' AND value >= 95.0
+        |           GROUP BY 1),
+        |s AS (SELECT user_id, COUNT(*) AS n_signups FROM events
+        |      WHERE event_type = 'signup' AND value >= 95.0
+        |      GROUP BY 1)
+        |SELECT user_id, n_purchases, n_signups,
+        |  CASE WHEN n_purchases IS NULL THEN 'signup_only'
+        |       WHEN n_signups IS NULL THEN 'purchase_only'
+        |       ELSE 'both' END AS side
+        |FROM p FULL OUTER JOIN s USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "v_approx_quantiles" ->
       // engines compare only the deterministic surface: exact
       // nearest-rank quantiles + TRUE for the engine-local bound check

@@ -438,6 +438,35 @@ object EventQueries {
           col("n_exact").cast("double") * lit(0.05)).as("within_bound"))
   }
 
+  /** FULL OUTER join — the reconciliation shape, completing the join
+    * matrix (inner/left/semi/anti are covered elsewhere; q13 is the
+    * classic LEFT OUTER): high-value purchase activity vs high-value
+    * signup activity per user, keeping users present on EITHER side
+    * and classifying each row both/purchase_only/signup_only — an
+    * inner join would silently drop exactly the one-sided rows a
+    * reconciliation exists to find.
+    *
+    * Scale shape: both inputs pre-aggregate to user grain BEFORE the
+    * join (the fact table collapses in partial-agg shuffles), and a
+    * FULL OUTER can never broadcast — it plans as a keyed
+    * sort-merge/shuffle-hash join on the already-shrunk sides, which
+    * is the right plan at any SF. */
+  def jFullOuterRecon(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).filter(col("value") >= 95.0)
+    val p = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_purchases"))
+    val s = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_signups"))
+    p.join(s, Seq("user_id"), "full_outer")
+      .withColumn("side",
+        when(col("n_purchases").isNull, "signup_only")
+          .when(col("n_signups").isNull, "purchase_only")
+          .otherwise("both"))
+      .select(col("user_id"), col("n_purchases"), col("n_signups"),
+        col("side"))
+      .orderBy(col("user_id"))
+  }
+
   /** Approximate QUANTILES with a rank-error contract — the
     * percentile/sketch sibling of [[vApproxDistinct]]'s HLL pattern:
     * each engine checks ITS OWN sketch against ITS OWN exact ranks and
