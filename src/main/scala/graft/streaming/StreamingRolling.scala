@@ -62,6 +62,28 @@ object StreamingRolling {
     query.awaitTermination()
   }
 
+  /** Write the first `takeChunks` of the deterministic chunk sequence
+    * into the feed (idempotent per chunk: same corpus + nChunks →
+    * byte-identical files, so re-writes of already-present chunks are
+    * invisible to the stream's file tracking). */
+  def writeWave(spark: SparkSession, evs: DataFrame, feed: String,
+      nChunks: Int, takeChunks: Int): Unit =
+    StreamingDedup.writeDocChunks(spark, evs, feed, nChunks,
+      takeChunks = takeChunks, schema = eventSchema)
+
+  /** The read-time RANGE-frame window over the summed daily grid. */
+  def readRolling(spark: SparkSession, warehouse: String): DataFrame = {
+    val grid = ParquetSink.readSummed(
+      spark.read.parquet(s"$warehouse/rolling_summed"), keys, sums)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rangeBetween(-6, Window.currentRow)
+    grid
+      .withColumn("rolling_7d", sum(col("day_dec")).over(w).cast("double"))
+      .select(col("event_type"), col("epoch_day"),
+        col("day_dec").cast("double").as("day_value"), col("rolling_7d"))
+      .orderBy(col("event_type"), col("epoch_day"))
+  }
+
   /** Declared query (`w_stream_rolling_7d`): stream the events table
     * through the incremental grid — two chunks, a mid-stream restart
     * from the same checkpoint (only unseen chunks replay), a compaction
@@ -78,21 +100,11 @@ object StreamingRolling {
     val evs = graft.Tables.events(spark, dir)
       .select(col("event_id").as("doc_id"), col("ts"), col("event_type"),
         col("value"))
-    StreamingDedup.writeDocChunks(spark, evs, feed, nChunks,
-      takeChunks = 2, schema = eventSchema)
+    writeWave(spark, evs, feed, nChunks, takeChunks = 2)
     runStream(spark, feed, warehouse)
     ParquetSink.compactSummed(spark, s"$warehouse/rolling_summed", keys, sums)
-    StreamingDedup.writeDocChunks(spark, evs, feed, nChunks,
-      schema = eventSchema)
+    writeWave(spark, evs, feed, nChunks, takeChunks = Int.MaxValue)
     runStream(spark, feed, warehouse)
-    val grid = ParquetSink.readSummed(
-      spark.read.parquet(s"$warehouse/rolling_summed"), keys, sums)
-    val w = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
-      .rangeBetween(-6, Window.currentRow)
-    grid
-      .withColumn("rolling_7d", sum(col("day_dec")).over(w).cast("double"))
-      .select(col("event_type"), col("epoch_day"),
-        col("day_dec").cast("double").as("day_value"), col("rolling_7d"))
-      .orderBy(col("event_type"), col("epoch_day"))
+    readRolling(spark, warehouse)
   }
 }

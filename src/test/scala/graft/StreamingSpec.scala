@@ -368,6 +368,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("rolling-grid soak: randomized chunk waves, checkpoint restarts, " +
+    "and compactions converge to the batch window") {
+    // the crash-recovery depth test for the newest summing MV: events
+    // arrive in randomized WAVES, every wave is drained by a FRESH
+    // runStream call (i.e. a restart from the same checkpoint — only
+    // unseen files replay), and random waves are chased by a
+    // compaction merge. Whatever the arrival/restart/merge schedule,
+    // the read-time window must equal the one-shot batch aggregate.
+    import graft.streaming.StreamingRolling
+    import graft.sink.ParquetSink
+    def tmp(name: String): String = {
+      val d = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_test_$name")
+      ParquetSink.delete(d)
+      d.getAbsolutePath
+    }
+    val dir = "/root/testdata/sf0.001"
+    val nChunks = 6
+    val batch = graft.queries.EventQueries.wRolling7d(spark, dir)
+      .collect().map(_.toString).toSeq
+    (0 until 2).foreach { round =>
+      val rnd = new scala.util.Random(4200 + round)
+      val feed = tmp(s"rollsoak_feed$round")
+      val wh = tmp(s"rollsoak_wh$round")
+      val evs = Tables.events(spark, dir)
+        .select(col("event_id").as("doc_id"), col("ts"), col("event_type"),
+          col("value"))
+      // waves: strictly growing prefixes of the deterministic chunk
+      // sequence, ending with the full corpus
+      val cuts = (Seq(nChunks) ++
+        Seq.fill(3)(1 + rnd.nextInt(nChunks))).distinct.sorted
+      cuts.foreach { take =>
+        StreamingRolling.writeWave(spark, evs, feed, nChunks, take)
+        StreamingRolling.runStream(spark, feed, wh) // restart per wave
+        if (rnd.nextBoolean())
+          ParquetSink.compactSummed(spark, s"$wh/rolling_summed",
+            Seq("event_type", "epoch_day"), Seq("day_dec"))
+      }
+      val streamed = StreamingRolling.readRolling(spark, wh)
+        .collect().map(_.toString).toSeq
+      assert(streamed === batch, s"soak round $round diverged")
+    }
+  }
+
   test("streaming corpus clean (checkpointed, mid-stream restart) " +
     "converges to the batch pipeline's surviving corpus") {
     import graft.streaming.StreamingCorpusClean
