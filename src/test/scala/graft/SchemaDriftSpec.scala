@@ -48,4 +48,22 @@ class SchemaDriftSpec extends AnyFunSuite {
   private def rawTsIsTimestamp: Boolean =
     spark.read.parquet(s"$dir/events.parquet")
       .schema("ts").dataType != LongType
+
+  test("TPC-H date columns are timestamps (drift canary)") {
+    // the orders/lineitem analog of the events.ts drift: if a future
+    // corpus drop ships o_orderdate / l_shipdate as TIMESTAMP(NANOS),
+    // the nanosAsLong flag would surface them as Long and all 22
+    // TPC-H shapes would fail analysis at once. Fail HERE, by name,
+    // instead — the fix belongs in the loaders (the events() pattern),
+    // not scattered across queries.
+    Seq(
+      ("orders", "o_orderdate"),
+      ("lineitem", "l_shipdate")).foreach { case (t, c) =>
+      val dt = Tables.table(spark, dir, t).schema(c).dataType
+      assert(dt.isInstanceOf[TimestampType] ||
+          dt.isInstanceOf[TimestampNTZType],
+        s"$t.$c drifted to $dt — normalize it in Tables.$t() like " +
+          "Tables.events() normalizes ts")
+    }
+  }
 }
