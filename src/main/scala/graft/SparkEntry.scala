@@ -148,6 +148,7 @@ object SparkEntry {
     "mm_media_features" -> (Multimodal.mmMediaFeatures _),
     "mm_resize"         -> (Multimodal.mmResize _),
     "mm_frame_sample"   -> (Multimodal.mmFrameSample _),
+    "mm_audio_features" -> (Multimodal.mmAudioFeatures _),
     // NEAR layer end-to-end over the deterministic fixture corpus
     // (SURVEY §2.3-§2.6: P1-P13, T2-T5, M1-M10, G1-G8)
     "near_bronze_events"       -> (NearQueries.bronzeEvents _),
@@ -1394,6 +1395,34 @@ object SparkEntry {
         |  CAST(sb AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_b,
         |  CAST((3 * w * h + 15) // 16 AS BIGINT) AS frames_sampled
         |FROM c ORDER BY doc_id""".stripMargin,
+    "mm_audio_features" ->
+      // sample i = (ascii(byte i) - 128) * 256; PCM16 WAV is lossless,
+      // so the decoded stream is exactly these samples. Integer sums
+      // exact; the divisions and sqrt are IEEE-correctly-rounded in
+      // both engines.
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |    8000 + (n_chars % 8) * 1000 AS rate FROM documents),
+        |s AS (SELECT doc_id, rate, len,
+        |    coalesce(list_sum(list_transform(range(1, len + 1),
+        |      i -> abs((ascii(substring(text, i, 1)) - 128) * 256))), 0)
+        |      AS sum_abs,
+        |    coalesce(list_max(list_transform(range(1, len + 1),
+        |      i -> abs((ascii(substring(text, i, 1)) - 128) * 256))), 0)
+        |      AS peak,
+        |    coalesce(list_sum(list_transform(range(1, len + 1),
+        |      i -> CAST((ascii(substring(text, i, 1)) - 128) * 256 AS BIGINT)
+        |        * ((ascii(substring(text, i, 1)) - 128) * 256))), 0) AS sum_sq
+        |  FROM d)
+        |SELECT doc_id, 'audio/wav' AS media_type,
+        |  CAST(rate AS INTEGER) AS sample_rate,
+        |  CAST(len AS BIGINT) AS n_samples,
+        |  CAST(len AS DOUBLE) / CAST(rate AS DOUBLE) AS duration_s,
+        |  CAST(peak AS BIGINT) AS peak_abs,
+        |  CASE WHEN len = 0 THEN 0.0
+        |    ELSE CAST(sum_abs AS DOUBLE) / CAST(len AS DOUBLE) END AS mean_abs,
+        |  CASE WHEN len = 0 THEN 0.0
+        |    ELSE sqrt(CAST(sum_sq AS DOUBLE) / CAST(len AS DOUBLE)) END AS rms
+        |FROM s ORDER BY doc_id""".stripMargin,
     // nearest-neighbor 16x16 resize replayed with integer index math:
     // out pixel p=(y*16+x) reads source index (y*h//16)*w + (x*w//16),
     // positions past the payload read 0; mean over 256 = sum/2^8, exact

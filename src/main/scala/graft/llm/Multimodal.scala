@@ -399,4 +399,141 @@ object Multimodal {
       .toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
   }
+
+  // ───────────────────────── audio (WAV PCM16) ─────────────────────────
+
+  /** One audio asset: opaque payload plus the sample rate the lake
+    * RECORDED at ingest (which the decode deliberately ignores — the
+    * decoded header is the source of truth, like PNG width/height). */
+  final case class AudioRow(
+      doc_id: Long, media_type: String, sample_rate: Int,
+      payload: Array[Byte])
+
+  /** Decoded audio features — everything derives from the DECODED
+    * PCM stream and header, never the stored metadata. */
+  final case class AudioFeatures(
+      doc_id: Long, media_type: String, sample_rate: Int, n_samples: Long,
+      duration_s: Double, peak_abs: Long, mean_abs: Double, rms: Double)
+
+  /** Synthesize the raw-PCM audio table from `documents`: each ASCII
+    * byte of `text` is one signed 16-bit sample, `(b − 128) · 256`
+    * (full-scale ±32768), at a per-doc sample rate
+    * `8000 + (n_chars mod 8) · 1000`. Deterministic, so the DuckDB
+    * oracle recomputes every decoded feature from the source column. */
+  def audioTable(spark: SparkSession, dir: String): Dataset[AudioRow] = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        lit("audio/pcm").as("media_type"),
+        (lit(8000) + (col("n_chars") % 8).cast("int") * 1000)
+          .as("sample_rate"),
+        col("text").cast("binary").as("payload"))
+      .as[AudioRow]
+  }
+
+  /** Encode raw byte payloads as REAL RIFF/WAVE PCM16 files (JDK
+    * `javax.sound.sampled` — an actual WAV container writer, not a
+    * handmade header): sample i = `(payload(i) & 0xff − 128) · 256`,
+    * 16-bit signed little-endian mono at the row's sample rate. PCM is
+    * lossless, so the decode returns exactly these samples. */
+  def encodeWav(audio: Dataset[AudioRow]): Dataset[AudioRow] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.payload.length
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = ((r.payload(i) & 0xff) - 128) * 256
+          pcm(2 * i) = (s & 0xff).toByte // little-endian
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          r.sample_rate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        AudioRow(r.doc_id, "audio/wav", r.sample_rate, out.toByteArray)
+      }
+    }
+  }
+
+  /** Decode WAV payloads back to raw PCM16LE bytes. The sample rate
+    * comes from the DECODED header — the metadata column is
+    * deliberately ignored, so stale or wrong metadata cannot poison
+    * duration math (the spec pins this with a tampered-metadata row).
+    * Undecodable payloads fail with the asset's identity. */
+  def decodeWav(audio: Dataset[AudioRow]): Dataset[AudioRow] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      rows.map { r =>
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"decodeWav: undecodable payload for doc_id=${r.doc_id} " +
+                s"media_type=${r.media_type} (${r.payload.length} bytes)", e)
+          }
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian,
+          s"decodeWav: unexpected format $fmt for doc_id=${r.doc_id}")
+        val pcm = ais.readAllBytes()
+        AudioRow(r.doc_id, r.media_type,
+          math.round(fmt.getSampleRate).toInt, pcm)
+      }
+    }
+  }
+
+  /** Feature extraction over raw PCM16LE payloads (compose after
+    * [[decodeWav]]): sample count, header-rate duration, peak |s|,
+    * mean |s|, RMS. Integer sums stay exact (Σs² of full-scale 16-bit
+    * fits a Long for any realistic clip); the divisions and the one
+    * `sqrt` are IEEE-correctly-rounded, so the oracle matches
+    * bit-for-bit. */
+  def audioFeatures(audio: Dataset[AudioRow]): Dataset[AudioFeatures] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.payload.length / 2
+        var sumAbs = 0L
+        var sumSq = 0L
+        var peak = 0L
+        var i = 0
+        while (i < n) {
+          val s = ((r.payload(2 * i) & 0xff) |
+            (r.payload(2 * i + 1) << 8)).toShort.toLong
+          val a = math.abs(s)
+          sumAbs += a
+          sumSq += s * s
+          if (a > peak) peak = a
+          i += 1
+        }
+        val nd = n.toDouble
+        AudioFeatures(r.doc_id, r.media_type, r.sample_rate, n.toLong,
+          n.toDouble / r.sample_rate.toDouble, peak,
+          if (n == 0) 0.0 else sumAbs.toDouble / nd,
+          if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / nd))
+      }
+    }
+  }
+
+  /** Declared query (`mm_audio_features`): synthesize → encode as REAL
+    * WAVs, GENUINELY decode with `javax.sound.sampled`, and extract
+    * amplitude features from the decoded PCM — rate/samples/stats all
+    * come from the decode, not metadata. The oracle recomputes the
+    * sample stats from the ASCII source text (PCM16 is lossless). */
+  def mmAudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    audioFeatures(decodeWav(encodeWav(audioTable(spark, dir))))
+      .toDF()
+      .select(col("doc_id"), col("media_type"), col("sample_rate"),
+        col("n_samples"), col("duration_s"), col("peak_abs"),
+        col("mean_abs"), col("rms"))
+      .orderBy(col("doc_id"))
+  }
 }

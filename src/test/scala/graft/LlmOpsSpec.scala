@@ -594,6 +594,48 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(feats(1L).mean_b === (p1(2) + p1(5) + p1(8) + p1(11)) / 4.0)
   }
 
+  test("WAV codec round-trips PCM16 samples and decode reads the rate " +
+    "from the header, not metadata") {
+    import spark.implicits._
+    val src = Seq(
+      Multimodal.AudioRow(1L, "audio/pcm", 16000,
+        Array[Byte](0, 64, 127.toByte, 128.toByte, 255.toByte)),
+      Multimodal.AudioRow(2L, "audio/pcm", 8000, Array.emptyByteArray)
+    ).toDS()
+    val wav = Multimodal.encodeWav(src).collect().map(a => a.doc_id -> a).toMap
+    // genuine RIFF/WAVE containers, not bare PCM
+    assert(wav.values.forall(_.payload.take(4).toSeq ===
+      "RIFF".getBytes.toSeq))
+    // tamper the metadata rate: decode must report the HEADER's rate
+    val tampered = wav.values.toSeq
+      .map(a => Multimodal.AudioRow(a.doc_id, a.media_type, 1, a.payload))
+    val back = Multimodal.decodeWav(tampered.toDS()).collect()
+      .map(a => a.doc_id -> a).toMap
+    assert(back(1L).sample_rate === 16000)
+    assert(back(2L).sample_rate === 8000)
+    // lossless sample round trip: (b - 128) * 256, little-endian
+    val feats = Multimodal.audioFeatures(back.values.toSeq.toDS())
+      .collect().map(f => f.doc_id -> f).toMap
+    val samples = Seq(0, 64, 127, 128, 255).map(b => (b - 128) * 256)
+    assert(feats(1L).n_samples === 5L)
+    assert(feats(1L).peak_abs === samples.map(math.abs).max.toLong)
+    assert(feats(1L).mean_abs === samples.map(s => math.abs(s).toLong).sum / 5.0)
+    assert(feats(1L).rms ===
+      math.sqrt(samples.map(s => s.toLong * s).sum / 5.0))
+    assert(feats(1L).duration_s === 5.0 / 16000.0)
+    assert(feats(2L).n_samples === 0L && feats(2L).rms === 0.0)
+    // corrupt payload fails with the asset's identity
+    val bad = Seq(Multimodal.AudioRow(7L, "audio/wav", 8000,
+      Array[Byte](1, 2, 3, 4))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWav(bad).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("doc_id=7")))
+  }
+
   test("frame series packs independently-decodable PNG frames and " +
     "sampling decodes only the kept ones") {
     import spark.implicits._
