@@ -356,6 +356,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch) // identical rows, order, and doubles
   }
 
+  test("watermark drops late events: a row older than the watermark " +
+    "never reaches an already-closed window") {
+    // the semantic the declared queries' batch twins cannot show: in
+    // APPEND mode a window emits ONCE, when the watermark passes its
+    // end, and a row arriving after its window closed is DROPPED — it
+    // must neither re-open the window (a duplicate emission downstream)
+    // nor change the already-emitted count. Single-file micro-batches
+    // with controlled mtimes: (1) two hour-0 rows + an hour-5 row set
+    // max event time to 5h; (2) another hour-5 row — the watermark
+    // (5h − 1h = 4h, which the engine applies one batch after the max
+    // advances) closes hour-0 → emitted with n=2; (3) a LATE hour-0
+    // row arrives after its window closed → dropped; (4–5) an hour-20
+    // row then a drain batch close hour-5 → n=2. Final sink: exactly
+    // {hour0→2, hour5→2}, each window once.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    def tmp(name: String): String = {
+      val d = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_test_$name")
+      graft.sink.ParquetSink.delete(d)
+      d.getAbsolutePath
+    }
+    val feed = tmp("wm_feed"); val out = tmp("wm_out"); val cp = tmp("wm_cp")
+    new java.io.File(feed).mkdirs()
+    val hourNs = 3600L * 1000000000L
+    def writeChunk(name: String, mtime: Long,
+        rows: Seq[(Long, String)]): Unit = {
+      val f = new java.io.File(feed, name)
+      val body = rows.map { case (ts, et) =>
+        s"""{"ts":$ts,"event_type":"$et"}""" }.mkString("\n")
+      java.nio.file.Files.writeString(f.toPath, body)
+      f.setLastModified(mtime)
+    }
+    writeChunk("c1.json", 10000L,
+      Seq((0L * hourNs + 5L, "e"), (0L * hourNs + 7L, "e"),
+        (5L * hourNs + 1L, "e")))
+    writeChunk("c2.json", 20000L, Seq((5L * hourNs + 2L, "e")))
+    writeChunk("c3.json", 30000L, Seq((0L * hourNs + 9L, "e"))) // late
+    writeChunk("c4.json", 40000L, Seq((20L * hourNs, "e")))
+    writeChunk("c5.json", 50000L, Seq((20L * hourNs + 1L, "e")))
+    val schema = StructType(Seq(StructField("ts", LongType),
+      StructField("event_type", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(feed)
+    val q = graft.streaming.WindowedActivity.hourlyCounts(stream)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+      .select(col("hour_start").cast("long"), col("n"))
+      .collect().map(r => r.getLong(0) / 3600 -> r.getLong(1)).toSeq.sorted
+    // exactly one emission per window: a re-opened hour-0 window would
+    // surface here as a duplicate (0, 1) row, a leaked late row as
+    // (0, 3)
+    assert(got === Seq(0L -> 2L, 5L -> 2L),
+      s"expected exactly [hour0->2, hour5->2], got $got")
+  }
+
   test("streaming rolling-7d grid (restart + mid-sequence merge) equals " +
     "the batch RANGE-frame window exactly") {
     val dir = "/root/testdata/sf0.001"
