@@ -99,6 +99,7 @@ object SparkEntry {
     "t_token_count"     -> (TextAnalysis.tTokenCount _),
     "t_fingerprint"     -> (TextAnalysis.tFingerprint _),
     "t_vocab_topk"      -> ((s, d) => TextAnalysis.tVocabTopk(s, d)),
+    "t_bigram_topk"     -> ((s, d) => TextAnalysis.tBigramTopk(s, d)),
     "t_split_assign"    -> (TextAnalysis.tSplitAssign _),
     "t_quality_percentiles" -> ((s, d) => TextAnalysis.tQualityPercentiles(s, d)),
     "t_repetition"      -> (TextAnalysis.tRepetition _),
@@ -1103,6 +1104,18 @@ object SparkEntry {
         |            FROM documents) t
         |      GROUP BY token, doc_id) g
         |GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "t_bigram_topk" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, len(toks) - 1),
+        |      i -> toks[i + 1] || ' ' || toks[i + 2])) AS bigram
+        |  FROM t WHERE len(toks) >= 2)
+        |SELECT bigram, CAST(SUM(tf_doc) AS BIGINT) AS tf,
+        |  CAST(COUNT(*) AS BIGINT) AS df
+        |FROM (SELECT bigram, doc_id, COUNT(*) AS tf_doc
+        |      FROM b GROUP BY bigram, doc_id) g
+        |GROUP BY bigram ORDER BY tf DESC, bigram LIMIT 100""".stripMargin,
     "j_bucketed_orders" ->
       """SELECT c_custkey, c_name, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price

@@ -200,6 +200,35 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus-level BIGRAM counts, top-k — the n-gram LM statistics pass
+    * (contamination analysis, LM smoothing tables, memorization
+    * studies all start here). The lateral shape: each document explodes
+    * into its adjacent token pairs via a single codegen'd
+    * `transform(sequence(...))` — no positional self-join, no gram
+    * rows persisted — then two hash-partitioned aggregates (per-doc,
+    * then corpus) exactly like [[tVocabTopk]], ending in
+    * `TakeOrderedAndProject` (per-partition top-k, driver merges P·k).
+    *
+    * Scale shape: the explode multiplies rows by ~tokens-per-doc but
+    * each row is a short string; the (bigram, doc) pre-aggregate
+    * combines map-side, so the wide shuffle carries distinct pairs,
+    * not occurrences. */
+  def tBigramTopk(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    documents(spark, dir)
+      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(t) - 2), " +
+          "i -> concat_ws(' ', t[i], t[i + 1]))")).as("bigram"))
+      .groupBy(col("bigram"), col("doc_id"))
+      .agg(count(lit(1)).as("tf_doc"))
+      .groupBy(col("bigram"))
+      .agg(sum(col("tf_doc")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Exact distributed percentiles of the quality score per language —
     * the calibration pass that turns a quality FILTER threshold ("keep
     * the top 25%") into a concrete cut value.
