@@ -118,6 +118,9 @@ object SparkEntry {
     "d_exact_dedup"     -> (Dedup.dExactDedup _),
     "d_minhash_pairs"   -> ((s, d) => Dedup.dMinhashPairs(s, d)),
     "d_ngram_pairs"     -> ((s, d) => Dedup.dNgramPairs(s, d)),
+    // exact prefix-filtering set-similarity join: recall 1 by
+    // construction, must equal the LSH family's output exactly
+    "d_prefix_pairs"    -> ((s, d) => Dedup.dPrefixPairs(s, d)),
     "d_simhash"         -> (Dedup.dSimhash _),
     "d_shingle_novelty" -> (Dedup.dShingleNovelty _),
     "d_simhash_pairs"   -> ((s, d) => Dedup.dSimhashPairs(s, d)),
@@ -1168,6 +1171,23 @@ object SparkEntry {
         |FROM sh JOIN df USING (shingle)
         |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
     "d_minhash_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ss
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents) x),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM p
+        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "d_prefix_pairs" ->
+      // same exact all-pairs oracle as d_minhash_pairs: prefix
+      // filtering is exact, so the two candidate generators must
+      // converge on identical verified output
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
         |    range(1, greatest(len(t) - 1, 1)),

@@ -179,6 +179,53 @@ object Dedup {
                   threshold: Double = 0.8, n: Int = 16): DataFrame =
     lshVerifiedPairs(spark, dir, s"char_gram_hashes(text, $n)", threshold)
 
+  /** Near-dup pairs via PREFIX FILTERING — the EXACT set-similarity
+    * self-join from the PPJoin literature, the deterministic sibling of
+    * the probabilistic LSH families: order every document's shingle set
+    * by GLOBAL RARITY (ascending document frequency); two sets with
+    * Jaccard ≥ t MUST share at least one of each other's first
+    * `n − ⌈t·n⌉ + 1` rarest shingles (if they disagreed on every prefix
+    * element, the overlap could not reach t·n), so candidates = docs
+    * sharing a PREFIX shingle, recall 1 BY CONSTRUCTION — no banding
+    * probability at all. Same exact-Jaccard verify and the same oracle
+    * as [[dMinhashPairs]]: the two families must produce identical
+    * output through entirely different candidate generators.
+    *
+    * Scale shape: the DF relation is shingle-vocabulary-sized and
+    * stays hash-partitioned/AQE-owned (the vocab grows with the
+    * corpus — same no-broadcast reasoning as [[dShingleNovelty]]); the
+    * rarity sort is a per-doc window over that doc's shingles
+    * (doc-length-bounded, like the TF-IDF per-doc top-k); the
+    * candidate join explodes only the ~(1−t) prefix fraction of each
+    * set, and joining on the RAREST shingles keeps bucket sizes small
+    * — the frequent-shingle hot buckets LSH banding can hit never
+    * form. */
+  def dPrefixPairs(spark: SparkSession, dir: String,
+                   threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(spark, dir).repartition(col("doc_id"))
+    val sets = QueryCaches.persistTracked(
+      docs.select(col("doc_id"),
+        expr("token_shingle_hashes(text, 3)").as("gs")))
+    val freq = sets.select(explode(col("gs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("h").asc)
+    val prefix = sets
+      .select(col("doc_id"), size(col("gs")).as("n"), explode(col("gs")).as("h"))
+      .join(freq, "h")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("n") - ceil(lit(threshold) * col("n").cast("double")) + lit(1))
+      .select(col("doc_id"), col("h"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifiedPairs(cand, docs, "token_shingle_hashes(text, 3)", threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Banded-LSH candidates + exact-Jaccard verify.
     *
     * Stage 1 (candidates): per-doc signatures ([[docSignatures]], k

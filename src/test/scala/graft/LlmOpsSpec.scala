@@ -33,6 +33,14 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh === exact)
     assert(exact.nonEmpty)
+    // the prefix-filtering family is exact BY CONSTRUCTION — a third
+    // independent candidate generator that must land on the same pairs,
+    // jaccards included (same verify arithmetic)
+    val prefix = Dedup.dPrefixPairs(spark, dir)
+      .collect().map(_.toString).toSeq
+    val lshFull = Dedup.dMinhashPairs(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(prefix === lshFull)
   }
 
   test("exact dedup of a doubled corpus halves it with deterministic survivors") {
