@@ -15,7 +15,9 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("p_filter_project", "m_json_extract", "q3_shipping_priority",
-        "q5_local_supplier", "s_cosine_topk", "d_minhash_pairs")
+        "q5_local_supplier", "s_cosine_topk", "d_minhash_pairs",
+        "q19_disjunctive_revenue", "q21_waiting_supplier", "w_rolling_7d",
+        "d_prefix_pairs")
     names.foreach { n =>
       println(s"===== $n =====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
