@@ -42,7 +42,13 @@ object Bench {
     // ±20% order-dependent variance band; the warm column is the one to
     // read before calling something a regression (VERDICT r5 #8).
     var failures = List.empty[String]
-    val results = SparkEntry.queries
+    // Deterministic execution order: SparkEntry.queries is a HashMap, so
+    // iteration order reshuffles whenever a key is added — which makes
+    // round-over-round per-query deltas noise-limited (VERDICT r8 #1:
+    // adding 13 round-8 keys reordered the whole run and coincided with
+    // four unexplained >=2.4x warm regressions). Sorted name order keeps
+    // every future round comparable query-by-query.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => !SparkEntry.correctnessOnly(name) }
       .map { case (name, fn) =>
         def once(): Double = {
@@ -66,8 +72,8 @@ object Bench {
       .mkString("{", ",", "}")
     val qsWarm = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
-    val total = results.values.map(_._1).filter(_ >= 0).sum
-    val totalWarm = results.values.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val totalWarm = results.map(_._2._2).filter(_ >= 0).sum
     // End-to-end ingest throughput in the reference's own unit
     // (blocks/s; BASELINE: 0.4 current, 15 target): extraction +
     // receipt->tx resolution + event emission + nep245 silver decode
@@ -146,6 +152,7 @@ object Bench {
     // earlier rounds' ingest numbers were cold-path; ADVICE r5).
     val note = "queries=first run per query in a warmed session (prior rounds' methodology); " +
       "queries_warm=second consecutive run (codegen warm, the regression-judging column); " +
+      "execution order is sorted query name (deterministic since r9; r1-r8 were HashMap order); " +
       "ingest is a warm rerun after an untimed full-pipeline warm-up (since r5; r1-r4 were cold)"
     val loadEnd = loadAvg
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"queries":$qs,"queries_warm":$qsWarm,"failed":$failed,"ingest_blocks_per_sec":$blocksPerSec,"ingest_blocks_n":$nBlocks,"ingest_cascade_blocks_per_sec":$cascadeBps,"ingest_cascade_blocks_n":$cascadeBlocks,"ingest_cascade_per_file":$perFile,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir","note":"$note"}""")

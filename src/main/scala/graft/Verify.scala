@@ -21,7 +21,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
+    // Sorted name order for symmetry with Bench (VERDICT r8 #1): the dump
+    // itself is order-insensitive, but deterministic execution order makes
+    // any order-dependent failure reproducible.
+    SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => only(kv._1))
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
