@@ -215,16 +215,43 @@ object Dedup {
       .select(col("doc_id"), size(col("gs")).as("n"), explode(col("gs")).as("h"))
       .join(freq, "h")
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <=
-        col("n") - ceil(lit(threshold) * col("n").cast("double")) + lit(1))
-      .select(col("doc_id"), col("h"))
+      .filter(col("rn") <= prefixLenCol(threshold, col("n")))
+      .select(col("doc_id"), col("n"), col("h"))
+    // PPJoin LENGTH FILTER (the standard second filter from the same
+    // public literature as the prefix bound): Jaccard ≥ t forces
+    // t·|a| ≤ |b| ≤ |a|/t, so size-incompatible candidate pairs are
+    // pruned BEFORE the distinct and the exact verify — comparing
+    // integer sizes is free at the join, recomputing two gram sets is
+    // not. The ε slack only ever KEEPS a borderline pair (recall-safe);
+    // tightness is a perf matter the verify stage settles exactly.
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n").cast("double") >= lit(threshold) * col("b.n") - lit(1e-9) &&
+          col("b.n").cast("double") >= lit(threshold) * col("a.n") - lit(1e-9))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifiedPairs(cand, docs, "token_shingle_hashes(text, 3)", threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Prefix length `n − ⌈t·n⌉ + 1` as a Column, computed ROBUSTLY: the
+    * naive `ceil(t * n)` in double arithmetic can come out one HIGHER
+    * than the exact ceiling when fl(t) > t and t·n is an exact integer
+    * (e.g. the 0.1 family), silently shortening the prefix by one
+    * element and breaking the family's recall-1 guarantee (ADVICE r8
+    * #1). Subtracting ε = 1e-9 before the ceil restores the exact value
+    * whenever frac(t·n) is 0 or ≥ ~1e-9 — i.e. for every rational
+    * threshold and n up to ~1e6 (|fl(t)·n − t·n| ≤ n·2⁻⁵² ≪ ε) — and
+    * can only ever err toward a LONGER prefix (more candidates, never
+    * fewer: recall-safe by direction). [[prefixLenExact]] is the
+    * BigDecimal mirror the property suite sweeps against. */
+  private[graft] def prefixLenCol(threshold: Double,
+                                  n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    n - ceil(lit(threshold) * n.cast("double") - lit(1e-9)) + lit(1)
+
+  /** Exact-rational twin of [[prefixLenCol]] for property testing. */
+  private[graft] def prefixLenExact(threshold: BigDecimal, n: Int): Int =
+    n - (threshold * n).setScale(0, BigDecimal.RoundingMode.CEILING).toInt + 1
 
   /** Banded-LSH candidates + exact-Jaccard verify.
     *

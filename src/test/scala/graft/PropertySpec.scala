@@ -19,6 +19,30 @@ class PropertySpec extends AnyFunSuite {
   private def sample[A](gen: Gen[A], seed: Long): A =
     gen.apply(Gen.Parameters.default, Seed(seed)).get
 
+  test("prefix-filter length matches exact rational arithmetic across " +
+    "thresholds where t*n lands on integers") {
+    import spark.implicits._
+    // The dangerous cases are thresholds whose double representation
+    // differs from the decimal value (fl(0.1) > 0.1, fl(0.3) < 0.3, …)
+    // at an n where t·n is an exact integer: a naive ceil(fl(t)*n) then
+    // over/under-shoots by one and silently shortens the prefix
+    // (ADVICE r8 #1). Sweep every tenth plus 0.25/0.75 over n = 1..600
+    // — covers t·n integer points for all of them many times over.
+    val thresholds = Seq("0.1", "0.2", "0.25", "0.3", "0.4", "0.5",
+      "0.6", "0.7", "0.75", "0.8", "0.9")
+    val ns = (1 to 600).toDF("n")
+    thresholds.foreach { ts =>
+      val t = ts.toDouble
+      val sparkSide = ns
+        .withColumn("p", graft.llm.Dedup.prefixLenCol(t, col("n")))
+        .orderBy("n").collect().map(r => (r.getInt(0), r.getLong(1)))
+      sparkSide.foreach { case (n, p) =>
+        val exact = graft.llm.Dedup.prefixLenExact(BigDecimal(ts), n)
+        assert(p === exact.toLong, s"threshold $ts n=$n")
+      }
+    }
+  }
+
   test("saltedJoin equals the plain join for every allowed join type") {
     import spark.implicits._
     val rowGen = for {
