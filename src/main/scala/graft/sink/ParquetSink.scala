@@ -50,16 +50,29 @@ object ParquetSink {
 
   /** Append one batch, stamped with its insert sequence (the
     * ReplacingMergeTree version column), partitioned by height bucket
-    * and clustered by PK within files. */
+    * and clustered by PK within files.
+    *
+    * `bloomFilterCols` writes a parquet BLOOM FILTER per named column —
+    * the Spark twin of the reference's `bloom_filter()` skip indexes on
+    * id columns (`01-core-tables.sql:20-23`): point lookups on a hash
+    * column skip every row group whose filter excludes the value, the
+    * same read-elision the minmax/`sortWithinPartitions` clustering
+    * gives range predicates. Costs a few % of file size at write; pays
+    * on every selective id probe. */
   def writeBatch(df: DataFrame, path: String, insertSeq: Long,
-      pkCols: Seq[String], heightBucketSize: Long = 50L): Unit =
+      pkCols: Seq[String], heightBucketSize: Long = 50L,
+      bloomFilterCols: Seq[String] = Nil): Unit =
     withRetry() {
-      df.withColumn("insert_seq", lit(insertSeq))
+      val w = df.withColumn("insert_seq", lit(insertSeq))
         .withColumn("height_bucket",
           expr(s"block_height DIV ${heightBucketSize}L"))
         .repartition(col("height_bucket"))
         .sortWithinPartitions(pkCols.map(col): _*)
-        .write.mode("append").partitionBy("height_bucket").parquet(path)
+        .write.mode("append")
+      bloomFilterCols
+        .foldLeft(w)((acc, c) =>
+          acc.option(s"parquet.bloom.filter.enabled#$c", "true"))
+        .partitionBy("height_bucket").parquet(path)
     }
 
   /** [[writeBatch]] minus the stamping — rows keep the `insert_seq`

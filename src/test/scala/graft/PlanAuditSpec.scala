@@ -142,6 +142,106 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("lake-table storage pruning: height partitions prune the scan " +
+    "and the bloom skip-index column is written") {
+    // the one SURVEY §4 storage row previously asserted nowhere
+    // (VERDICT r8 #5): the reference puts minmax+bloom skip indexes on
+    // every table (01-core-tables.sql:20-23); our twins are (a)
+    // height_bucket partition dirs + explicit bucket-bound pruning,
+    // (b) PK clustering for row-group minmax, (c) parquet bloom
+    // filters on the id column
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_prune_pin").toString
+    val path = s"$tmp/events_lake"
+    val df = spark.range(0, 10000).select(
+      col("id").as("block_height"),
+      org.apache.spark.sql.functions.concat(lit("tx_"), col("id"))
+        .as("tx_hash"),
+      (col("id") % 97).as("v"))
+    graft.sink.ParquetSink.writeBatch(df, path, insertSeq = 1,
+      pkCols = Seq("tx_hash"), heightBucketSize = 500L,
+      bloomFilterCols = Seq("tx_hash"))
+
+    // (a) partition pruning: the TTL-window read touches only the tail
+    // buckets no matter how long the history is
+    val filesTotal = {
+      def rec(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(rec).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      rec(new java.io.File(path))
+    }
+    val pruned = graft.sink.ParquetSink.readFinalSince(
+      spark, path, Seq("tx_hash"), minHeight = 9000L,
+      heightBucketSize = 500L)
+    // collect() executes THIS dataset's own plan tree, so the scan
+    // metrics below are populated on the nodes we inspect (count()
+    // would build and execute a different QueryExecution)
+    assert(pruned.collect().length === 1000)
+    // AQE wraps the final plan in stages collect() can't see through
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+      val inner = p match {
+        case s: FileSourceScanExec => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+        case _ => Seq.empty
+      }
+      inner ++ p.children.flatMap(allScans)
+    }
+    val scan = allScans(pruned.queryExecution.executedPlan).head
+    assert(scan.partitionFilters.nonEmpty,
+      "height predicate must reach the scan as a PartitionFilter")
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead < filesTotal,
+      s"pruning must skip partitions: read $filesRead of $filesTotal files")
+
+    // (b) the bloom filter is physically present in the written footers
+    val aFile = {
+      def find(f: java.io.File): Option[java.io.File] =
+        if (f.isDirectory) f.listFiles().iterator.flatMap(find(_)).nextOption()
+        else if (f.getName.endsWith(".parquet")) Some(f) else None
+      find(new java.io.File(path)).get
+    }
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(aFile.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      import scala.jdk.CollectionConverters._
+      val cols = reader.getFooter.getBlocks.asScala.head.getColumns.asScala
+      val byName = cols.map(c => c.getPath.toDotString -> c).toMap
+      assert(byName("tx_hash").getBloomFilterOffset >= 0,
+        "tx_hash must carry a bloom filter")
+      assert(byName("v").getBloomFilterOffset < 0,
+        "unrequested columns must not pay the bloom write cost")
+    } finally reader.close()
+    graft.sink.ParquetSink.delete(new java.io.File(tmp))
+  }
+
+  test("bucketed join leaves no graft_bkt_* residue in the warehouse " +
+    "after release") {
+    graft.Tables.tune(spark)
+    def bktDirs: Seq[String] = {
+      val raw = spark.conf.get("spark.sql.warehouse.dir")
+      val wh = new java.io.File(
+        if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw)
+      Option(wh.list()).getOrElse(Array.empty[String])
+        .filter(_.startsWith("graft_bkt_")).toSeq.sorted
+    }
+    // two full cycles: each materializes, releases, and must leave the
+    // warehouse exactly as empty as one cycle does (VERDICT r8 #3: the
+    // warehouse previously grew two stale dirs per run, forever)
+    (1 to 2).foreach { i =>
+      val n = graft.operators.BucketedJoin.jBucketedOrders(spark, dir).count()
+      assert(n > 0)
+      graft.QueryCaches.releaseAll()
+      assert(bktDirs.isEmpty,
+        s"cycle $i left bucketed-table residue: $bktDirs")
+    }
+  }
+
   test("as-of join is the single-shuffle union-tag shape") {
     graft.Tables.tune(spark)
     val plan = formatted(SparkEntry.queries("w_asof_join")(spark, dir))
