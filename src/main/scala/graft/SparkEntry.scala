@@ -25,7 +25,8 @@ object SparkEntry {
     * work, so timing it would measure the harness, not the operator. */
   val correctnessOnly: String => Boolean =
     name => name.startsWith("near_") ||
-      name == "d_stream_minhash" || name == "pipe_stream_clean" ||
+      name == "d_stream_minhash" || name == "d_stream_prefix" ||
+      name == "pipe_stream_clean" ||
       name == "t_stream_dataset_card" || name == "s_stream_ann_lsh" ||
       name == "w_stream_rolling_7d"
 
@@ -128,6 +129,11 @@ object SparkEntry {
     // mid-stream restart); same oracle as the batch twin
     "d_stream_minhash"  -> ((s, d) =>
       graft.streaming.StreamingDedup.dStreamMinhash(s, d)),
+    // incremental EXACT prefix join (one-sided prefix theorem — recall
+    // 1 under evolving document frequencies); same oracle as the batch
+    // prefix twin
+    "d_stream_prefix"   -> ((s, d) =>
+      graft.streaming.StreamingPrefix.dStreamPrefix(s, d)),
     "d_embed_dedup"     -> ((s, d) => Similarity.sEmbedDedup(s, d)),
     // connected components of the near-dup graph (min-label propagation)
     "d_dup_groups"      -> ((s, d) => Dedup.dDupGroups(s, d)),
@@ -1201,6 +1207,23 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM p
         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "d_stream_prefix" ->
+      // same exact all-pairs oracle: batch LSH, batch prefix, streamed
+      // LSH, and streamed prefix are four independent routes to one
+      // verified answer
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ss
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents) x),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM p
+        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     "d_stream_minhash" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
@@ -1336,7 +1359,9 @@ object SparkEntry {
     // iterations, each = argmax-cosine assignment (first-max tie-break
     // = ORDER BY score DESC, cell) + quantized mean update
     // (sum(floor(x*2^20)) as exact int64, one division) with
-    // empty-cell carry-over; then the same bucketed top-3 as s_ann_ivf.
+    // empty-cell carry-over; then MULTI-PROBE top-3: corpus vectors sit
+    // in their rank-1 cell (a3), queries search their TOP-2 cells (aq,
+    // rk <= 2) — same ranking, wider probe (VERDICT r8 #6).
     // Integer update sums are order-independent -> bit-identical to
     // Spark regardless of partitioning.
     "s_ann_kmeans" ->
@@ -1389,12 +1414,17 @@ object SparkEntry {
         |a3 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
         |  FROM s3) WHERE rk = 1),
+        |aq AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
+        |  FROM s3) WHERE rk <= 2),
         |ax AS (SELECT n.vec_id, n.emb, n.nrm, a3.cell
         |  FROM n JOIN a3 USING (vec_id)),
+        |qx AS (SELECT n.vec_id, n.emb, n.nrm, aq.cell
+        |  FROM n JOIN aq USING (vec_id) WHERE n.vec_id < 20),
         |p AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
         |    list_sum(list_transform(list_zip(q.emb, t.emb), x2 -> x2[1] * x2[2]))
         |      / (q.nrm * t.nrm) AS cosine
-        |  FROM ax q JOIN ax t ON q.vec_id < 20 AND t.cell = q.cell
+        |  FROM qx q JOIN ax t ON t.cell = q.cell
         |    AND t.vec_id != q.vec_id),
         |r AS (SELECT query_id, neighbor_id, cosine,
         |    ROW_NUMBER() OVER (PARTITION BY query_id

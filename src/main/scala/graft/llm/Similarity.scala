@@ -217,20 +217,60 @@ object Similarity {
       .drop(centroids.indices.map(i => s"__s$i") :+ "__sc": _*)
   }
 
+  /** One row per (vector, probe): the `nprobe` nearest cells by cosine,
+    * ranked score DESC then cell ASC — rank 1 is exactly [[withCell]]'s
+    * first-max assignment, so single-probe semantics are a strict
+    * subset. All codegen'd collection expressions over the same k score
+    * columns; probe cells are distinct by construction, so a corpus
+    * vector (one cell) can never reach the same query twice. */
+  private def withProbeCells(df: DataFrame,
+      centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val scores = centroids.zipWithIndex.map { case (c, i) =>
+      val cNorm = math.sqrt(c.map(x => x * x).sum)
+      val arr = c.map(x => s"${x}D").mkString("array(", ",", ")")
+      (expr(s"dot_product(emb, $arr)") / lit(cNorm)).as(s"__s$i")
+    }
+    df.select((col("*") +: scores.toIndexedSeq): _*)
+      .withColumn("__sc", array(centroids.indices.map(i => col(s"__s$i")): _*))
+      .withColumn("cell", explode(expr(
+        s"""transform(
+           |  slice(
+           |    array_sort(
+           |      transform(__sc, (s, i) -> named_struct('sc', s, 'idx', i)),
+           |      (l, r) -> CASE WHEN l.sc > r.sc THEN -1
+           |                     WHEN l.sc < r.sc THEN 1
+           |                     ELSE l.idx - r.idx END),
+           |    1, $nprobe),
+           |  x -> x.idx)""".stripMargin)))
+      .drop(centroids.indices.map(i => s"__s$i") :+ "__sc": _*)
+  }
+
   /** IVF with the TRAINED quantizer: k-means cells instead of the
-    * given `label` buckets; each query searches only its own cell via
-    * the same broadcast + equi-join shape as [[sAnnIvf]]. The trainer
-    * is fully deterministic (fixed seeds, fixed iterations, quantized
-    * order-independent update), so the DuckDB oracle unrolls the same
-    * two Lloyd iterations as CTEs and hash-matches exactly. */
+    * given `label` buckets. The trainer is fully deterministic (fixed
+    * seeds, fixed iterations, quantized order-independent update), so
+    * the DuckDB oracle unrolls the same two Lloyd iterations as CTEs
+    * and hash-matches exactly.
+    *
+    * MULTI-PROBE (VERDICT r8 #6): each query searches its `nprobe`
+    * NEAREST cells, not just the argmax one — the same recall lever the
+    * LSH family already has ([[annLshSearch]]'s hamming-1 fan-out). A
+    * true neighbor near the Voronoi boundary between two cells is
+    * invisible to single-probe IVF by construction; probing the
+    * runner-up cell recovers exactly that loss (recall measured against
+    * the exact grid at sf0.1 by [[graft.tools.ScaleRecall]]). Cost
+    * shape unchanged at scale: the QUERY side fans out nprobe× (still
+    * broadcast-bounded), the corpus side stays one row per vector in
+    * one cell. */
   def sAnnKmeans(spark: SparkSession, dir: String, k: Int = 3,
-      nQueries: Int = 20, nCells: Int = 8, iters: Int = 2): DataFrame = {
+      nQueries: Int = 20, nCells: Int = 8, iters: Int = 2,
+      nprobe: Int = 2): DataFrame = {
     val e = withNorm(embeddings(spark, dir))
       .select(col("vec_id"), col("emb"), col("nrm"))
       .localCheckpoint() // trainer + assignment + search all read it
     val centroids = kmeansCentroids(e, nCells, iters)
     val assigned = withCell(e, centroids)
-    val q = assigned.filter(col("vec_id") < nQueries)
+    val q = withProbeCells(e.filter(col("vec_id") < nQueries),
+        centroids, nprobe)
       .select(col("vec_id").as("query_id"), col("cell").as("q_cell"),
         col("emb").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = broadcast(q)

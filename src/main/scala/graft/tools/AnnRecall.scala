@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off evidence tool: measure trained-IVF ANN recall against the
+  * EXACT brute-force top-k at scale, single-probe vs multi-probe
+  * (VERDICT r8 #6 — the recall lift of probing the nprobe nearest
+  * k-means cells instead of only the argmax cell, same methodology as
+  * [[ScaleRecall]]). The exact side is the broadcast-query top-k — 20
+  * query vectors against the corpus scan, bounded regardless of SF.
+  *
+  * `sbt "runMain graft.tools.AnnRecall"` — prints recall@k per nprobe.
+  * Recorded in SCALE_CHECK_r09.md. */
+object AnnRecall {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.tune(spark)
+    val k = 3
+    val nQueries = 20
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = df
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // exact ground truth: brute-force top-k over the whole corpus for
+    // the same query set (the s_cosine_topk shape with this k/nQueries)
+    val exact = pairs(
+      graft.llm.Similarity.sCosineTopk(spark, dir, k, nQueries))
+
+    def recall(got: Set[(Long, Long)]): Double =
+      (exact intersect got).size.toDouble / exact.size
+
+    Seq(1, 2, 3).foreach { nprobe =>
+      val got = pairs(graft.llm.Similarity.sAnnKmeans(
+        spark, dir, k, nQueries, nprobe = nprobe))
+      println(s"""{"sf":"$dir","index":"kmeans-ivf","nprobe":$nprobe,""" +
+        s""""k":$k,"n_queries":$nQueries,"exact":${exact.size},""" +
+        s""""found":${(exact intersect got).size},"recall":${recall(got)}}""")
+    }
+    spark.stop()
+  }
+}

@@ -252,6 +252,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming prefix join (checkpointed, mid-stream restart) " +
+    "accumulates exactly the batch prefix pairs") {
+    val dir = "/root/testdata/sf0.001"
+    // same full product shape as the minhash twin: chunked feed,
+    // checkpointed Trigger.AvailableNow, stop after two chunks, resume
+    // over the full feed. Output must equal the BATCH prefix join —
+    // recall 1 survives the per-batch rarity order by the one-sided
+    // prefix theorem (StreamingPrefix scaladoc), and the exact verify
+    // is byte-shared, so equality is bitwise.
+    val streamed = graft.streaming.StreamingPrefix.dStreamPrefix(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.llm.Dedup.dPrefixPairs(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    graft.QueryCaches.releaseAll() // dPrefixPairs' tracked persist
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("soak: randomized restarts, checkpoint wipes, and mid-cascade " +
     "kills converge to the one-shot warehouse", Slow) {
     // VERDICT r6 #10: the crash-recovery analog of the reference's
