@@ -419,16 +419,31 @@ object Multimodal {
     * byte of `text` is one signed 16-bit sample, `(b − 128) · 256`
     * (full-scale ±32768), at a per-doc sample rate
     * `8000 + (n_chars mod 8) · 1000`. Deterministic, so the DuckDB
-    * oracle recomputes every decoded feature from the source column. */
+    * oracle recomputes every decoded feature from the source column.
+    *
+    * ASCII is a PINNED assumption, not a hope (ADVICE r8 #2): this
+    * side samples UTF-8 BYTES while the oracle models one sample per
+    * CHARACTER — equal only while every char is one byte. The
+    * `assert_true(octet_length = char_length)` guard makes a future
+    * non-ASCII corpus drop fail THIS query with a doc-id-bearing error
+    * instead of silently hash-mismatching the whole compare. */
   def audioTable(spark: SparkSession, dir: String): Dataset[AudioRow] = {
     import spark.implicits._
+    val asciiGuard = assert_true(
+      octet_length(col("text")) === length(col("text")),
+      concat(lit("audioTable: non-ASCII text (bytes != chars) for doc_id="),
+        col("doc_id")))
     documents(spark, dir)
       .select(
         col("doc_id").cast("long").as("doc_id"),
         lit("audio/pcm").as("media_type"),
         (lit(8000) + (col("n_chars") % 8).cast("int") * 1000)
           .as("sample_rate"),
-        col("text").cast("binary").as("payload"))
+        // assert_true is NULL on success, so the coalesce always takes
+        // the text bytes — but the guard column stays in the plan and
+        // evaluates per row
+        coalesce(asciiGuard.cast("binary"), col("text").cast("binary"))
+          .as("payload"))
       .as[AudioRow]
   }
 

@@ -644,6 +644,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("doc_id=7")))
   }
 
+  test("audioTable pins the ASCII assumption: a non-ASCII document " +
+    "fails the query with the doc's identity") {
+    import spark.implicits._
+    // bytes-per-sample (Spark side) vs chars-per-sample (oracle side)
+    // agree only on ASCII; a multi-byte char must fail THIS query
+    // loudly, not hash-mismatch the compare downstream (ADVICE r8 #2)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_ascii_pin").toString
+    Seq((1L, "plain ascii text", 16L), (2L, "café au lait", 12L))
+      .toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val e = intercept[Exception] {
+      graft.llm.Multimodal.audioTable(spark, tmp).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.contains("non-ASCII") && m.contains("doc_id=2")))
+    // and the all-ASCII corpus passes the guard untouched
+    Seq((1L, "plain ascii text", 16L))
+      .toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val ok = graft.llm.Multimodal.audioTable(spark, tmp).collect()
+    assert(ok.length === 1 &&
+      ok.head.payload.toSeq === "plain ascii text".getBytes("UTF-8").toSeq)
+    graft.sink.ParquetSink.delete(new java.io.File(tmp))
+  }
+
   test("frame series packs independently-decodable PNG frames and " +
     "sampling decodes only the kept ones") {
     import spark.implicits._
