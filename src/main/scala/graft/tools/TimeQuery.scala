@@ -29,6 +29,7 @@ object TimeQuery {
         val t0 = System.nanoTime()
         val n = fn(spark, dir).count()
         println(f"$name rep$r: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+        graft.QueryCaches.releaseAll() // the tracked cache contract
         spark.catalog.clearCache()
       }
     }
