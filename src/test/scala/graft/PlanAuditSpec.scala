@@ -196,6 +196,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val filesRead = scan.metrics("numFiles").value
     assert(filesRead < filesTotal,
       s"pruning must skip partitions: read $filesRead of $filesTotal files")
+    info(s"partition pruning read $filesRead of $filesTotal files " +
+      s"(${scan.metrics.get("numPartitions").map(_.value).getOrElse(-1L)} partitions selected)")
 
     // (b) the bloom filter is physically present in the written footers
     val aFile = {
