@@ -214,7 +214,9 @@ object Dedup {
     // of the window's shuffle + global (doc, df, h) sort (measured
     // ~25% cheaper at sf0.1, identical output: array_sort on the
     // struct is exactly the (df asc, h asc) rarity order).
-    val prefix = sets
+    // persisted: BOTH sides of the candidate self-join consume it —
+    // without the persist each side re-runs the explode + DF join + agg
+    val prefix = QueryCaches.persistTracked(sets
       .select(col("doc_id"), explode(col("gs")).as("h"))
       .join(freq, "h")
       .groupBy(col("doc_id"))
@@ -222,7 +224,7 @@ object Dedup {
       .select(col("doc_id"), size(col("dfh")).as("n"),
         explode(slice(array_sort(col("dfh")), lit(1),
           prefixLenCol(threshold, size(col("dfh"))).cast("int"))).as("e"))
-      .select(col("doc_id"), col("n"), col("e.h").as("h"))
+      .select(col("doc_id"), col("n"), col("e.h").as("h")))
     // PPJoin LENGTH FILTER (the standard second filter from the same
     // public literature as the prefix bound): Jaccard ≥ t forces
     // t·|a| ≤ |b| ≤ |a|/t, so size-incompatible candidate pairs are
