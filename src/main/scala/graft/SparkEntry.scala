@@ -155,6 +155,7 @@ object SparkEntry {
     // quantized (order-independent) update -> the oracle replays both
     // iterations as CTEs and hash-matches exactly
     "s_ann_kmeans"      -> ((s, d) => Similarity.sAnnKmeans(s, d)),
+    "s_ann_pq"          -> ((s, d) => Similarity.sAnnPq(s, d)),
     "mm_media_features" -> (Multimodal.mmMediaFeatures _),
     "mm_resize"         -> (Multimodal.mmResize _),
     "mm_frame_sample"   -> (Multimodal.mmFrameSample _),
@@ -1430,6 +1431,92 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY query_id
         |      ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cosine
+        |FROM r WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin,
+    // PQ replayed exactly: per-SUBSPACE Lloyd (seeds = 8 lowest
+    // vec_ids' slices; assignment argmin over c2 - 2*(x_j.c) with
+    // first-min tie-break; quantized integer-sum mean update with
+    // empty-cell carry-over; 2 iterations), then encode, then the
+    // ADC scan (per-query LUT of m*ksub partial dots in (j, cell)
+    // order; score = sequential fold over subspaces — list_sum of a
+    // list_transform, matching Spark's `aggregate` HOF fold), top-64
+    // candidates by (adc DESC, vec_id), exact-cosine rerank, top-3.
+    "s_ann_pq" ->
+      """WITH n AS (SELECT vec_id, emb,
+        |    sqrt(list_sum(list_transform(list_zip(emb, emb), x -> x[1] * x[2]))) AS nrm
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e),
+        |js AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS j),
+        |sub AS (SELECT vec_id, j, list_slice(emb, j * 8 + 1, j * 8 + 8) AS s
+        |  FROM n CROSS JOIN js),
+        |c0 AS (SELECT j,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+        |    s AS c
+        |  FROM sub WHERE vec_id IN (SELECT vec_id FROM n ORDER BY vec_id LIMIT 8)),
+        |s1 AS (SELECT sub.vec_id, sub.j, c.cell,
+        |    list_sum(list_transform(list_zip(c.c, c.c), x -> x[1] * x[2]))
+        |      - 2 * list_sum(list_transform(list_zip(sub.s, c.c), x -> x[1] * x[2])) AS d
+        |  FROM sub JOIN c0 c ON c.j = sub.j),
+        |a1 AS (SELECT vec_id, j, cell FROM (SELECT vec_id, j, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cell) AS rk
+        |  FROM s1) WHERE rk = 1),
+        |u1 AS (SELECT a1.j, a1.cell, dd.d,
+        |    SUM(CAST(floor(sub.s[dd.d] * 1048576.0) AS BIGINT)) AS sm,
+        |    COUNT(*) AS cnt
+        |  FROM a1 JOIN sub ON sub.vec_id = a1.vec_id AND sub.j = a1.j
+        |    CROSS JOIN (SELECT CAST(unnest(range(1, 9)) AS INTEGER) AS d) dd
+        |  GROUP BY a1.j, a1.cell, dd.d),
+        |m1 AS (SELECT j, cell,
+        |    list(CAST(sm AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0) ORDER BY d) AS c
+        |  FROM u1 GROUP BY j, cell),
+        |c1 AS (SELECT c0.j, c0.cell, COALESCE(m1.c, c0.c) AS c
+        |  FROM c0 LEFT JOIN m1 ON m1.j = c0.j AND m1.cell = c0.cell),
+        |s2 AS (SELECT sub.vec_id, sub.j, c.cell,
+        |    list_sum(list_transform(list_zip(c.c, c.c), x -> x[1] * x[2]))
+        |      - 2 * list_sum(list_transform(list_zip(sub.s, c.c), x -> x[1] * x[2])) AS d
+        |  FROM sub JOIN c1 c ON c.j = sub.j),
+        |a2 AS (SELECT vec_id, j, cell FROM (SELECT vec_id, j, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cell) AS rk
+        |  FROM s2) WHERE rk = 1),
+        |u2 AS (SELECT a2.j, a2.cell, dd.d,
+        |    SUM(CAST(floor(sub.s[dd.d] * 1048576.0) AS BIGINT)) AS sm,
+        |    COUNT(*) AS cnt
+        |  FROM a2 JOIN sub ON sub.vec_id = a2.vec_id AND sub.j = a2.j
+        |    CROSS JOIN (SELECT CAST(unnest(range(1, 9)) AS INTEGER) AS d) dd
+        |  GROUP BY a2.j, a2.cell, dd.d),
+        |m2 AS (SELECT j, cell,
+        |    list(CAST(sm AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0) ORDER BY d) AS c
+        |  FROM u2 GROUP BY j, cell),
+        |cf AS (SELECT c1.j, c1.cell, COALESCE(m2.c, c1.c) AS c
+        |  FROM c1 LEFT JOIN m2 ON m2.j = c1.j AND m2.cell = c1.cell),
+        |s3 AS (SELECT sub.vec_id, sub.j, c.cell,
+        |    list_sum(list_transform(list_zip(c.c, c.c), x -> x[1] * x[2]))
+        |      - 2 * list_sum(list_transform(list_zip(sub.s, c.c), x -> x[1] * x[2])) AS d
+        |  FROM sub JOIN cf c ON c.j = sub.j),
+        |a3 AS (SELECT vec_id, j, cell FROM (SELECT vec_id, j, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cell) AS rk
+        |  FROM s3) WHERE rk = 1),
+        |codes AS (SELECT vec_id, list(cell ORDER BY j) AS code
+        |  FROM a3 GROUP BY vec_id),
+        |lutp AS (SELECT sq.vec_id AS query_id, c.j, c.cell,
+        |    list_sum(list_transform(list_zip(sq.s, c.c), x -> x[1] * x[2])) AS pdot
+        |  FROM sub sq JOIN cf c ON c.j = sq.j WHERE sq.vec_id < 20),
+        |lutl AS (SELECT query_id, list(pdot ORDER BY j, cell) AS lut
+        |  FROM lutp GROUP BY query_id),
+        |adc AS (SELECT l.query_id, x.vec_id,
+        |    list_sum(list_transform(range(0, 8),
+        |      j -> l.lut[j * 8 + x.code[j + 1] + 1])) AS adc
+        |  FROM lutl l JOIN codes x ON x.vec_id != l.query_id),
+        |cand AS (SELECT query_id, vec_id, adc FROM (SELECT query_id, vec_id, adc,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS crk
+        |  FROM adc) WHERE crk <= 64),
+        |rer AS (SELECT c.query_id, c.vec_id AS neighbor_id, c.adc,
+        |    list_sum(list_transform(list_zip(q.emb, t.emb), x2 -> x2[1] * x2[2]))
+        |      / (q.nrm * t.nrm) AS cosine
+        |  FROM cand c JOIN n q ON q.vec_id = c.query_id
+        |    JOIN n t ON t.vec_id = c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, adc, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rk FROM rer)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, adc, cosine
         |FROM r WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin,
     // the decoded raster is the text bytes zero-padded / truncated to
     // width*height (PNG grayscale is lossless), so every feature of the

@@ -368,6 +368,149 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Product-quantization codebooks: an independent deterministic
+    * Lloyd k-means per SUBSPACE (the PQ trainer of Jégou et al., "
+    * Product quantization for nearest neighbor search", IEEE TPAMI
+    * 2011 — public literature). The embedding splits into `m`
+    * contiguous `dsub`-dim subvectors; each subspace trains its own
+    * `ksub`-centroid codebook by L2 Lloyd.
+    *
+    * Same determinism contract as [[kmeansCentroids]]:
+    *  - seeds are the `ksub` lowest vec_ids' subvectors;
+    *  - assignment is argmin over `c² − 2·(x_j·c)` (the ‖x_j‖² term is
+    *    constant per row and dropped IDENTICALLY in the DuckDB oracle),
+    *    first-min tie-break on cell index;
+    *  - the Lloyd update is the QUANTIZED mean — per dimension it sums
+    *    `floor(x · 2²⁰)` as exact int64 and divides once, so the
+    *    trained books are bit-identical across partitionings and
+    *    engines; empty cells carry their previous centroid.
+    *
+    * Scale shape: books live on the driver (m·ksub·dsub doubles —
+    * tiny) and reach executors as codegen'd literals; each iteration
+    * is one narrow map over the corpus plus ONE aggregation of
+    * m·ksub·dsub cells (the per-subspace updates ride a single
+    * explode — no per-subspace jobs, no shuffle of vectors). */
+  def pqCodebooks(df: DataFrame, m: Int, dsub: Int, ksub: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    val seeds = df.orderBy(col("vec_id")).limit(ksub)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(j =>
+      Array.tabulate(ksub)(c => seeds(c).slice(j * dsub, j * dsub + dsub)))
+    val scale = 1048576.0 // 2^20: x·2^20 is exact for float-sourced doubles
+    (0 until iters).foreach { _ =>
+      val structs = (0 until m).map(j => struct(lit(j).as("j"),
+        expr(s"slice(emb, ${j * dsub + 1}, $dsub)").as("sub"),
+        col(s"code_$j").as("code")))
+      val ex = withPqCodes(df, books, dsub)
+        .select(explode(array(structs: _*)).as("e"))
+        .select(col("e.j"), col("e.sub"), col("e.code"))
+      val aggs = count(lit(1)).as("cnt") +: (0 until dsub).map(i =>
+        sum(floor(element_at(col("sub"), i + 1) * scale)).as(s"m$i"))
+      val means = ex.groupBy(col("j"), col("code"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val cnt = r.getLong(2).toDouble
+          (r.getInt(0), r.getInt(1)) -> (0 until dsub)
+            .map(i => r.getLong(i + 3).toDouble / (cnt * scale)).toArray
+        }.toMap
+      books = Array.tabulate(m)(j =>
+        Array.tabulate(ksub)(c => means.getOrElse((j, c), books(j)(c))))
+    }
+    books
+  }
+
+  /** Append per-subspace code columns `code_0 … code_{m−1}`: the
+    * argmin-L2 cell per subspace, unrolled into codegen'd
+    * `dot_product(slice(emb, …), array(<literals>))` columns — one
+    * narrow map, no join against a codebook relation, first-min
+    * tie-break via `array_position(arr, array_min(arr))`. */
+  private def withPqCodes(df: DataFrame,
+      books: Array[Array[Array[Double]]], dsub: Int): DataFrame =
+    books.zipWithIndex.foldLeft(df) { case (acc, (book, j)) =>
+      val dcols = book.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        val arr = c.map(x => s"${x}D").mkString("array(", ",", ")")
+        (lit(c2) - lit(2.0) * expr(
+          s"dot_product(slice(emb, ${j * dsub + 1}, $dsub), $arr)"))
+          .as(s"__pd$i")
+      }
+      acc.select((col("*") +: dcols.toIndexedSeq): _*)
+        .withColumn("__pda", array(book.indices.map(i => col(s"__pd$i")): _*))
+        .withColumn(s"code_$j",
+          (expr("array_position(__pda, array_min(__pda))") - 1L).cast("int"))
+        .drop(book.indices.map(i => s"__pd$i") :+ "__pda": _*)
+    }
+
+  /** PQ-compressed ANN with asymmetric-distance (ADC) scan + exact
+    * rerank — the genuine 100-TB scale path for embedding search:
+    * the corpus is stored as `m` small integer codes per vector
+    * (here 8 bytes vs 256 for the raw floats), candidate scoring
+    * reads ONLY the codes, and full vectors are touched for just the
+    * `nCand` survivors per query.
+    *
+    *  1. ENCODE: [[withPqCodes]] maps each corpus vector to its
+    *     per-subspace argmin cells (narrow map, codegen'd).
+    *  2. ADC SCAN: each query precomputes a lookup table of
+    *     m·ksub partial dots `q_j · c_{j,cell}` (array literal built
+    *     query-side, broadcast with the bounded query set); the score
+    *     of a corpus vector is the fold Σ_j lut[j·ksub + code_j] —
+    *     8 array lookups + adds per vector, NO dot product, via the
+    *     codegen'd `aggregate` higher-order fold (sequential, so
+    *     bit-identical to the oracle's `list_sum(list_transform(…))`).
+    *  3. RERANK: the nCand best ADC candidates per query (ties →
+    *     vec_id asc) join back to the full vectors for EXACT cosine;
+    *     final top-k ordered by (cosine desc, vec_id).
+    *
+    * Deterministic end-to-end (trained books bit-identical, ADC folds
+    * sequential, both rank cuts totally ordered), so the DuckDB oracle
+    * replays training + encode + ADC + rerank exactly and the result
+    * hash-matches. At scale: codes relation is ~n·(8+m) bytes (the
+    * 32× compression is the point), the query side is broadcast-
+    * bounded, and the rerank join touches nCand·|Q| rows. */
+  def sAnnPq(spark: SparkSession, dir: String, k: Int = 3,
+      nQueries: Int = 20, m: Int = 8, dsub: Int = 8, ksub: Int = 8,
+      iters: Int = 2, nCand: Int = 64): DataFrame = {
+    val e = withNorm(embeddings(spark, dir))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+      .localCheckpoint() // trainer + encode + lut + rerank all read it
+    val books = pqCodebooks(e, m, dsub, ksub, iters)
+    val coded = withPqCodes(e, books, dsub)
+      .select(col("vec_id"),
+        array((0 until m).map(j => col(s"code_$j")): _*).as("codes"))
+    // query-side LUT in (subspace, cell) order — m·ksub partial dots
+    val lutTerms = for { j <- 0 until m; c <- 0 until ksub } yield {
+      val arr = books(j)(c).map(x => s"${x}D").mkString("array(", ",", ")")
+      expr(s"dot_product(slice(emb, ${j * dsub + 1}, $dsub), $arr)")
+    }
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), array(lutTerms: _*).as("lut"))
+    val adc = broadcast(q).crossJoin(coded)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", expr(
+        s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double),
+           |  (acc, j) -> acc + element_at(lut,
+           |    j * $ksub + element_at(codes, j + 1) + 1))""".stripMargin))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val cand = adc.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= nCand)
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("vec_id"), col("adc"))
+    val rer = cand
+      .join(e.select(col("vec_id"), col("emb"), col("nrm")), Seq("vec_id"))
+      .withColumn("cosine",
+        dot("q_emb", "emb") / (col("q_nrm") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF-style bucketed ANN: each query searches ONLY its coarse
     * partition (the `label` bucket) — an equi-join on the bucket key
     * instead of a scan of the corpus. Returns top-3 in-bucket

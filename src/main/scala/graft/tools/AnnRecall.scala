@@ -48,6 +48,15 @@ object AnnRecall {
         s""""k":$k,"n_queries":$nQueries,"exact":${exact.size},""" +
         s""""found":${(exact intersect got).size},"recall":${recall(got)}}""")
     }
+    // PQ-ADC: recall vs the rerank candidate budget (8-byte codes,
+    // 8 subspaces x 8 cells) — the compressed-domain scan's lever
+    Seq(8, 16, 32, 64).foreach { nCand =>
+      val got = pairs(graft.llm.Similarity.sAnnPq(
+        spark, dir, k, nQueries, nCand = nCand))
+      println(s"""{"sf":"$dir","index":"pq-adc","n_cand":$nCand,""" +
+        s""""k":$k,"n_queries":$nQueries,"exact":${exact.size},""" +
+        s""""found":${(exact intersect got).size},"recall":${recall(got)}}""")
+    }
     spark.stop()
   }
 }

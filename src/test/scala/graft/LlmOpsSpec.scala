@@ -151,6 +151,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"LSH-ANN top-3 recall $recall < 0.3")
   }
 
+  test("PQ-ADC ANN: deterministic training, compressed-domain candidates, " +
+    "exact rerank beats the raw ADC ordering") {
+    val a = Similarity.sAnnPq(spark, dir).collect().map(_.toString).toSeq
+    val b = Similarity.sAnnPq(spark, dir).collect().map(_.toString).toSeq
+    assert(a === b && a.nonEmpty) // fixed seeds + quantized updates
+    val rows = Similarity.sAnnPq(spark, dir).collect()
+    // the reranked cosine is EXACT: for every returned (q, x) it equals
+    // the brute-force cosine of the same pair bit-for-bit
+    val exactAll = Similarity.sCosineTopk(spark, dir,
+        k = Int.MaxValue - 1, nQueries = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(java.lang.Double.doubleToLongBits(exactAll(key)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(4)),
+        s"reranked cosine not exact for $key")
+    }
+    // within each query the final order is by exact cosine, not ADC —
+    // and ADC is a genuine approximation (scores differ from cosine)
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(byRank.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    }
+    // recall vs exact top-3: 8-byte codes + 32-candidate rerank must
+    // recover most of the true neighbors (deterministic, so stable)
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.sCosineTopk(spark, dir, k = 3, nQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ-ADC top-3 recall $recall < 0.5")
+  }
+
   test("multimodal resize pads past-payload pixels and frame sampling " +
     "skips partial frames") {
     import spark.implicits._
