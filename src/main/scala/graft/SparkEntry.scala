@@ -88,6 +88,8 @@ object SparkEntry {
     "v_approx_quantiles"   -> (EventQueries.vApproxQuantiles _),
     "j_full_outer_recon"   -> (EventQueries.jFullOuterRecon _),
     "g_pivot_daily"        -> (EventQueries.gPivotDaily _),
+    "g_retention_cohorts"  -> (EventQueries.gRetentionCohorts _),
+    "g_funnel_steps"       -> (EventQueries.gFunnelSteps _),
     "g_unpivot_daily"      -> (EventQueries.gUnpivotDaily _),
     "v_set_ops"            -> (EventQueries.vSetOps _),
     "j_salted_user_events" -> (EventQueries.jSaltedUserEvents _),
@@ -135,6 +137,12 @@ object SparkEntry {
     "d_stream_prefix"   -> ((s, d) =>
       graft.streaming.StreamingPrefix.dStreamPrefix(s, d)),
     "d_embed_dedup"     -> ((s, d) => Similarity.sEmbedDedup(s, d)),
+    // SemDeDup: trained k-means clusters, then prune within clusters
+    // only — the cluster-bounded sibling of the exact grid miner
+    "d_semantic_dedup"  -> ((s, d) => Similarity.sSemanticDedup(s, d)),
+    // substring-level dedup: duplicated-SPAN coverage per document
+    // (corpus-wide window occurrence + per-doc island merge)
+    "d_dup_spans"       -> ((s, d) => Dedup.dDupSpans(s, d)),
     // connected components of the near-dup graph (min-label propagation)
     "d_dup_groups"      -> ((s, d) => Dedup.dDupGroups(s, d)),
     // full cleaning pipeline: gates -> exact dedup -> near-dup removal
@@ -291,6 +299,65 @@ object SparkEntry {
     * `s_stream_ann_lsh`: the exact sign-bucket + hamming-1 multi-probe
     * search, recomputed from the static table — both index builds must
     * land on this one answer. */
+  /** Deterministic k-means replay — seeds = 8 lowest vec_ids, two
+    * Lloyd iterations (argmax-cosine assignment with first-max
+    * tie-break; quantized integer-sum mean update, empty-cell
+    * carry-over) — through the final assignment CTE `a3`. SHARED by
+    * the `s_ann_kmeans` search oracle and the `d_semantic_dedup`
+    * cluster-prune oracle, so the two replays cannot drift. Integer
+    * update sums are order-independent → bit-identical to Spark's
+    * trainer regardless of partitioning. */
+  private val kmeansAssignCte: String =
+    """WITH n AS (SELECT vec_id, emb,
+      |    sqrt(list_sum(list_transform(list_zip(emb, emb), x -> x[1] * x[2]))) AS nrm
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e),
+      |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+      |    emb AS c
+      |  FROM (SELECT vec_id, emb FROM n ORDER BY vec_id LIMIT 8)),
+      |s1 AS (SELECT n.vec_id, c.cell,
+      |    list_sum(list_transform(list_zip(n.emb, c.c), x -> x[1] * x[2]))
+      |      / sqrt(list_sum(list_transform(list_zip(c.c, c.c), x -> x[1] * x[2]))) AS score
+      |  FROM n CROSS JOIN c0 c),
+      |a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
+      |  FROM s1) WHERE rk = 1),
+      |u1 AS (SELECT a1.cell, dd.d,
+      |    SUM(CAST(floor(n.emb[dd.d] * 1048576.0) AS BIGINT)) AS s,
+      |    COUNT(*) AS cnt
+      |  FROM a1 JOIN n USING (vec_id)
+      |    CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+      |  GROUP BY a1.cell, dd.d),
+      |m1 AS (SELECT cell,
+      |    list(CAST(s AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0) ORDER BY d) AS c
+      |  FROM u1 GROUP BY cell),
+      |c1 AS (SELECT c0.cell, COALESCE(m1.c, c0.c) AS c
+      |  FROM c0 LEFT JOIN m1 USING (cell)),
+      |s2 AS (SELECT n.vec_id, c.cell,
+      |    list_sum(list_transform(list_zip(n.emb, c.c), x -> x[1] * x[2]))
+      |      / sqrt(list_sum(list_transform(list_zip(c.c, c.c), x -> x[1] * x[2]))) AS score
+      |  FROM n CROSS JOIN c1 c),
+      |a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
+      |  FROM s2) WHERE rk = 1),
+      |u2 AS (SELECT a2.cell, dd.d,
+      |    SUM(CAST(floor(n.emb[dd.d] * 1048576.0) AS BIGINT)) AS s,
+      |    COUNT(*) AS cnt
+      |  FROM a2 JOIN n USING (vec_id)
+      |    CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+      |  GROUP BY a2.cell, dd.d),
+      |m2 AS (SELECT cell,
+      |    list(CAST(s AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0) ORDER BY d) AS c
+      |  FROM u2 GROUP BY cell),
+      |c2 AS (SELECT c1.cell, COALESCE(m2.c, c1.c) AS c
+      |  FROM c1 LEFT JOIN m2 USING (cell)),
+      |s3 AS (SELECT n.vec_id, c.cell,
+      |    list_sum(list_transform(list_zip(n.emb, c.c), x -> x[1] * x[2]))
+      |      / sqrt(list_sum(list_transform(list_zip(c.c, c.c), x -> x[1] * x[2]))) AS score
+      |  FROM n CROSS JOIN c2 c),
+      |a3 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
+      |  FROM s3) WHERE rk = 1),""".stripMargin
+
   private val annLshOracle: String =
     """WITH n AS (SELECT vec_id, emb,
       |    sqrt(list_sum(list_transform(list_zip(emb, emb), x -> x[1] * x[2]))) AS nrm
@@ -1365,57 +1432,8 @@ object SparkEntry {
     // rk <= 2) — same ranking, wider probe (VERDICT r8 #6).
     // Integer update sums are order-independent -> bit-identical to
     // Spark regardless of partitioning.
-    "s_ann_kmeans" ->
-      """WITH n AS (SELECT vec_id, emb,
-        |    sqrt(list_sum(list_transform(list_zip(emb, emb), x -> x[1] * x[2]))) AS nrm
-        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e),
-        |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-        |    emb AS c
-        |  FROM (SELECT vec_id, emb FROM n ORDER BY vec_id LIMIT 8)),
-        |s1 AS (SELECT n.vec_id, c.cell,
-        |    list_sum(list_transform(list_zip(n.emb, c.c), x -> x[1] * x[2]))
-        |      / sqrt(list_sum(list_transform(list_zip(c.c, c.c), x -> x[1] * x[2]))) AS score
-        |  FROM n CROSS JOIN c0 c),
-        |a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
-        |  FROM s1) WHERE rk = 1),
-        |u1 AS (SELECT a1.cell, dd.d,
-        |    SUM(CAST(floor(n.emb[dd.d] * 1048576.0) AS BIGINT)) AS s,
-        |    COUNT(*) AS cnt
-        |  FROM a1 JOIN n USING (vec_id)
-        |    CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
-        |  GROUP BY a1.cell, dd.d),
-        |m1 AS (SELECT cell,
-        |    list(CAST(s AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0) ORDER BY d) AS c
-        |  FROM u1 GROUP BY cell),
-        |c1 AS (SELECT c0.cell, COALESCE(m1.c, c0.c) AS c
-        |  FROM c0 LEFT JOIN m1 USING (cell)),
-        |s2 AS (SELECT n.vec_id, c.cell,
-        |    list_sum(list_transform(list_zip(n.emb, c.c), x -> x[1] * x[2]))
-        |      / sqrt(list_sum(list_transform(list_zip(c.c, c.c), x -> x[1] * x[2]))) AS score
-        |  FROM n CROSS JOIN c1 c),
-        |a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
-        |  FROM s2) WHERE rk = 1),
-        |u2 AS (SELECT a2.cell, dd.d,
-        |    SUM(CAST(floor(n.emb[dd.d] * 1048576.0) AS BIGINT)) AS s,
-        |    COUNT(*) AS cnt
-        |  FROM a2 JOIN n USING (vec_id)
-        |    CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
-        |  GROUP BY a2.cell, dd.d),
-        |m2 AS (SELECT cell,
-        |    list(CAST(s AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0) ORDER BY d) AS c
-        |  FROM u2 GROUP BY cell),
-        |c2 AS (SELECT c1.cell, COALESCE(m2.c, c1.c) AS c
-        |  FROM c1 LEFT JOIN m2 USING (cell)),
-        |s3 AS (SELECT n.vec_id, c.cell,
-        |    list_sum(list_transform(list_zip(n.emb, c.c), x -> x[1] * x[2]))
-        |      / sqrt(list_sum(list_transform(list_zip(c.c, c.c), x -> x[1] * x[2]))) AS score
-        |  FROM n CROSS JOIN c2 c),
-        |a3 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
-        |  FROM s3) WHERE rk = 1),
-        |aq AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+    "s_ann_kmeans" -> (kmeansAssignCte + "\n" +
+      """aq AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
         |  FROM s3) WHERE rk <= 2),
         |ax AS (SELECT n.vec_id, n.emb, n.nrm, a3.cell
@@ -1431,7 +1449,112 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY query_id
         |      ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cosine
-        |FROM r WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin,
+        |FROM r WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin),
+    // SemDeDup replayed exactly: the SAME k-means replay (shared CTE —
+    // the two oracles cannot drift), then pairs WITHIN the final `a3`
+    // clusters only, dropping every vector with a smaller-id
+    // within-cluster neighbor at cosine >= 0.4. Cross-cluster pairs are
+    // invisible by design (the documented SemDeDup approximation).
+    "d_semantic_dedup" -> (kmeansAssignCte + "\n" +
+      """ax AS (SELECT n.vec_id, n.emb, n.nrm, a3.cell
+        |  FROM n JOIN a3 USING (vec_id)),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(list_zip(a.emb, b.emb), x -> x[1] * x[2]))
+        |      / (a.nrm * b.nrm) AS cosine
+        |  FROM ax a JOIN ax b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |hits AS (SELECT vec_b AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_closer
+        |  FROM p WHERE cosine >= 0.4 GROUP BY vec_b)
+        |SELECT ax.vec_id, ax.cell,
+        |  COALESCE(hits.n_closer, 0) AS n_closer,
+        |  (COALESCE(hits.n_closer, 0) = 0) AS kept
+        |FROM ax LEFT JOIN hits USING (vec_id) ORDER BY vec_id""".stripMargin),
+    // substring-level dedup: remix docs (head-12 + unique glue +
+    // tail-12 of every doc_id % 5 == 0 with >= 30 tokens, under the
+    // 10^k id shift) model partial duplication; a position is
+    // duplicated iff its 8-token window occurs >= 2 times corpus-wide;
+    // overlapping/adjacent duplicated windows merge into maximal spans
+    "d_dup_spans" ->
+      """WITH base AS (SELECT doc_id, trim(text) AS text FROM documents),
+        |tok AS (SELECT doc_id, text,
+        |    string_split_regex(text, '\s+') AS t FROM base),
+        |mx AS (SELECT max(doc_id) AS m FROM base),
+        |remix AS (SELECT doc_id + CAST(power(10,
+        |      length(CAST((SELECT m FROM mx) AS VARCHAR))) AS BIGINT) AS doc_id,
+        |    array_to_string(list_slice(t, 1, 12), ' ') || ' xq' ||
+        |      CAST(doc_id AS VARCHAR) || 'xq ' ||
+        |      array_to_string(list_slice(t, len(t) - 11, len(t)), ' ') AS text
+        |  FROM tok WHERE doc_id % 5 = 0 AND len(t) >= 30),
+        |corpus AS (SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id, text FROM remix),
+        |m AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM corpus),
+        |b AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t FROM m),
+        |w AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |    concat_ws(' ', t[pos+1], t[pos+2], t[pos+3], t[pos+4],
+        |      t[pos+5], t[pos+6], t[pos+7], t[pos+8]) AS win
+        |  FROM (SELECT doc_id, t,
+        |      unnest(range(0, greatest(n_tokens - 7, 0))) AS pos FROM b)),
+        |occ AS (SELECT win, COUNT(*) AS occ FROM w GROUP BY win),
+        |dup AS (SELECT w.doc_id, w.pos FROM w JOIN occ USING (win)
+        |  WHERE occ.occ >= 2),
+        |isl AS (SELECT doc_id, pos,
+        |    MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM dup),
+        |g AS (SELECT doc_id, pos,
+        |    SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM isl),
+        |sp AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos + 7) AS e,
+        |    COUNT(*) AS nw
+        |  FROM g GROUP BY doc_id, grp),
+        |per AS (SELECT doc_id, CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |    CAST(SUM(e - s + 1) AS BIGINT) AS covered_tokens
+        |  FROM sp GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  COALESCE(per.n_dup_windows, 0) AS n_dup_windows,
+        |  COALESCE(per.n_spans, 0) AS n_spans,
+        |  COALESCE(per.covered_tokens, 0) AS covered_tokens,
+        |  CASE WHEN b.n_tokens > 0
+        |    THEN CAST(COALESCE(per.covered_tokens, 0) AS DOUBLE)
+        |      / CAST(b.n_tokens AS DOUBLE)
+        |    ELSE 0.0 END AS dup_span_frac
+        |FROM b LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "g_retention_cohorts" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS epoch_day FROM events),
+        |coh AS (SELECT user_id, MIN(epoch_day) AS cohort_day
+        |  FROM act GROUP BY user_id)
+        |SELECT c.cohort_day, a.epoch_day - c.cohort_day AS day_offset,
+        |  COUNT(*) AS n_users
+        |FROM act a JOIN coh c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // sequenced funnel: each stage's min-ts must strictly follow the
+    // previous stage's min-ts (temporal order, not mere existence)
+    "g_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts
+        |  FROM events),
+        |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM e
+        |  JOIN s3 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+        |  GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+        |    COUNT(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+        |  UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+        |  UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4)
+        |ORDER BY stage_idx""".stripMargin,
     // PQ replayed exactly: per-SUBSPACE Lloyd (seeds = 8 lowest
     // vec_ids' slices; assignment argmin over c2 - 2*(x_j.c) with
     // first-min tie-break; quantized integer-sum mean update with

@@ -534,6 +534,107 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** SUBSTRING-level dedup — duplicated-SPAN coverage per document, the
+    * sixth dedup granularity (exact / MinHash / n-gram / SimHash /
+    * embedding work at DOCUMENT grain; this one finds the duplicated
+    * passages INSIDE otherwise-unique documents — the exact-substring
+    * formulation of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022 — public literature).
+    *
+    * A position's `w`-token window is DUPLICATED iff the same window
+    * string occurs at ≥2 positions corpus-wide (another doc, or another
+    * position of the same doc). Overlapping/adjacent duplicated windows
+    * merge into maximal SPANS (gaps-and-islands, the [[w_sessionize]]
+    * shape at token granularity); each doc reports its duplicated-window
+    * count, span count, covered-token total, and covered fraction — the
+    * numbers a span-removal pass needs.
+    *
+    * The input models partial duplication explicitly (the raw corpus
+    * only carries whole-doc twins, which would leave the span-merge
+    * logic decorative): every doc_id ≡ 0 (mod 5) with ≥30 tokens
+    * re-enters as a REMIX — its first 12 tokens + a unique glue token +
+    * its last 12 tokens under a shifted id (the 10^k shift device of
+    * [[TextAnalysis.tDecontaminate]]) — the quote-splicing shape real
+    * crawls produce. Source docs then carry TWO partial spans (head and
+    * tail), remixes carry two spans around never-matching glue.
+    *
+    * Scale shape: windows explode to (doc, pos, win) rows — w× the
+    * token volume, same order as the shingle relations; ONE
+    * hash-partitioned occurrence count per window string (map-side
+    * combined; the window vocabulary grows with the corpus so it stays
+    * hash-partitioned/AQE-owned, never broadcast — the
+    * [[dShingleNovelty]] reasoning); the join back is window-keyed; the
+    * islands windows partition BY DOC (doc-length-bounded tasks, no
+    * corpus-wide window). All integer arithmetic; the fraction is one
+    * IEEE division — bit-identical in the DuckDB oracle. */
+  def dDupSpans(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = documents(spark, dir)
+      .select(col("doc_id"), trim(col("text")).as("text"))
+    // shift = the power of 10 one digit past max(doc_id) — collision-free
+    // at any scale (see tDecontaminate); metadata-cheap max() scan
+    val maxId = base.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val shift = ("1" + "0" * maxId.toString.length).toLong
+    val remix = base
+      .withColumn("t", tokens(col("text")))
+      .filter(col("doc_id") % 5 === 0 && size(col("t")) >= 30)
+      .select((col("doc_id") + shift).as("doc_id"),
+        concat(
+          concat_ws(" ", slice(col("t"), 1, 12)),
+          lit(" xq"), col("doc_id").cast("string"), lit("xq "),
+          concat_ws(" ", expr("slice(t, size(t) - 11, 12)"))).as("text"))
+    val corpus = base.unionByName(remix)
+    val winExpr = "transform(sequence(0, size(t) - " + w + "), i -> " +
+      "concat_ws(' ', " +
+      (0 until w).map(j => s"t[i+$j]").mkString(", ") + "))"
+    // persisted: the occurrence count and the join back both read it
+    // (tracked cache contract — released by the materializer)
+    val wins = QueryCaches.persistTracked(corpus
+      .repartition(col("doc_id")) // parallelize the narrow stage
+      .withColumn("t", tokens(col("text")))
+      .filter(size(col("t")) >= w) // sequence(0, negative) counts DOWN
+      .select(col("doc_id"),
+        posexplode(expr(winExpr)).as(Seq("pos", "win"))))
+    val occ = wins.groupBy(col("win")).agg(count(lit(1)).as("occ"))
+    val dup = wins.join(occ, "win").filter(col("occ") >= 2)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    // gaps-and-islands over duplicated positions, PER DOC: a new span
+    // starts where the position clears the running max covered end + 1
+    // (overlap OR adjacency merges — coverage is identical either way,
+    // span counts are what a removal pass reports)
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = dup
+      .withColumn("prev_end", max(col("pos") + lit(w - 1)).over(wPrev))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("new_span")).over(wCum))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), max(col("pos") + lit(w - 1)).as("e"),
+        count(lit(1)).as("nw"))
+    val per = spans.groupBy(col("doc_id"))
+      .agg(sum(col("nw")).as("n_dup_windows"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("covered_tokens"))
+    corpus
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .select(col("doc_id"), col("n_tokens"))
+      .join(per, Seq("doc_id"), "left")
+      .withColumn("n_dup_windows",
+        coalesce(col("n_dup_windows"), lit(0L)).cast("long"))
+      .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)).cast("long"))
+      .withColumn("covered_tokens",
+        coalesce(col("covered_tokens"), lit(0L)).cast("long"))
+      .withColumn("dup_span_frac",
+        when(col("n_tokens") > 0,
+          col("covered_tokens").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
   /** 32-bit SimHash signature per document over its distinct tokens.
     *
     * Bit b of md5(token) is extracted portably: hex nibble via

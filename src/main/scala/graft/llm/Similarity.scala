@@ -511,6 +511,68 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SEMANTIC dedup — the cluster-then-prune embedding dedup of Abbas
+    * et al., "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", 2023 (public literature): train a coarse
+    * k-means partition, then mine similar pairs ONLY within each
+    * cluster, dropping every vector that has a smaller-id within-cluster
+    * neighbor at cosine ≥ threshold. Pairs crossing a Voronoi boundary
+    * are invisible BY DESIGN — that bounded recall loss is the price
+    * that turns exact O(n²) pair mining into Σ|cluster|², and at
+    * production scale k grows with the corpus so per-cluster work stays
+    * constant.
+    *
+    * Distinct from [[sEmbedDedup]] (exact grid all-pairs, recall 1) the
+    * way [[Dedup.dMinhashPairs]] is distinct from
+    * [[Dedup.dPrefixPairs]]: same goal, different candidate generator
+    * with a different scale/recall contract.
+    *
+    * Determinism: the trainer is [[kmeansCentroids]] (fixed seeds,
+    * fixed iterations, quantized order-independent update — trained
+    * cells bit-identical cross-engine), the drop rule is a pure
+    * (smaller-id, ≥ threshold) predicate, so the DuckDB oracle replays
+    * training + assignment + within-cluster pairs and hash-matches.
+    *
+    * Scale shape: within-cluster candidates are generated through the
+    * same deterministic GRID the exact miner uses, composed with the
+    * cluster key — the self-join key is (cell, grid_a, grid_b), so
+    * every within-cluster pair meets exactly once, per-task work is
+    * bounded at (|cluster|/P)², and a mega-cluster cannot recreate the
+    * all-pairs blowup. No CartesianProduct, nothing broadcast but the
+    * k·d centroid literals. */
+  def sSemanticDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, nCells: Int = 8, iters: Int = 2,
+      gridP: Int = 4): DataFrame = {
+    val e = withNorm(embeddings(spark, dir))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+      .localCheckpoint() // trainer + assignment read it
+    val centroids = kmeansCentroids(e, nCells, iters)
+    // persisted: both self-join sides and the survivor join read it
+    // (tracked cache contract — released by the materializer)
+    val assigned = QueryCaches.persistTracked(withCell(e, centroids)
+      .withColumn("g", pmod(col("vec_id"), lit(gridP)).cast("int")))
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"),
+      col("g").as("grid_a"),
+      explode(expr(s"sequence(0, ${gridP - 1})")).as("grid_b"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("emb").as("emb_b"), col("nrm").as("nrm_b"),
+      col("g").as("grid_b"),
+      explode(expr(s"sequence(0, ${gridP - 1})")).as("grid_a"))
+    val hits = a.join(b, Seq("cell", "grid_a", "grid_b"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_closer"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(hits, Seq("vec_id"), "left")
+      .withColumn("n_closer", coalesce(col("n_closer"), lit(0L)).cast("long"))
+      .withColumn("kept", col("n_closer") === 0)
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF-style bucketed ANN: each query searches ONLY its coarse
     * partition (the `label` bucket) — an equi-join on the bucket key
     * instead of a scan of the corpus. Returns top-3 in-bucket

@@ -571,4 +571,69 @@ object EventQueries {
       .select(col("event_id"), col("event_type"), col("value"), col("decile"))
       .orderBy(col("event_id"))
   }
+
+  /** Retention cohort matrix — the classic product-analytics view the
+    * gold layer's daily metrics (G6) lead to: users grouped by their
+    * FIRST active day (the cohort), and for each (cohort, day-offset)
+    * cell the count of cohort users active that day. Day 0 of every
+    * cohort equals the cohort size; later offsets trace its retention
+    * curve.
+    *
+    * Scale shape: three hash-partitioned aggregations and one
+    * user-keyed join — (user, day) distinct with map-side combine, a
+    * min-per-user cohort aggregate, the join back (both sides
+    * user-count-bounded, AQE-owned), and the final (cohort × offset)
+    * aggregate whose output is day-range² bounded. No window over raw
+    * events, nothing broadcast, all integer day arithmetic (`ts DIV
+    * nanos-per-day` — engine-exact). */
+  def gRetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val act = events(spark, dir)
+      .select(col("user_id"),
+        expr(s"ts DIV ${NanosPerDay}L").as("epoch_day"))
+      .distinct()
+    val coh = act.groupBy(col("user_id"))
+      .agg(min(col("epoch_day")).as("cohort_day"))
+    act.join(coh, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("epoch_day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Ordered conversion funnel over the event stream: how many users
+    * complete signup → view → click → purchase IN TEMPORAL ORDER — each
+    * stage's timestamp must strictly follow the earliest completion of
+    * the previous stage (the sequenced-funnel semantics, not mere
+    * per-type existence).
+    *
+    * Shape: stage k is one filtered scan aggregated to min-ts-per-user
+    * AFTER the stage-(k−1) anchor — a chain of four hash aggregations
+    * joined on user_id. Each join is user-count-bounded on both sides
+    * and AQE-owned; the per-stage filter pushes `event_type = '…'` into
+    * the parquet scan, so each stage reads only its own rows. Counts
+    * are exact integers; MIN over the nanos `ts` is engine-exact. */
+  def gFunnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def firstAfter(stage: String, prev: DataFrame, prevT: String,
+        outT: String): DataFrame =
+      e.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col(prevT)), Seq("user_id"))
+        .filter(col("ts") > col(prevT))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(outT))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = firstAfter("view", s1, "t1", "t2")
+    val s3 = firstAfter("click", s2, "t2", "t3")
+    val s4 = firstAfter("purchase", s3, "t3", "t4")
+    Seq((1L, "signup", s1), (2L, "view", s2), (3L, "click", s3),
+      (4L, "purchase", s4))
+      .map { case (i, name, df) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i).as("stage_idx"), lit(name).as("stage"),
+            col("n_users"))
+      }
+      .reduce(_.unionByName(_))
+      .orderBy(col("stage_idx"))
+  }
 }

@@ -43,6 +43,52 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(prefix === lshFull)
   }
 
+  test("dup spans: remix docs produce two partial islands and coverage " +
+    "stays within doc bounds") {
+    val rows = Dedup.dDupSpans(spark, dir).collect()
+    val maxBase = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val shift = ("1" + "0" * maxBase.toString.length).toLong
+    // remix docs entered the corpus under shifted ids
+    assert(rows.exists(_.getLong(0) >= shift))
+    rows.foreach { r =>
+      val (nTok, nWin, nSpans, covered) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // island union can never cover more than the doc
+      assert(covered <= nTok)
+      // spans exist iff duplicated windows do, and merging only shrinks
+      assert((nSpans > 0) === (nWin > 0))
+      assert(nSpans <= nWin || nWin == 0)
+      // disjoint islands, each at least one full window wide
+      if (nSpans > 0) assert(covered >= nSpans * 8)
+    }
+    // the remix construction guarantees head+tail islands: a non-twin
+    // source doc shows exactly 10 duplicated windows (5 head + 5 tail)
+    // merged into 2 spans covering 24 tokens
+    assert(rows.exists(r => r.getLong(2) == 10 && r.getLong(3) == 2 &&
+      r.getLong(4) == 24))
+    // multi-span docs exist on BOTH sides of the shift (source + remix)
+    assert(rows.exists(r => r.getLong(0) < shift && r.getLong(3) >= 2))
+    assert(rows.exists(r => r.getLong(0) >= shift && r.getLong(3) >= 2))
+  }
+
+  test("semantic dedup prunes a subset of the exact pairs, within " +
+    "clusters only, with consistent keep flags") {
+    val sem = Similarity.sSemanticDedup(spark, dir).collect()
+    assert(sem.length === Tables.embeddings(spark, dir).count())
+    // kept iff no smaller-id within-cluster neighbor
+    sem.foreach(r => assert((r.getLong(2) == 0L) === r.getBoolean(3)))
+    val dropped = sem.filter(!_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty)
+    // every within-cluster pair is an exact pair, so cluster pruning
+    // drops a SUBSET of what the exact (cluster-blind) rule would —
+    // the SemDeDup approximation is one-sided by construction
+    val exactDropped = Similarity.sCosinePairs(spark, dir, threshold = 0.4)
+      .select(col("vec_b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped.subsetOf(exactDropped))
+  }
+
   test("exact dedup of a doubled corpus halves it with deterministic survivors") {
     val d = Dedup.dExactDedup(spark, dir)
     assert(d.count() === 500)

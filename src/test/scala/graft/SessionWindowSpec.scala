@@ -65,6 +65,48 @@ class SessionWindowSpec extends AnyFunSuite {
     assert(frac > 0.8 && frac < 0.97, s"train fraction $frac")
   }
 
+  test("retention cohorts: day-0 cells are cohort sizes that bound every " +
+    "later offset and sum to the user universe") {
+    val r = queries.EventQueries.gRetentionCohorts(spark, dir).collect()
+    val day0 = r.filter(_.getLong(1) == 0L)
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    // a cohort's first active day IS an active day -> day-0 row exists
+    assert(r.map(_.getLong(0)).toSet.forall(day0.contains))
+    // no offset cell can exceed its cohort's size, offsets are >= 0
+    r.foreach { x =>
+      assert(x.getLong(1) >= 0L)
+      assert(x.getLong(2) <= day0(x.getLong(0)))
+    }
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(day0.values.sum === users)
+  }
+
+  test("funnel stages are monotone and equal a per-user sequential fold") {
+    val f = queries.EventQueries.gFunnelSteps(spark, dir).collect()
+    assert(f.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    val ns = f.map(_.getLong(2)).toSeq
+    assert(ns.sliding(2).forall(p => p.head >= p.last))
+    // independent model: per user, each stage's anchor is the earliest
+    // event of that type strictly after the previous stage's anchor
+    val evs = Tables.events(spark, dir)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val stages = Seq("signup", "view", "click", "purchase")
+    val counts = Array.fill(4)(0L)
+    evs.groupBy(_._1).values.foreach { es =>
+      var prev = Long.MinValue
+      var ok = true
+      stages.zipWithIndex.foreach { case (st, i) =>
+        if (ok) {
+          val cand = es.filter(e => e._2 == st && (i == 0 || e._3 > prev))
+          if (cand.nonEmpty) { prev = cand.map(_._3).min; counts(i) += 1 }
+          else ok = false
+        }
+      }
+    }
+    assert(ns === counts.toSeq)
+  }
+
   test("approx distinct sketch lands within its declared error bound") {
     val r = graft.queries.EventQueries.vApproxDistinct(spark, dir).collect()
     assert(r.length === 1)
