@@ -26,6 +26,7 @@ object SparkEntry {
   val correctnessOnly: String => Boolean =
     name => name.startsWith("near_") ||
       name == "d_stream_minhash" || name == "d_stream_prefix" ||
+      name == "d_stream_spans" ||
       name == "pipe_stream_clean" ||
       name == "t_stream_dataset_card" || name == "s_stream_ann_lsh" ||
       name == "w_stream_rolling_7d"
@@ -143,6 +144,11 @@ object SparkEntry {
     // substring-level dedup: duplicated-SPAN coverage per document
     // (corpus-wide window occurrence + per-doc island merge)
     "d_dup_spans"       -> ((s, d) => Dedup.dDupSpans(s, d)),
+    // incremental twin: the window index maintained by the real
+    // streaming engine (checkpoint, mid-stream restart), span report
+    // answered from the accumulated index; same oracle as the batch
+    "d_stream_spans"    -> ((s, d) =>
+      graft.streaming.StreamingSpans.dStreamSpans(s, d)),
     // connected components of the near-dup graph (min-label propagation)
     "d_dup_groups"      -> ((s, d) => Dedup.dDupGroups(s, d)),
     // full cleaning pipeline: gates -> exact dedup -> near-dup removal
@@ -357,6 +363,60 @@ object SparkEntry {
       |a3 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
       |  FROM s3) WHERE rk = 1),""".stripMargin
+
+  /** Substring-level dedup oracle — remix synthesis + 8-token-window
+    * occurrence counts + per-doc island merge. Shared by `d_dup_spans`
+    * and its streaming index twin `d_stream_spans`: one aggregation
+    * semantics over two index builds, one oracle. */
+  private val dupSpansSql: String =
+    """WITH base AS (SELECT doc_id, trim(text) AS text FROM documents),
+      |tok AS (SELECT doc_id, text,
+      |    string_split_regex(text, '\s+') AS t FROM base),
+      |mx AS (SELECT max(doc_id) AS m FROM base),
+      |remix AS (SELECT doc_id + CAST(power(10,
+      |      length(CAST((SELECT m FROM mx) AS VARCHAR))) AS BIGINT) AS doc_id,
+      |    array_to_string(list_slice(t, 1, 12), ' ') || ' xq' ||
+      |      CAST(doc_id AS VARCHAR) || 'xq ' ||
+      |      array_to_string(list_slice(t, len(t) - 11, len(t)), ' ') AS text
+      |  FROM tok WHERE doc_id % 5 = 0 AND len(t) >= 30),
+      |corpus AS (SELECT doc_id, text FROM base
+      |  UNION ALL SELECT doc_id, text FROM remix),
+      |m AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM corpus),
+      |b AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t FROM m),
+      |w AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |    concat_ws(' ', t[pos+1], t[pos+2], t[pos+3], t[pos+4],
+      |      t[pos+5], t[pos+6], t[pos+7], t[pos+8]) AS win
+      |  FROM (SELECT doc_id, t,
+      |      unnest(range(0, greatest(n_tokens - 7, 0))) AS pos FROM b)),
+      |occ AS (SELECT win, COUNT(*) AS occ FROM w GROUP BY win),
+      |dup AS (SELECT w.doc_id, w.pos FROM w JOIN occ USING (win)
+      |  WHERE occ.occ >= 2),
+      |isl AS (SELECT doc_id, pos,
+      |    MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM dup),
+      |g AS (SELECT doc_id, pos,
+      |    SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+      |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM isl),
+      |sp AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos + 7) AS e,
+      |    COUNT(*) AS nw
+      |  FROM g GROUP BY doc_id, grp),
+      |per AS (SELECT doc_id, CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
+      |    CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |    CAST(SUM(e - s + 1) AS BIGINT) AS covered_tokens
+      |  FROM sp GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_tokens,
+      |  COALESCE(per.n_dup_windows, 0) AS n_dup_windows,
+      |  COALESCE(per.n_spans, 0) AS n_spans,
+      |  COALESCE(per.covered_tokens, 0) AS covered_tokens,
+      |  CASE WHEN b.n_tokens > 0
+      |    THEN CAST(COALESCE(per.covered_tokens, 0) AS DOUBLE)
+      |      / CAST(b.n_tokens AS DOUBLE)
+      |    ELSE 0.0 END AS dup_span_frac
+      |FROM b LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
 
   private val annLshOracle: String =
     """WITH n AS (SELECT vec_id, emb,
@@ -1473,55 +1533,10 @@ object SparkEntry {
     // 10^k id shift) model partial duplication; a position is
     // duplicated iff its 8-token window occurs >= 2 times corpus-wide;
     // overlapping/adjacent duplicated windows merge into maximal spans
-    "d_dup_spans" ->
-      """WITH base AS (SELECT doc_id, trim(text) AS text FROM documents),
-        |tok AS (SELECT doc_id, text,
-        |    string_split_regex(text, '\s+') AS t FROM base),
-        |mx AS (SELECT max(doc_id) AS m FROM base),
-        |remix AS (SELECT doc_id + CAST(power(10,
-        |      length(CAST((SELECT m FROM mx) AS VARCHAR))) AS BIGINT) AS doc_id,
-        |    array_to_string(list_slice(t, 1, 12), ' ') || ' xq' ||
-        |      CAST(doc_id AS VARCHAR) || 'xq ' ||
-        |      array_to_string(list_slice(t, len(t) - 11, len(t)), ' ') AS text
-        |  FROM tok WHERE doc_id % 5 = 0 AND len(t) >= 30),
-        |corpus AS (SELECT doc_id, text FROM base
-        |  UNION ALL SELECT doc_id, text FROM remix),
-        |m AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |  FROM corpus),
-        |b AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t FROM m),
-        |w AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-        |    concat_ws(' ', t[pos+1], t[pos+2], t[pos+3], t[pos+4],
-        |      t[pos+5], t[pos+6], t[pos+7], t[pos+8]) AS win
-        |  FROM (SELECT doc_id, t,
-        |      unnest(range(0, greatest(n_tokens - 7, 0))) AS pos FROM b)),
-        |occ AS (SELECT win, COUNT(*) AS occ FROM w GROUP BY win),
-        |dup AS (SELECT w.doc_id, w.pos FROM w JOIN occ USING (win)
-        |  WHERE occ.occ >= 2),
-        |isl AS (SELECT doc_id, pos,
-        |    MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-        |  FROM dup),
-        |g AS (SELECT doc_id, pos,
-        |    SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
-        |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
-        |        ROWS UNBOUNDED PRECEDING) AS grp
-        |  FROM isl),
-        |sp AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos + 7) AS e,
-        |    COUNT(*) AS nw
-        |  FROM g GROUP BY doc_id, grp),
-        |per AS (SELECT doc_id, CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
-        |    CAST(COUNT(*) AS BIGINT) AS n_spans,
-        |    CAST(SUM(e - s + 1) AS BIGINT) AS covered_tokens
-        |  FROM sp GROUP BY doc_id)
-        |SELECT b.doc_id, b.n_tokens,
-        |  COALESCE(per.n_dup_windows, 0) AS n_dup_windows,
-        |  COALESCE(per.n_spans, 0) AS n_spans,
-        |  COALESCE(per.covered_tokens, 0) AS covered_tokens,
-        |  CASE WHEN b.n_tokens > 0
-        |    THEN CAST(COALESCE(per.covered_tokens, 0) AS DOUBLE)
-        |      / CAST(b.n_tokens AS DOUBLE)
-        |    ELSE 0.0 END AS dup_span_frac
-        |FROM b LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "d_dup_spans" -> dupSpansSql,
+    // the streamed window index must answer the span report IDENTICALLY
+    // to the batch pass — one aggregation over two index builds
+    "d_stream_spans" -> dupSpansSql,
     "g_retention_cohorts" ->
       """WITH act AS (SELECT DISTINCT user_id,
         |    epoch_ns(ts) // 86400000000000 AS epoch_day FROM events),

@@ -567,12 +567,31 @@ object Dedup {
     * islands windows partition BY DOC (doc-length-bounded tasks, no
     * corpus-wide window). All integer arithmetic; the fraction is one
     * IEEE division — bit-identical in the DuckDB oracle. */
-  def dDupSpans(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = documents(spark, dir)
-      .select(col("doc_id"), trim(col("text")).as("text"))
-    // shift = the power of 10 one digit past max(doc_id) — collision-free
-    // at any scale (see tDecontaminate); metadata-cheap max() scan
+  def dDupSpans(spark: SparkSession, dir: String, w: Int = SpanW): DataFrame = {
+    val corpus = spansCorpus(documents(spark, dir))
+    // persisted: the occurrence count and the join back both read it
+    // (tracked cache contract — released by the materializer)
+    val wins = QueryCaches.persistTracked(
+      windowRows(corpus.repartition(col("doc_id")), w))
+    val lengths = corpus
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .select(col("doc_id"), col("n_tokens"))
+    spansFromWindows(wins, lengths, w).orderBy(col("doc_id"))
+  }
+
+  /** Window width of the substring-dedup family — one constant shared
+    * by the batch query, the streaming index MV, and the island
+    * arithmetic so the three cannot drift. */
+  private[graft] val SpanW = 8
+
+  /** The MODELED corpus of the substring family: the raw documents plus
+    * a deterministic REMIX per doc_id ≡ 0 (mod 5) with ≥30 tokens —
+    * its first 12 tokens + a unique glue token + its last 12 tokens
+    * under a 10^k-shifted id (the [[TextAnalysis.tDecontaminate]] shift
+    * device: collision-free at any scale, one metadata-cheap max()
+    * scan). Shared by the batch query and the streaming twin's feed. */
+  private[graft] def spansCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), trim(col("text")).as("text"))
     val maxId = base.agg(max(col("doc_id"))).collect()(0).getLong(0)
     val shift = ("1" + "0" * maxId.toString.length).toLong
     val remix = base
@@ -583,25 +602,41 @@ object Dedup {
           concat_ws(" ", slice(col("t"), 1, 12)),
           lit(" xq"), col("doc_id").cast("string"), lit("xq "),
           concat_ws(" ", expr("slice(t, size(t) - 11, 12)"))).as("text"))
-    val corpus = base.unionByName(remix)
+    base.unionByName(remix)
+  }
+
+  /** (doc_id, pos, win) rows: every `w`-token window of every document
+    * with its 0-based token position — the substring-family index
+    * relation (batch pass AND the streaming MV's per-batch increment).
+    * A narrow map + posexplode; docs shorter than `w` have no windows
+    * (`sequence(0, negative)` counts DOWN — filtered first). */
+  private[graft] def windowRows(corpus: DataFrame, w: Int = SpanW): DataFrame = {
     val winExpr = "transform(sequence(0, size(t) - " + w + "), i -> " +
       "concat_ws(' ', " +
       (0 until w).map(j => s"t[i+$j]").mkString(", ") + "))"
-    // persisted: the occurrence count and the join back both read it
-    // (tracked cache contract — released by the materializer)
-    val wins = QueryCaches.persistTracked(corpus
-      .repartition(col("doc_id")) // parallelize the narrow stage
+    corpus
       .withColumn("t", tokens(col("text")))
-      .filter(size(col("t")) >= w) // sequence(0, negative) counts DOWN
-      .select(col("doc_id"),
-        posexplode(expr(winExpr)).as(Seq("pos", "win"))))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), posexplode(expr(winExpr)).as(Seq("pos", "win")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("win"))
+  }
+
+  /** Duplicated-span aggregation over a (doc_id, pos, win) relation —
+    * ONE implementation read by the batch query and the streaming twin,
+    * so "streamed index answers identically" is a property of the index
+    * build alone. A position is duplicated iff its window string occurs
+    * ≥2 times corpus-wide; duplicated positions merge into maximal
+    * spans per doc (gaps-and-islands: a new span starts where the
+    * position clears the running max covered end + 1 — overlap OR
+    * adjacency merges; coverage is identical either way, span counts
+    * are what a removal pass reports). `lengths` = (doc_id, n_tokens)
+    * for EVERY doc, restoring zero-dup and shorter-than-w docs. */
+  private[graft] def spansFromWindows(wins: DataFrame, lengths: DataFrame,
+      w: Int = SpanW): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val occ = wins.groupBy(col("win")).agg(count(lit(1)).as("occ"))
     val dup = wins.join(occ, "win").filter(col("occ") >= 2)
-      .select(col("doc_id"), col("pos").cast("long").as("pos"))
-    // gaps-and-islands over duplicated positions, PER DOC: a new span
-    // starts where the position clears the running max covered end + 1
-    // (overlap OR adjacency merges — coverage is identical either way,
-    // span counts are what a removal pass reports)
+      .select(col("doc_id"), col("pos"))
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -619,9 +654,7 @@ object Dedup {
       .agg(sum(col("nw")).as("n_dup_windows"),
         count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).as("covered_tokens"))
-    corpus
-      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
-      .select(col("doc_id"), col("n_tokens"))
+    lengths
       .join(per, Seq("doc_id"), "left")
       .withColumn("n_dup_windows",
         coalesce(col("n_dup_windows"), lit(0L)).cast("long"))
@@ -632,7 +665,6 @@ object Dedup {
         when(col("n_tokens") > 0,
           col("covered_tokens").cast("double") / col("n_tokens").cast("double"))
           .otherwise(lit(0.0)))
-      .orderBy(col("doc_id"))
   }
 
   /** 32-bit SimHash signature per document over its distinct tokens.
