@@ -26,7 +26,7 @@ object SparkEntry {
   val correctnessOnly: String => Boolean =
     name => name.startsWith("near_") ||
       name == "d_stream_minhash" || name == "d_stream_prefix" ||
-      name == "d_stream_spans" ||
+      name == "d_stream_spans" || name == "g_stream_retention" ||
       name == "pipe_stream_clean" ||
       name == "t_stream_dataset_card" || name == "s_stream_ann_lsh" ||
       name == "w_stream_rolling_7d"
@@ -90,6 +90,11 @@ object SparkEntry {
     "j_full_outer_recon"   -> (EventQueries.jFullOuterRecon _),
     "g_pivot_daily"        -> (EventQueries.gPivotDaily _),
     "g_retention_cohorts"  -> (EventQueries.gRetentionCohorts _),
+    // incremental twin: the distinct (user, day) activity set
+    // maintained by the real streaming engine (checkpoint, mid-stream
+    // restart), cohort matrix answered at read; same oracle
+    "g_stream_retention"   -> ((s, d) =>
+      graft.streaming.StreamingRetention.gStreamRetention(s, d)),
     "g_funnel_steps"       -> (EventQueries.gFunnelSteps _),
     "g_unpivot_daily"      -> (EventQueries.gUnpivotDaily _),
     "v_set_ops"            -> (EventQueries.vSetOps _),
@@ -149,6 +154,10 @@ object SparkEntry {
     // answered from the accumulated index; same oracle as the batch
     "d_stream_spans"    -> ((s, d) =>
       graft.streaming.StreamingSpans.dStreamSpans(s, d)),
+    // directed containment join (asymmetric set similarity): the
+    // quote/excerpt relation Jaccard ignores; exact by the one-sided
+    // prefix theorem over the same modeled corpus as d_dup_spans
+    "d_containment_pairs" -> ((s, d) => Dedup.dContainmentPairs(s, d)),
     // connected components of the near-dup graph (min-label propagation)
     "d_dup_groups"      -> ((s, d) => Dedup.dDupGroups(s, d)),
     // full cleaning pipeline: gates -> exact dedup -> near-dup removal
@@ -364,11 +373,22 @@ object SparkEntry {
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
       |  FROM s3) WHERE rk = 1),""".stripMargin
 
-  /** Substring-level dedup oracle — remix synthesis + 8-token-window
-    * occurrence counts + per-doc island merge. Shared by `d_dup_spans`
-    * and its streaming index twin `d_stream_spans`: one aggregation
-    * semantics over two index builds, one oracle. */
-  private val dupSpansSql: String =
+  /** Retention cohort-matrix oracle — shared by `g_retention_cohorts`
+    * and its streaming activity-MV twin `g_stream_retention`. */
+  private val retentionSql: String =
+    """WITH act AS (SELECT DISTINCT user_id,
+      |    epoch_ns(ts) // 86400000000000 AS epoch_day FROM events),
+      |coh AS (SELECT user_id, MIN(epoch_day) AS cohort_day
+      |  FROM act GROUP BY user_id)
+      |SELECT c.cohort_day, a.epoch_day - c.cohort_day AS day_offset,
+      |  COUNT(*) AS n_users
+      |FROM act a JOIN coh c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The substring family's MODELED-corpus CTE (base + head/glue/tail
+    * remix under the 10^k id shift) — shared by the span oracle and
+    * the containment oracle so the two corpora cannot drift. */
+  private val spansCorpusCte: String =
     """WITH base AS (SELECT doc_id, trim(text) AS text FROM documents),
       |tok AS (SELECT doc_id, text,
       |    string_split_regex(text, '\s+') AS t FROM base),
@@ -380,8 +400,14 @@ object SparkEntry {
       |      array_to_string(list_slice(t, len(t) - 11, len(t)), ' ') AS text
       |  FROM tok WHERE doc_id % 5 = 0 AND len(t) >= 30),
       |corpus AS (SELECT doc_id, text FROM base
-      |  UNION ALL SELECT doc_id, text FROM remix),
-      |m AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  UNION ALL SELECT doc_id, text FROM remix),""".stripMargin
+
+  /** Substring-level dedup oracle — remix synthesis + 8-token-window
+    * occurrence counts + per-doc island merge. Shared by `d_dup_spans`
+    * and its streaming index twin `d_stream_spans`: one aggregation
+    * semantics over two index builds, one oracle. */
+  private val dupSpansSql: String = spansCorpusCte + "\n" +
+    """m AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
       |  FROM corpus),
       |b AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t FROM m),
       |w AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
@@ -417,6 +443,26 @@ object SparkEntry {
       |      / CAST(b.n_tokens AS DOUBLE)
       |    ELSE 0.0 END AS dup_span_frac
       |FROM b LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Directed containment-join oracle: exact all-ordered-pairs
+    * |host ∩ piece| / |piece| over distinct 3-token shingle sets of
+    * the spans corpus. The Spark side computes the same ratio over
+    * 64-bit shingle-hash sets (collision odds ≈ 1e-13 — the
+    * established [[graft.functions.GramHash]] equivalence). */
+  private val containmentSql: String = spansCorpusCte + "\n" +
+    """m AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM corpus),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ss
+      |  FROM m WHERE len(t) >= 3)
+      |SELECT a.doc_id AS host_id, b.doc_id AS piece_id,
+      |  CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+      |    / CAST(len(b.ss) AS DOUBLE) AS containment
+      |FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+      |WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+      |    / CAST(len(b.ss) AS DOUBLE) >= 0.8
+      |ORDER BY host_id, piece_id""".stripMargin
 
   private val annLshOracle: String =
     """WITH n AS (SELECT vec_id, emb,
@@ -1537,15 +1583,11 @@ object SparkEntry {
     // the streamed window index must answer the span report IDENTICALLY
     // to the batch pass — one aggregation over two index builds
     "d_stream_spans" -> dupSpansSql,
-    "g_retention_cohorts" ->
-      """WITH act AS (SELECT DISTINCT user_id,
-        |    epoch_ns(ts) // 86400000000000 AS epoch_day FROM events),
-        |coh AS (SELECT user_id, MIN(epoch_day) AS cohort_day
-        |  FROM act GROUP BY user_id)
-        |SELECT c.cohort_day, a.epoch_day - c.cohort_day AS day_offset,
-        |  COUNT(*) AS n_users
-        |FROM act a JOIN coh c USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d_containment_pairs" -> containmentSql,
+    "g_retention_cohorts" -> retentionSql,
+    // the streamed activity set must answer the cohort matrix
+    // IDENTICALLY to the batch scan — one aggregation, two state builds
+    "g_stream_retention" -> retentionSql,
     // sequenced funnel: each stage's min-ts must strictly follow the
     // previous stage's min-ts (temporal order, not mere existence)
     "g_funnel_steps" ->

@@ -259,6 +259,78 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** CONTAINMENT pairs — the DIRECTED sibling of the symmetric
+    * set-similarity join: all ordered (host, piece) pairs with
+    * |host ∩ piece| / |piece| ≥ t — "piece is mostly contained in
+    * host", the quote/excerpt/subset relation Jaccard deliberately
+    * ignores (a short excerpt of a long doc has tiny Jaccard but
+    * containment ≈ 1). Runs over the SAME modeled corpus as
+    * [[dDupSpans]] (base + remix), whose remix docs are genuine
+    * excerpts of their sources — so the directed result is exercised
+    * for real: remix → source containment ≈ 0.87, never the reverse.
+    *
+    * EXACT, recall 1 by the ONE-sided prefix theorem (the
+    * [[graft.streaming.StreamingPrefix]] argument): if
+    * |a∩b| ≥ t·|b| and a's set missed ALL of b's prefix (b's
+    * `|b| − ⌈t·|b|⌉ + 1` rarest shingles), then a∩b fits in b's
+    * suffix of ⌈t·|b|⌉ − 1 < t·|b| elements — contradiction. The
+    * prefix bound needs no order agreement between a and b, so only
+    * the PIECE side explodes prefixes; hosts contribute their full
+    * (vocabulary-sized, hash-partitioned, never broadcast) shingle
+    * index. The containment size filter |host| ≥ t·|piece| prunes
+    * size-incompatible candidates at the join, before the distinct
+    * and the exact verify (the PPJoin length-filter idea, one-sided).
+    *
+    * Scale shape mirrors [[dPrefixPairs]]: one gram-set pass
+    * (persisted — the DF pass and both verify sides reuse it), an
+    * aggregation-based prefix, a candidates equi-join on rarest
+    * shingles, exact verify on candidates only. */
+  def dContainmentPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val corpus = spansCorpus(documents(spark, dir))
+      .repartition(col("doc_id"))
+    val sets = QueryCaches.persistTracked(corpus
+      .select(col("doc_id"),
+        expr("token_shingle_hashes(text, 3)").as("gs"))
+      .filter(size(col("gs")) > 0))
+    val rows = QueryCaches.persistTracked(
+      sets.select(col("doc_id"), explode(col("gs")).as("h")))
+    val freq = rows.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefix = rows
+      .join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("df"), col("h"))).as("dfh"))
+      .select(col("doc_id"), size(col("dfh")).as("n"),
+        explode(slice(array_sort(col("dfh")), lit(1),
+          prefixLenCol(threshold, size(col("dfh"))).cast("int"))).as("e"))
+      .select(col("doc_id").as("piece_id"), col("n").as("n_piece"),
+        col("e.h").as("h"))
+    val hostSizes = sets
+      .select(col("doc_id").as("host_id"), size(col("gs")).as("n_host"))
+    val cand = prefix
+      .join(rows.select(col("doc_id").as("host_id"), col("h")), "h")
+      .filter(col("host_id") =!= col("piece_id"))
+      .join(hostSizes, "host_id")
+      // containment >= t forces |host ∩ piece| >= t·|piece|, hence
+      // |host| >= t·|piece|; the ε slack only ever KEEPS a borderline
+      // pair (recall-safe) — tightness is settled by the exact verify
+      .filter(col("n_host").cast("double") >=
+        lit(threshold) * col("n_piece") - lit(1e-9))
+      .select(col("host_id"), col("piece_id"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("host_id"), col("gs").as("gs_h")),
+        "host_id")
+      .join(sets.select(col("doc_id").as("piece_id"), col("gs").as("gs_p")),
+        "piece_id")
+      .withColumn("inter",
+        size(array_intersect(col("gs_h"), col("gs_p"))).cast("double"))
+      .withColumn("containment", col("inter") / size(col("gs_p")))
+      .filter(col("containment") >= threshold)
+      .select(col("host_id"), col("piece_id"), col("containment"))
+      .orderBy(col("host_id"), col("piece_id"))
+  }
+
   /** Prefix length `n − ⌈t·n⌉ + 1` as a Column, computed ROBUSTLY: the
     * naive `ceil(t * n)` in double arithmetic can come out one HIGHER
     * than the exact ceiling when fl(t) > t and t·n is an exact integer

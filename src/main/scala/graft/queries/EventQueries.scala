@@ -586,11 +586,19 @@ object EventQueries {
     * aggregate whose output is day-range² bounded. No window over raw
     * events, nothing broadcast, all integer day arithmetic (`ts DIV
     * nanos-per-day` — engine-exact). */
-  def gRetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
-    val act = events(spark, dir)
-      .select(col("user_id"),
-        expr(s"ts DIV ${NanosPerDay}L").as("epoch_day"))
-      .distinct()
+  def gRetentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    retentionFromActivity(
+      events(spark, dir)
+        .select(col("user_id"),
+          expr(s"ts DIV ${NanosPerDay}L").as("epoch_day"))
+        .distinct())
+
+  /** The cohort-matrix aggregation over any distinct (user_id,
+    * epoch_day) activity relation — ONE implementation read by the
+    * batch query and the streaming activity MV
+    * ([[graft.streaming.StreamingRetention]]), so "streamed activity
+    * set answers identically" is a property of the state build alone. */
+  private[graft] def retentionFromActivity(act: DataFrame): DataFrame = {
     val coh = act.groupBy(col("user_id"))
       .agg(min(col("epoch_day")).as("cohort_day"))
     act.join(coh, Seq("user_id"))

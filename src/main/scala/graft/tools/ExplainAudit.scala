@@ -17,7 +17,8 @@ object ExplainAudit {
       else Seq("p_filter_project", "m_json_extract", "q3_shipping_priority",
         "q5_local_supplier", "s_cosine_topk", "d_minhash_pairs",
         "q19_disjunctive_revenue", "q21_waiting_supplier", "w_rolling_7d",
-        "d_prefix_pairs")
+        "d_prefix_pairs", "d_dup_spans", "d_semantic_dedup",
+        "g_retention_cohorts", "g_funnel_steps")
     names.foreach { n =>
       println(s"===== $n =====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -72,6 +72,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getLong(0) >= shift && r.getLong(3) >= 2))
   }
 
+  test("containment join is directional: every remix piece is contained " +
+    "in its source host, never the reverse") {
+    val rows = Dedup.dContainmentPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val maxBase = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val shift = ("1" + "0" * maxBase.toString.length).toLong
+    // every remix (an excerpt by construction) is found contained in
+    // its own source doc
+    val remixSources = Tables.documents(spark, dir)
+      .withColumn("t", split(trim(col("text")), "\\s+"))
+      .filter(col("doc_id") % 5 === 0 && size(col("t")) >= 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hosted = rows.filter { case (h, p, _) => p >= shift }
+      .map { case (h, p, _) => (h, p - shift) }.toSet
+    remixSources.foreach(s => assert(hosted.contains((s, s)),
+      s"remix of doc $s not contained in its source"))
+    // the relation is DIRECTED: no remix ever contains a full source
+    // (a 25-token excerpt cannot cover a >= 30-token doc's shingles)
+    assert(!rows.exists { case (h, p, _) => h >= shift && p < shift })
+    // containment is a ratio in (0, 1]
+    rows.foreach { case (_, _, c) => assert(c >= 0.8 && c <= 1.0) }
+  }
+
   test("semantic dedup prunes a subset of the exact pairs, within " +
     "clusters only, with consistent keep flags") {
     val sem = Similarity.sSemanticDedup(spark, dir).collect()

@@ -341,7 +341,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * has its own dedicated test above. */
   private val sideEffecting = Set("near_runner_events", "near_stream_events",
     "near_sink_roundtrip", "near_sink_resume", "d_stream_minhash",
-    "d_stream_prefix", "d_stream_spans", "pipe_stream_clean",
+    "d_stream_prefix", "d_stream_spans", "g_stream_retention",
+    "pipe_stream_clean",
     "t_stream_dataset_card", "s_stream_ann_lsh", "w_stream_rolling_7d",
     "j_bucketed_orders")
 

@@ -43,6 +43,57 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("span aggregation equals a plain-Scala interval-union model on " +
+    "random window sets") {
+    import spark.implicits._
+    // Random duplicated-position sets per doc (duplicates, adjacency,
+    // exact-overlap edges), pitted against a direct interval-union fold
+    // — the gaps-and-islands window arithmetic must agree on span
+    // count, window count, and covered-token total for every doc.
+    val w = graft.llm.Dedup.SpanW
+    val gen = Gen.listOfN(60, for {
+      doc <- Gen.chooseNum(0L, 7L)
+      pos <- Gen.chooseNum(0L, 40L)
+    } yield (doc, pos))
+    (1L to 5L).foreach { seed =>
+      val raw = sample(gen, seed).distinct
+      // wins relation: every position carries SOME window string; make
+      // every string globally duplicated so the occ >= 2 gate keeps all
+      // (the gate itself is pinned by the corpus tests — this property
+      // targets the island arithmetic)
+      val wins = (raw ++ raw.map { case (d, p) => (d + 100L, p) })
+        .toDF("doc_id", "pos")
+        .withColumn("win", concat(lit("w"), col("pos")))
+      val lengths = (0L to 7L).flatMap(d => Seq(d, d + 100L))
+        .map(d => (d, 48L)).toDF("doc_id", "n_tokens")
+      val got = graft.llm.Dedup.spansFromWindows(wins, lengths)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      // independent model: sort positions, merge [p, p+w-1] intervals on
+      // overlap-or-adjacency, sum lengths
+      val byDoc = (raw ++ raw.map { case (d, p) => (d + 100L, p) })
+        .groupBy(_._1).map { case (d, ps) =>
+          val sorted = ps.map(_._2).distinct.sorted
+          val spans = sorted.foldLeft(List.empty[(Long, Long)]) {
+            case (acc, p) =>
+              val (s, e) = (p, p + w - 1)
+              acc match {
+                case (cs, ce) :: tail if s <= ce + 1 =>
+                  (cs, math.max(ce, e)) :: tail
+                case _ => (s, e) :: acc
+              }
+          }
+          d -> (sorted.size.toLong, spans.size.toLong,
+            spans.map { case (s, e) => e - s + 1 }.sum)
+        }
+      (0L to 7L).flatMap(d => Seq(d, d + 100L)).foreach { d =>
+        assert(got(d) === byDoc.getOrElse(d, (0L, 0L, 0L)),
+          s"doc $d seed $seed")
+      }
+    }
+  }
+
   test("saltedJoin equals the plain join for every allowed join type") {
     import spark.implicits._
     val rowGen = for {
