@@ -58,6 +58,9 @@ object SparkEntry {
     "q22_sales_opportunity" -> (TpchFullQueries.q22SalesOpportunity _),
     "p_filter_project"     -> (TpchQueries.pFilterProject _),
     "k_latest_order_per_customer" -> (TpchQueries.kLatestOrderPerCustomer _),
+    // CDC between two table versions: added/removed/changed keys with
+    // content fingerprints (the time-travel pins' diff operator)
+    "k_snapshot_diff" -> (SnapshotDiff.kSnapshotDiff _),
     "v_orphan_orders"      -> (TpchQueries.vOrphanOrders _),
     "v_table_ranges"       -> (TpchQueries.vTableRanges _),
     "j_customers_with_big_orders" -> (TpchQueries.jCustomersWithBigOrders _),
@@ -1584,6 +1587,27 @@ object SparkEntry {
     // to the batch pass — one aggregation over two index builds
     "d_stream_spans" -> dupSpansSql,
     "d_containment_pairs" -> containmentSql,
+    "k_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+        |mx AS (SELECT max(doc_id) AS m FROM documents),
+        |b AS (
+        |  SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+        |    ELSE text END) AS hb
+        |  FROM documents WHERE doc_id % 11 != 0
+        |  UNION ALL
+        |  SELECT doc_id + CAST(power(10,
+        |      length(CAST((SELECT m FROM mx) AS VARCHAR))) AS BIGINT),
+        |    md5(text || ' new doc')
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.ha, b.hb
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN ha IS NULL THEN 'added'
+        |       WHEN hb IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  COALESCE(ha, '') AS old_hash, COALESCE(hb, '') AS new_hash
+        |FROM j WHERE ha IS NULL OR hb IS NULL OR ha != hb
+        |ORDER BY doc_id""".stripMargin,
     "g_retention_cohorts" -> retentionSql,
     // the streamed activity set must answer the cohort matrix
     // IDENTICALLY to the batch scan — one aggregation, two state builds

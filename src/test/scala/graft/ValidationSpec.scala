@@ -9,6 +9,23 @@ import graft.sink.ParquetSink
 import graft.fixtures.NearFixtures
 
 class ValidationSpec extends AnyFunSuite {
+
+  test("snapshot diff classifies exactly the modular-arithmetic change set") {
+    val spark = SharedSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.SnapshotDiff.kSnapshotDiff(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ids = graft.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val shift = ("1" + "0" * ids.max.toString.length).toLong
+    val removed = ids.filter(_ % 11 == 0).toSet
+    val changed = ids.filter(i => i % 7 == 0 && i % 11 != 0).toSet
+    val added = ids.filter(_ % 13 == 0).map(_ + shift).toSet
+    assert(rows.filter(_._2 == "removed").map(_._1).toSet === removed)
+    assert(rows.filter(_._2 == "changed").map(_._1).toSet === changed)
+    assert(rows.filter(_._2 == "added").map(_._1).toSet === added)
+    assert(rows.length === removed.size + changed.size + added.size)
+  }
   private lazy val spark = SharedSpark.spark
 
   test("h60 matches the independently computed md5-prefix value") {
