@@ -526,6 +526,78 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("spans+retention MV soak: randomized chunk waves with a restart " +
+    "per wave converge to the batch answers") {
+    // the rolling-grid soak discipline applied to the two newest MVs:
+    // whatever the arrival/restart schedule, the read-time report must
+    // equal the one-shot batch answer (PK-FINAL state absorbs replays)
+    import graft.streaming.{StreamingDedup, StreamingRetention, StreamingSpans}
+    import graft.sink.ParquetSink
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
+      StructField, StructType}
+    def tmp(name: String): String = {
+      val d = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_test_$name")
+      ParquetSink.delete(d)
+      d.getAbsolutePath
+    }
+    val dir = "/root/testdata/sf0.001"
+    val nChunks = 6
+    val batchSpans = graft.llm.Dedup.dDupSpans(spark, dir)
+      .collect().map(_.toString).toSeq
+    graft.QueryCaches.releaseAll()
+    val batchRet = graft.queries.EventQueries.gRetentionCohorts(spark, dir)
+      .collect().map(_.toString).toSeq
+    val retSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    (0 until 2).foreach { round =>
+      val rnd = new scala.util.Random(5300 + round)
+      val cuts = (Seq(nChunks) ++
+        Seq.fill(3)(1 + rnd.nextInt(nChunks))).distinct.sorted
+
+      val feedS = tmp(s"spansoak_feed$round")
+      val whS = tmp(s"spansoak_wh$round")
+      val corpus = graft.llm.Dedup.spansCorpus(
+        Tables.documents(spark, dir)).localCheckpoint()
+      cuts.foreach { take =>
+        StreamingDedup.writeDocChunks(spark, corpus, feedS, nChunks, take)
+        StreamingSpans.runStream(spark, feedS, whS) // restart per wave
+      }
+      val wins = ParquetSink.readFinal(
+        spark.read.parquet(s"$whS/spans_index"), Seq("doc_id", "pos"))
+        .select("doc_id", "pos", "win")
+      val lengths = ParquetSink.readFinal(
+        spark.read.parquet(s"$whS/spans_docs"), Seq("doc_id"))
+        .withColumn("n_tokens",
+          size(graft.llm.TextAnalysis.tokens(col("text"))).cast("long"))
+        .select("doc_id", "n_tokens")
+      val streamedSpans = graft.llm.Dedup.spansFromWindows(wins, lengths)
+        .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+      assert(streamedSpans === batchSpans, s"spans soak round $round")
+
+      val feedR = tmp(s"retsoak_feed$round")
+      val whR = tmp(s"retsoak_wh$round")
+      val evs = Tables.events(spark, dir)
+        .select(col("event_id").as("doc_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      cuts.foreach { take =>
+        StreamingDedup.writeDocChunks(spark, evs, feedR, nChunks, take,
+          schema = retSchema)
+        StreamingRetention.runStream(spark, feedR, whR)
+      }
+      val act = ParquetSink.readFinal(
+        spark.read.parquet(s"$whR/retention_activity"),
+        Seq("user_id", "epoch_day"))
+        .select("user_id", "epoch_day")
+      val streamedRet =
+        graft.queries.EventQueries.retentionFromActivity(act)
+          .collect().map(_.toString).toSeq
+      assert(streamedRet === batchRet, s"retention soak round $round")
+    }
+  }
+
   test("streaming corpus clean (checkpointed, mid-stream restart) " +
     "converges to the batch pipeline's surviving corpus") {
     import graft.streaming.StreamingCorpusClean
