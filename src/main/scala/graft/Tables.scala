@@ -26,6 +26,20 @@ object Tables {
     spark
   }
 
+  /** The power of 10 one digit past max(`idCol`) — the collision-free
+    * id shift every synthetic corpus-evolution query uses (leaked-copy
+    * decontamination, span remixes, snapshot diffs): shifted ids land
+    * above the corpus range at ANY scale, and the derivation is exact
+    * integer/string arithmetic the DuckDB oracles replay identically.
+    * ONE definition + a loud empty-relation guard (max over an empty
+    * relation is null; an unguarded getLong NPEs without context). */
+  def idShift(df: DataFrame, idCol: String): Long = {
+    val m = df.agg(max(col(idCol))).collect()(0)
+    require(!m.isNullAt(0),
+      s"idShift: relation is empty — max($idCol) is null")
+    ("1" + "0" * m.getLong(0).toString.length).toLong
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     tune(spark)
     spark.read.parquet(s"$dir/$name.parquet")

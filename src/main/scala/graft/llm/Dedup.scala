@@ -84,6 +84,41 @@ object Dedup {
           element_at(col("sig"), i + 1)): _*)): _*))
         .as(Seq("band", "bucket")))
 
+  /** The verify-join CORE shared by every exact set-overlap verifier
+    * (symmetric Jaccard AND directed containment): join a persisted
+    * (doc_id, gs) set relation to BOTH key columns of a candidate pair
+    * relation and compute `inter` = |gs_a ∩ gs_b|. ONE implementation —
+    * the bit-for-bit oracle contracts of four families flow through
+    * this join, so a fix (guard, epsilon) lands everywhere at once.
+    * Callers add their family's ratio, threshold, and projection. */
+  private[graft] def verifyJoin(cand: DataFrame, sets: DataFrame,
+      aKey: String, bKey: String): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as(aKey), col("gs").as("gs_a")), aKey)
+      .join(sets.select(col("doc_id").as(bKey), col("gs").as("gs_b")), bKey)
+      .withColumn("inter",
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("double"))
+
+  /** Per-doc GLOBAL-RARITY prefix over a (doc_id, h) element relation:
+    * document frequencies over the relation itself, then each doc's
+    * `n − ⌈t·n⌉ + 1` rarest elements via the aggregation-based
+    * sort/slice (one hash-aggregate shuffle — see [[dPrefixPairs]] for
+    * why this beats a window). Returns (doc_id, n, h). ONE
+    * implementation for both prefix-filtered families — this is the
+    * recall-1-critical path, factored so it cannot drift. */
+  private[graft] def rarityPrefix(rows: DataFrame,
+      threshold: Double): DataFrame = {
+    val freq = rows.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    rows
+      .join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("df"), col("h"))).as("dfh"))
+      .select(col("doc_id"), size(col("dfh")).as("n"),
+        explode(slice(array_sort(col("dfh")), lit(1),
+          prefixLenCol(threshold, size(col("dfh"))).cast("int"))).as("e"))
+      .select(col("doc_id"), col("n"), col("e.h").as("h"))
+  }
+
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
     * against a (doc_id, text) relation: gram-hash sets are computed for
     * candidate docs only (see [[lshVerifiedPairs]] for why recomputing
@@ -116,11 +151,7 @@ object Dedup {
     val sets = docs.join(candIds, "doc_id")
       .select(col("doc_id"), expr(gramHashes).as("gs"))
       .persist()
-    val pairs = cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
-      .withColumn("inter",
-        size(array_intersect(col("gs_a"), col("gs_b"))).cast("double"))
+    val pairs = verifyJoin(cand, sets, "doc_a", "doc_b")
       .withColumn("jaccard",
         col("inter") /
           (size(col("gs_a")) + size(col("gs_b")) - col("inter")))
@@ -206,25 +237,17 @@ object Dedup {
     val sets = QueryCaches.persistTracked(
       docs.select(col("doc_id"),
         expr("token_shingle_hashes(text, 3)").as("gs")))
-    val freq = sets.select(explode(col("gs")).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // Per-doc rarity prefix via AGGREGATION, not a window: collect the
-    // (df, h) pairs per doc and sort/slice the doc-length-bounded array
-    // in one codegen'd expression — one hash-aggregate shuffle instead
-    // of the window's shuffle + global (doc, df, h) sort (measured
-    // ~25% cheaper at sf0.1, identical output: array_sort on the
-    // struct is exactly the (df asc, h asc) rarity order).
+    // Per-doc rarity prefix via AGGREGATION, not a window
+    // ([[rarityPrefix]]): collect the (df, h) pairs per doc and
+    // sort/slice the doc-length-bounded array in one codegen'd
+    // expression — one hash-aggregate shuffle instead of the window's
+    // shuffle + global (doc, df, h) sort (measured ~25% cheaper at
+    // sf0.1, identical output: array_sort on the struct is exactly the
+    // (df asc, h asc) rarity order).
     // persisted: BOTH sides of the candidate self-join consume it —
     // without the persist each side re-runs the explode + DF join + agg
-    val prefix = QueryCaches.persistTracked(sets
-      .select(col("doc_id"), explode(col("gs")).as("h"))
-      .join(freq, "h")
-      .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("df"), col("h"))).as("dfh"))
-      .select(col("doc_id"), size(col("dfh")).as("n"),
-        explode(slice(array_sort(col("dfh")), lit(1),
-          prefixLenCol(threshold, size(col("dfh"))).cast("int"))).as("e"))
-      .select(col("doc_id"), col("n"), col("e.h").as("h")))
+    val prefix = QueryCaches.persistTracked(rarityPrefix(
+      sets.select(col("doc_id"), explode(col("gs")).as("h")), threshold))
     // PPJoin LENGTH FILTER (the standard second filter from the same
     // public literature as the prefix bound): Jaccard ≥ t forces
     // t·|a| ≤ |b| ≤ |a|/t, so size-incompatible candidate pairs are
@@ -242,15 +265,11 @@ object Dedup {
     // family (where caching sets corpus-wide just to serve a
     // 0.1%-selectivity join would be a new ~8×text cache), the prefix
     // family must materialize full sets anyway for the DF pass — so the
-    // verify join reuses that cache instead of re-scanning and
-    // re-hashing the corpus (measured: verify 1.4 s → 0.2 s at sf0.1).
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")),
-        "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")),
-        "doc_b")
-      .withColumn("inter",
-        size(array_intersect(col("gs_a"), col("gs_b"))).cast("double"))
+    // verify join ([[verifyJoin]] — the core shared with the LSH and
+    // containment verifiers) reuses that cache instead of re-scanning
+    // and re-hashing the corpus (measured: verify 1.4 s → 0.2 s at
+    // sf0.1).
+    verifyJoin(cand, sets, "doc_a", "doc_b")
       .withColumn("jaccard",
         col("inter") /
           (size(col("gs_a")) + size(col("gs_b")) - col("inter")))
@@ -295,16 +314,9 @@ object Dedup {
       .filter(size(col("gs")) > 0))
     val rows = QueryCaches.persistTracked(
       sets.select(col("doc_id"), explode(col("gs")).as("h")))
-    val freq = rows.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val prefix = rows
-      .join(freq, "h")
-      .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("df"), col("h"))).as("dfh"))
-      .select(col("doc_id"), size(col("dfh")).as("n"),
-        explode(slice(array_sort(col("dfh")), lit(1),
-          prefixLenCol(threshold, size(col("dfh"))).cast("int"))).as("e"))
+    val prefix = rarityPrefix(rows, threshold)
       .select(col("doc_id").as("piece_id"), col("n").as("n_piece"),
-        col("e.h").as("h"))
+        col("h"))
     val hostSizes = sets
       .select(col("doc_id").as("host_id"), size(col("gs")).as("n_host"))
     val cand = prefix
@@ -318,14 +330,8 @@ object Dedup {
         lit(threshold) * col("n_piece") - lit(1e-9))
       .select(col("host_id"), col("piece_id"))
       .distinct()
-    cand
-      .join(sets.select(col("doc_id").as("host_id"), col("gs").as("gs_h")),
-        "host_id")
-      .join(sets.select(col("doc_id").as("piece_id"), col("gs").as("gs_p")),
-        "piece_id")
-      .withColumn("inter",
-        size(array_intersect(col("gs_h"), col("gs_p"))).cast("double"))
-      .withColumn("containment", col("inter") / size(col("gs_p")))
+    verifyJoin(cand, sets, "host_id", "piece_id")
+      .withColumn("containment", col("inter") / size(col("gs_b")))
       .filter(col("containment") >= threshold)
       .select(col("host_id"), col("piece_id"), col("containment"))
       .orderBy(col("host_id"), col("piece_id"))
@@ -664,8 +670,7 @@ object Dedup {
     * scan). Shared by the batch query and the streaming twin's feed. */
   private[graft] def spansCorpus(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), trim(col("text")).as("text"))
-    val maxId = base.agg(max(col("doc_id"))).collect()(0).getLong(0)
-    val shift = ("1" + "0" * maxId.toString.length).toLong
+    val shift = graft.Tables.idShift(base, "doc_id")
     val remix = base
       .withColumn("t", tokens(col("text")))
       .filter(col("doc_id") % 5 === 0 && size(col("t")) >= 30)

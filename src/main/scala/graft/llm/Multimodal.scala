@@ -429,10 +429,14 @@ object Multimodal {
     * instead of silently hash-mismatching the whole compare. */
   def audioTable(spark: SparkSession, dir: String): Dataset[AudioRow] = {
     import spark.implicits._
+    // NULL-safe: a null condition also trips assert_true, so name both
+    // causes — a null-text row would otherwise fail with the misleading
+    // "non-ASCII" diagnosis (review finding)
     val asciiGuard = assert_true(
-      octet_length(col("text")) === length(col("text")),
-      concat(lit("audioTable: non-ASCII text (bytes != chars) for doc_id="),
-        col("doc_id")))
+      col("text").isNotNull &&
+        octet_length(col("text")) === length(col("text")),
+      concat(lit("audioTable: NULL or non-ASCII text (bytes != chars) " +
+        "for doc_id="), col("doc_id")))
     documents(spark, dir)
       .select(
         col("doc_id").cast("long").as("doc_id"),

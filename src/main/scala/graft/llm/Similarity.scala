@@ -198,12 +198,16 @@ object Similarity {
     centroids
   }
 
-  /** Assign each vector to its max-cosine centroid. The centroid loop
-    * unrolls into k codegen'd `dot_product(emb, array(<literals>))`
-    * columns (cosine ranking divides by the centroid norm only — the
-    * row norm is constant across centroids); `Double.toString` is
-    * round-trip exact, so the literals lose nothing. */
-  private def withCell(df: DataFrame,
+  /** The k centroid cosine-score columns plus their array `__sc` — the
+    * scaffolding SHARED by [[withCell]] (argmax assignment) and
+    * [[withProbeCells]] (top-nprobe fan-out), so the "probe rank 1 ==
+    * single-probe assignment" invariant is structural rather than
+    * parallel-maintained. The centroid loop unrolls into k codegen'd
+    * `dot_product(emb, array(<literals>))` columns (cosine ranking
+    * divides by the centroid norm only — the row norm is constant
+    * across centroids); `Double.toString` is round-trip exact, so the
+    * literals lose nothing. Callers drop via [[dropScores]]. */
+  private def withScoreArray(df: DataFrame,
       centroids: Array[Array[Double]]): DataFrame = {
     val scores = centroids.zipWithIndex.map { case (c, i) =>
       val cNorm = math.sqrt(c.map(x => x * x).sum)
@@ -212,26 +216,30 @@ object Similarity {
     }
     df.select((col("*") +: scores.toIndexedSeq): _*)
       .withColumn("__sc", array(centroids.indices.map(i => col(s"__s$i")): _*))
-      .withColumn("cell",
-        (expr("array_position(__sc, array_max(__sc))") - 1L).cast("int"))
-      .drop(centroids.indices.map(i => s"__s$i") :+ "__sc": _*)
   }
+
+  private def dropScores(df: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame =
+    df.drop(centroids.indices.map(i => s"__s$i") :+ "__sc": _*)
+
+  /** Assign each vector to its max-cosine centroid (first-max
+    * tie-break via array_position). */
+  private def withCell(df: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame =
+    dropScores(withScoreArray(df, centroids)
+      .withColumn("cell",
+        (expr("array_position(__sc, array_max(__sc))") - 1L).cast("int")),
+      centroids)
 
   /** One row per (vector, probe): the `nprobe` nearest cells by cosine,
     * ranked score DESC then cell ASC — rank 1 is exactly [[withCell]]'s
-    * first-max assignment, so single-probe semantics are a strict
-    * subset. All codegen'd collection expressions over the same k score
-    * columns; probe cells are distinct by construction, so a corpus
-    * vector (one cell) can never reach the same query twice. */
+    * first-max assignment (same `__sc` array by construction), so
+    * single-probe semantics are a strict subset. Probe cells are
+    * distinct by construction, so a corpus vector (one cell) can never
+    * reach the same query twice. */
   private def withProbeCells(df: DataFrame,
-      centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
-    val scores = centroids.zipWithIndex.map { case (c, i) =>
-      val cNorm = math.sqrt(c.map(x => x * x).sum)
-      val arr = c.map(x => s"${x}D").mkString("array(", ",", ")")
-      (expr(s"dot_product(emb, $arr)") / lit(cNorm)).as(s"__s$i")
-    }
-    df.select((col("*") +: scores.toIndexedSeq): _*)
-      .withColumn("__sc", array(centroids.indices.map(i => col(s"__s$i")): _*))
+      centroids: Array[Array[Double]], nprobe: Int): DataFrame =
+    dropScores(withScoreArray(df, centroids)
       .withColumn("cell", explode(expr(
         s"""transform(
            |  slice(
@@ -241,9 +249,8 @@ object Similarity {
            |                     WHEN l.sc < r.sc THEN 1
            |                     ELSE l.idx - r.idx END),
            |    1, $nprobe),
-           |  x -> x.idx)""".stripMargin)))
-      .drop(centroids.indices.map(i => s"__s$i") :+ "__sc": _*)
-  }
+           |  x -> x.idx)""".stripMargin))),
+      centroids)
 
   /** IVF with the TRAINED quantizer: k-means cells instead of the
     * given `label` buckets. The trainer is fully deterministic (fixed

@@ -442,19 +442,17 @@ object TextAnalysis {
     // re-scans the corpus text column just to re-filter it
     val evalDocs =
       QueryCaches.persistTracked(docs.filter(col("doc_id") % 97 === 0))
-    // Leaked ids are shifted by the power of 10 with one more digit than
-    // max(doc_id): always above the corpus range at ANY scale (a fixed
-    // +200000 silently collides once the corpus passes 200001 docs —
-    // ADVICE r6), derived by exact integer/string arithmetic so the
-    // DuckDB oracle computes the identical shift. The mod-97
-    // disjointness argument survives: 97 is prime and divides no power
-    // of 10, so (e + shift) % 97 != 0 for eval ids e ≡ 0 (mod 97)
-    // whenever shift % 97 != 0 — which 10^k guarantees. One narrow
-    // max() aggregate over the id column (parquet stats make it a
+    // Leaked ids are shifted by [[graft.Tables.idShift]] (the power of
+    // 10 one digit past max(doc_id)): always above the corpus range at
+    // ANY scale (a fixed +200000 silently collides once the corpus
+    // passes 200001 docs — ADVICE r6). The mod-97 disjointness argument
+    // survives: 97 is prime and divides no power of 10, so
+    // (e + shift) % 97 != 0 for eval ids e ≡ 0 (mod 97) whenever
+    // shift % 97 != 0 — which 10^k guarantees. One narrow max()
+    // aggregate over the id column (parquet stats make it a
     // metadata-cheap scan), the same driver-scalar device as
     // tStratifiedSample's n_min.
-    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
-    val shift = ("1" + "0" * maxId.toString.length).toLong
+    val shift = graft.Tables.idShift(docs, "doc_id")
     val leaked = evalDocs.select((col("doc_id") + shift).as("doc_id"),
       concat(col("text"), lit(" leaked into the training crawl")).as("text"))
     val scanSide = docs.filter(col("doc_id") % 97 =!= 0).unionByName(leaked)

@@ -18,8 +18,13 @@ import graft.Tables._
 object EventQueries {
 
   /** Nanos → epoch-day without ever touching TimestampType: pure Long
-    * arithmetic is identical in Spark and the DuckDB oracle. */
-  private val NanosPerDay = 86400L * 1000000000L
+    * arithmetic is identical in Spark and the DuckDB oracle. ONE
+    * definition — the streaming MV twins
+    * ([[graft.streaming.StreamingRolling]],
+    * [[graft.streaming.StreamingRetention]]) derive their day buckets
+    * from the same constant, so batch and streamed day grids cannot
+    * drift. */
+  private[graft] val NanosPerDay = 86400L * 1000000000L
   private val NanosPerHour = 3600L * 1000000000L
 
   /** Schema-on-read JSON path extraction (SURVEY P8/M1): pull `$.k` out

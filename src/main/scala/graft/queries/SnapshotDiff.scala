@@ -32,8 +32,7 @@ object SnapshotDiff {
   def kSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
     val a = docs.select(col("doc_id"), md5(col("text")).as("ha"))
-    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
-    val shift = ("1" + "0" * maxId.toString.length).toLong
+    val shift = idShift(docs, "doc_id")
     val b = docs.filter(col("doc_id") % 11 =!= 0)
       .select(col("doc_id"),
         md5(when(col("doc_id") % 7 === 0,

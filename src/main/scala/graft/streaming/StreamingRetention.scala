@@ -26,7 +26,8 @@ import graft.sink.ParquetSink
   */
 object StreamingRetention {
 
-  private val NanosPerDay = 86400L * 1000000000L
+  // the batch query's own day constant — shared, not re-declared
+  private val NanosPerDay = graft.queries.EventQueries.NanosPerDay
   private val eventSchema = StructType(Seq(
     StructField("doc_id", LongType), // event_id; the feed writer keys on doc_id
     StructField("ts", LongType), // epoch nanos (feed carries the normalized Long)

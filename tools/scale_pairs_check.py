@@ -260,6 +260,10 @@ def main():
         ok &= check("d_containment_pairs@" + sfdir, restrict(ct, samp), want)
 
     # ---- d_dup_groups: FULL union-find replay over Spark's edges ----
+    if have("d_dup_groups") and mh is None:
+        # never report silent success for a check that could not run
+        print("SKIP d_dup_groups (needs the d_minhash_pairs dump "
+              "for its edge relation)")
     if mh is not None and have("d_dup_groups"):
         edges = [(a, b) for a, b, _ in mh]
         parent = {}
