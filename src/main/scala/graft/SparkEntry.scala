@@ -186,6 +186,9 @@ object SparkEntry {
     "mm_resize"         -> (Multimodal.mmResize _),
     "mm_frame_sample"   -> (Multimodal.mmFrameSample _),
     "mm_audio_features" -> (Multimodal.mmAudioFeatures _),
+    // image-content dedup: md5 over DECODED rasters (real PNG round
+    // trip) — the multimodal × dedup crossover
+    "mm_image_dedup"    -> (Multimodal.mmImageDedup _),
     // NEAR layer end-to-end over the deterministic fixture corpus
     // (SURVEY §2.3-§2.6: P1-P13, T2-T5, M1-M10, G1-G8)
     "near_bronze_events"       -> (NearQueries.bronzeEvents _),
@@ -1587,6 +1590,27 @@ object SparkEntry {
     // to the batch pass — one aggregation over two index builds
     "d_stream_spans" -> dupSpansSql,
     "d_containment_pairs" -> containmentSql,
+    // raster rebuilt from text: payload bytes truncated/zero-padded to
+    // width*height (the encodePng contract); chars == bytes under the
+    // mediaTable ASCII pin, so substring + chr(0) padding is byte-exact
+    "mm_image_dedup" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |base AS (SELECT doc_id, text,
+        |    (n_chars % 64) + 16 AS w, ((n_chars // 64) % 64) + 16 AS h
+        |  FROM documents),
+        |corpus AS (SELECT doc_id, text, w, h FROM base
+        |  UNION ALL SELECT doc_id + CAST(power(10,
+        |      length(CAST((SELECT m FROM mx) AS VARCHAR))) AS BIGINT),
+        |    text, w, h
+        |  FROM base),
+        |r AS (SELECT doc_id,
+        |    md5(substring(text, 1, least(length(text), w * h)) ||
+        |        repeat(chr(0), greatest(w * h - length(text), 0)))
+        |      AS raster_hash
+        |  FROM corpus)
+        |SELECT raster_hash, COUNT(*) AS group_size,
+        |  CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+        |FROM r GROUP BY raster_hash ORDER BY canonical_id""".stripMargin,
     "k_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
         |mx AS (SELECT max(doc_id) AS m FROM documents),

@@ -45,14 +45,62 @@ object Multimodal {
     * feature from the same source column. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
+    // the same ASCII pin as [[audioTable]] (ADVICE r8 #2): the image
+    // oracles model pixel bytes from text CHARACTERS, so bytes == chars
+    // must hold — fail with the doc's identity on a non-ASCII (or NULL)
+    // corpus drop instead of silently hash-mismatching every image query
+    val asciiGuard = assert_true(
+      col("text").isNotNull &&
+        octet_length(col("text")) === length(col("text")),
+      concat(lit("mediaTable: NULL or non-ASCII text (bytes != chars) " +
+        "for doc_id="), col("doc_id")))
     documents(spark, dir)
       .select(
         col("doc_id").cast("long").as("doc_id"),
         lit("image/raw").as("media_type"),
         ((col("n_chars") % 64) + 16).cast("int").as("width"),
         (expr("(n_chars DIV 64) % 64") + 16).cast("int").as("height"),
-        col("text").cast("binary").as("payload"))
+        // assert_true is NULL on success, so the coalesce always takes
+        // the text bytes — but the guard stays in the plan per row
+        coalesce(asciiGuard.cast("binary"), col("text").cast("binary"))
+          .as("payload"))
       .as[MediaRow]
+  }
+
+  /** IMAGE-level exact dedup — the multimodal × dedup crossover: group
+    * re-ingested images by the md5 of their DECODED rasters, not their
+    * container bytes (the same picture can arrive as byte-different
+    * files — encoder settings, chunk order — so content dedup hashes
+    * pixels after decode; the PNG round trip here is the real
+    * `javax.imageio` codec). The corpus models the at-least-once
+    * re-insert exactly like [[graft.llm.Dedup.dExactDedup]] — a
+    * shifted-id copy ([[graft.Tables.idShift]]) — so every raster
+    * groups with its twin and the canonical (minimum) id is the
+    * deterministic survivor.
+    *
+    * Oracle equivalence: the decoded raster is the payload zero-padded
+    * / truncated to width×height (the [[encodePng]] contract, pinned
+    * by the codec round-trip specs), which the DuckDB oracle rebuilds
+    * from the text column with substring + chr(0) padding — byte-exact
+    * under [[mediaTable]]'s ASCII pin.
+    *
+    * Scale shape: codec work is a narrow mapPartitions pass
+    * (embarrassingly parallel, no shuffle); the dedup itself is ONE
+    * hash-partitioned groupBy on a 32-byte key — the
+    * [[graft.llm.Dedup.dExactDedup]] profile applied to image
+    * content. */
+  def mmImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir)
+    val shift = graft.Tables.idShift(documents(spark, dir), "doc_id")
+    val corpus = media.union(
+      media.map(r => r.copy(doc_id = r.doc_id + shift)))
+    decodePng(encodePng(corpus)).toDF()
+      .select(col("doc_id"), md5(col("payload")).as("raster_hash"))
+      .groupBy(col("raster_hash"))
+      .agg(count(lit(1)).as("group_size"),
+        min(col("doc_id")).cast("long").as("canonical_id"))
+      .orderBy(col("canonical_id"))
   }
 
   /** Encode raw rasters as REAL grayscale PNGs (JDK `javax.imageio`).

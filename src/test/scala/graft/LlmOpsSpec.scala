@@ -72,6 +72,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getLong(0) >= shift && r.getLong(3) >= 2))
   }
 
+  test("image dedup groups by decoded raster: every image pairs with its " +
+    "re-ingested twin under the canonical minimum id") {
+    val rows = Multimodal.mmImageDedup(spark, dir).collect()
+    val n = Tables.documents(spark, dir).count()
+    // every raster meets exactly its shifted twin (the corpus has no
+    // two docs with identical image content at sf0.001)
+    assert(rows.length === n)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 2L)
+      // canonical id is always the original, never the re-ingested copy
+      assert(r.getLong(2) < 1000L)
+    }
+  }
+
   test("containment join is directional: every remix piece is contained " +
     "in its source host, never the reverse") {
     val rows = Dedup.dContainmentPairs(spark, dir).collect()
