@@ -75,6 +75,9 @@ object SparkEntry {
     "v_error_ratio"        -> (EventQueries.vErrorRatio _),
     "w_event_gaps"         -> (EventQueries.wEventGaps _),
     "w_sessionize"         -> (EventQueries.wSessionize _),
+    // sweep-line interval analytic over the sessionize output:
+    // max concurrent sessions per day via the two-pass prefix sum
+    "w_peak_concurrency"   -> (EventQueries.wPeakConcurrency _),
     "w_hourly_window"      -> (EventQueries.wHourlyWindow _),
     "w_asof_join"          -> (EventQueries.wAsofJoin _),
     "w_range_join"         -> ((s, d) => EventQueries.wRangeJoin(s, d)),
@@ -893,6 +896,34 @@ object SparkEntry {
         |  MAX(ts_us) AS session_end_us, CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+    // same session construction as w_sessionize, then the +1/-1 sweep
+    // (end-inclusive sessions: -1 at end+1), per-ts delta aggregation,
+    // one global ordered prefix sum, per-day max at transition points
+    "w_peak_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+        |m AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |sess AS (SELECT user_id, MIN(ts_us) AS s_us, MAX(ts_us) AS e_us
+        |  FROM s GROUP BY user_id, sid),
+        |pts AS (SELECT ts_us, SUM(delta) AS net FROM (
+        |    SELECT s_us AS ts_us, 1 AS delta FROM sess
+        |    UNION ALL SELECT e_us + 1, -1 FROM sess)
+        |  GROUP BY ts_us),
+        |c AS (SELECT ts_us, ts_us // 86400000000 AS day,
+        |    SUM(net) OVER (ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM pts)
+        |SELECT day AS epoch_day, CAST(MAX(cum) AS BIGINT) AS peak_concurrency,
+        |  CAST(COUNT(*) AS BIGINT) AS n_points
+        |FROM c GROUP BY day ORDER BY day""".stripMargin,
     "w_hourly_window" ->
       """SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS hour_start_us,
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n

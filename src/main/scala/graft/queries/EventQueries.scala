@@ -214,6 +214,58 @@ object EventQueries {
       .orderBy(col("user_id"), col("session_start_us"))
   }
 
+  /** Peak CONCURRENCY per day — the sweep-line interval analytic over
+    * the sessionization output: how many sessions are simultaneously
+    * open, maxed per epoch-day. Sessions are intervals
+    * [start, end] (end-INCLUSIVE — the −1 lands at end+1 µs), the
+    * classic +1/−1 sweep; concurrency is evaluated at the sweep's
+    * transition points, and each day reports the max over its points
+    * (deterministic in both engines; a silent day carries no row).
+    * Deltas are AGGREGATED per distinct timestamp before the prefix
+    * sum, so ordering among coincident starts/ends can never matter.
+    *
+    * Scale shape: the naive formulation is one GLOBAL ordered window —
+    * the single-task skew trap. This is the two-pass distributed
+    * prefix sum instead ([[graft.llm.TextAnalysis.tTokenBudget]]'s
+    * offset pattern on the time axis): per-day partial sums → running
+    * offsets over the day-count-bounded relation (the only
+    * single-partition window) → within-day cumulative sums partitioned
+    * by day. All integer arithmetic. */
+  def wPeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.Sessionize
+    val evs = events(spark, dir)
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_id"))
+      .as[Sessionize.Ev]
+    val sessions =
+      Sessionize.sessionsBatch(evs, gapUs = 30L * 60L * 1000000L).toDF()
+    // persisted: the day-offsets aggregate and the main join both read
+    // the sweep points (tracked cache contract)
+    val pts = QueryCaches.persistTracked(sessions
+      .select(col("session_start_us").as("ts_us"), lit(1L).as("delta"))
+      .unionByName(sessions.select((col("session_end_us") + 1L).as("ts_us"),
+        lit(-1L).as("delta")))
+      .groupBy(col("ts_us")).agg(sum(col("delta")).as("net"))
+      .withColumn("day", expr("ts_us DIV 86400000000")))
+    val offsets = pts.groupBy(col("day")).agg(sum(col("net")).as("day_net"))
+      .withColumn("offset",
+        coalesce(sum(col("day_net")).over(
+          Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("offset"))
+    val wIn = Window.partitionBy(col("day")).orderBy(col("ts_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.join(broadcast(offsets), Seq("day"))
+      .withColumn("cum", col("offset") + sum(col("net")).over(wIn))
+      .groupBy(col("day"))
+      .agg(max(col("cum")).cast("long").as("peak_concurrency"),
+        count(lit(1)).as("n_points"))
+      .select(col("day").as("epoch_day"), col("peak_concurrency"),
+        col("n_points"))
+      .orderBy(col("epoch_day"))
+  }
+
   /** Hourly tumbling windows through the REAL `window()` operator
     * ([[graft.streaming.WindowedActivity.hourlyCounts]] — the same
     * code serves `readStream` with a watermark); epoch-aligned window

@@ -44,6 +44,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_stratified_sample" -> ((1, Set("n_l"))), // per-language counts: language-bounded
     "t_token_budget" -> ((1, Set("offset"))), // bucket offsets: 256 rows by construction
     "t_seq_pack" -> ((1, Set("offset"))), // same 256-row offsets relation
+    "w_peak_concurrency" -> ((1, Set("offset"))), // day offsets: day-count-bounded
     "t_dataset_card" -> ((1, Set("split_tokens"))), // per-split totals: ≤3 rows
     "w_value_deciles" -> ((1, Set("bs"))), // boundary arrays: types × 9 rows
     "q11_supplier_share" -> ((1, Set("total_dec"))), // global scalar: 1 row

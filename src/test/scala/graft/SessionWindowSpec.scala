@@ -65,6 +65,35 @@ class SessionWindowSpec extends AnyFunSuite {
     assert(frac > 0.8 && frac < 0.97, s"train fraction $frac")
   }
 
+  test("peak concurrency equals a brute-force interval model over the " +
+    "sessionize output") {
+    val sessions = queries.EventQueries.wSessionize(spark, dir)
+      .select("session_start_us", "session_end_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // model: concurrency at each transition point t = #sessions with
+    // s <= t <= e (end-inclusive); peak per day = max over the day's
+    // transition points (the query's documented semantics)
+    val points = (sessions.map(_._1) ++ sessions.map(_._2 + 1)).distinct.sorted
+    val peaks = scala.collection.mutable.Map.empty[Long, Long]
+    val nPts = scala.collection.mutable.Map.empty[Long, Long]
+    points.foreach { t =>
+      val c = sessions.count { case (s, e) => s <= t && t <= e }.toLong
+      val day = t / 86400000000L
+      peaks(day) = math.max(peaks.getOrElse(day, Long.MinValue), c)
+      nPts(day) = nPts.getOrElse(day, 0L) + 1
+    }
+    val got = queries.EventQueries.wPeakConcurrency(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    graft.QueryCaches.releaseAll() // the sweep points' tracked persist
+    assert(got.keySet === peaks.keySet)
+    got.foreach { case (day, (peak, n)) =>
+      assert(peak === peaks(day), s"day $day peak")
+      assert(n === nPts(day), s"day $day points")
+    }
+    // genuine concurrency exists (peak > 1 somewhere)
+    assert(got.values.exists(_._1 > 1))
+  }
+
   test("retention cohorts: day-0 cells are cohort sizes that bound every " +
     "later offset and sum to the user universe") {
     val r = queries.EventQueries.gRetentionCohorts(spark, dir).collect()
