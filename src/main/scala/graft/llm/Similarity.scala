@@ -198,29 +198,48 @@ object Similarity {
     centroids
   }
 
-  /** The k centroid cosine-score columns plus their array `__sc` — the
+  /** `dot_product` with Column arguments — resolves the same
+    * registered [[graft.functions.DotProduct]] the `expr(...)` call
+    * sites use, but composes with lambda variables and [[typedLit]]
+    * constants, which plain `expr` strings cannot capture. */
+  private def dotc(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("dot_product", a, b)
+
+  /** The k-element centroid cosine-score array `__sc` — the
     * scaffolding SHARED by [[withCell]] (argmax assignment) and
     * [[withProbeCells]] (top-nprobe fan-out), so the "probe rank 1 ==
     * single-probe assignment" invariant is structural rather than
-    * parallel-maintained. The centroid loop unrolls into k codegen'd
-    * `dot_product(emb, array(<literals>))` columns (cosine ranking
-    * divides by the centroid norm only — the row norm is constant
-    * across centroids); `Double.toString` is round-trip exact, so the
-    * literals lose nothing. Callers drop via [[dropScores]]. */
+    * parallel-maintained.
+    *
+    * The centroid set rides in as ONE `typedLit` array<array<double>>
+    * constant (likewise the driver-computed centroid norms — cosine
+    * ranking divides by the centroid norm only; the row norm is
+    * constant across centroids) and the k scores come from a
+    * `transform` over it. Constants of array type reach generated code
+    * as REFERENCE OBJECTS, not source text, so the compiled code is
+    * byte-identical across Lloyd iterations and across reruns with
+    * retrained centroids — one Janino compile, then cache hits. The
+    * previous shape (k unrolled `dot_product(emb, array(<128
+    * literals>))` columns) recompiled a centroid-specific kilobytes-
+    * large method per iteration and per run, which under the
+    * bounded codegen cache of a many-query session (the full bench)
+    * recompiled every time: measured 6.0 s warm in the r9 bench vs
+    * 1.3 s isolated for `s_ann_kmeans` — pure compile thrash.
+    * Per-element evaluation uses [[graft.functions.DotProduct]]'s
+    * interpreted eval, bit-identical to its codegen by construction. */
   private def withScoreArray(df: DataFrame,
       centroids: Array[Array[Double]]): DataFrame = {
-    val scores = centroids.zipWithIndex.map { case (c, i) =>
-      val cNorm = math.sqrt(c.map(x => x * x).sum)
-      val arr = c.map(x => s"${x}D").mkString("array(", ",", ")")
-      (expr(s"dot_product(emb, $arr)") / lit(cNorm)).as(s"__s$i")
-    }
-    df.select((col("*") +: scores.toIndexedSeq): _*)
-      .withColumn("__sc", array(centroids.indices.map(i => col(s"__s$i")): _*))
+    val cents = typedLit(centroids.map(_.toIndexedSeq).toIndexedSeq)
+    val norms = typedLit(centroids.map(c =>
+      math.sqrt(c.map(x => x * x).sum)).toIndexedSeq)
+    df.withColumn("__sc",
+      transform(sequence(lit(0), lit(centroids.length - 1)),
+        i => dotc(col("emb"), element_at(cents, i + lit(1))) /
+          element_at(norms, i + lit(1))))
   }
 
-  private def dropScores(df: DataFrame,
-      centroids: Array[Array[Double]]): DataFrame =
-    df.drop(centroids.indices.map(i => s"__s$i") :+ "__sc": _*)
+  private def dropScores(df: DataFrame): DataFrame = df.drop("__sc")
 
   /** Assign each vector to its max-cosine centroid (first-max
     * tie-break via array_position). */
@@ -228,8 +247,7 @@ object Similarity {
       centroids: Array[Array[Double]]): DataFrame =
     dropScores(withScoreArray(df, centroids)
       .withColumn("cell",
-        (expr("array_position(__sc, array_max(__sc))") - 1L).cast("int")),
-      centroids)
+        (expr("array_position(__sc, array_max(__sc))") - 1L).cast("int")))
 
   /** One row per (vector, probe): the `nprobe` nearest cells by cosine,
     * ranked score DESC then cell ASC — rank 1 is exactly [[withCell]]'s
@@ -249,8 +267,7 @@ object Similarity {
            |                     WHEN l.sc < r.sc THEN 1
            |                     ELSE l.idx - r.idx END),
            |    1, $nprobe),
-           |  x -> x.idx)""".stripMargin))),
-      centroids)
+           |  x -> x.idx)""".stripMargin))))
 
   /** IVF with the TRAINED quantizer: k-means cells instead of the
     * given `label` buckets. The trainer is fully deterministic (fixed
@@ -307,8 +324,8 @@ object Similarity {
     * the bucket assignment and therefore the result set match exactly;
     * at production scale they'd be seeded Gaussians shipped as
     * literals, same plan shape). Like [[sAnnKmeans]], the plane set is
-    * bounded (nPlanes·d doubles) and unrolls into codegen'd
-    * `dot_product(emb, array(<literals>))` columns — one narrow map,
+    * bounded (nPlanes·d doubles) and ships as one `typedLit`
+    * constant into per-bit `dot_product` sign terms — one narrow map,
     * NO join against a plane relation, then the same broadcast-query
     * equi-join on the bucket key as [[sAnnIvf]].
     *
@@ -338,15 +355,18 @@ object Similarity {
     .select(col("emb")).collect()
     .map(_.getSeq[Double](0).toArray)
 
-  /** Sign-bit bucket of `emb` against the plane set, unrolled into
-    * codegen'd `dot_product(emb, array(<literals>))` columns — one
-    * narrow map, no join against a plane relation. */
-  private[graft] def signBucketCol(planes: Array[Array[Double]]): org.apache.spark.sql.Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val arr = p.map(x => s"${x}D").mkString("array(", ",", ")")
-      when(expr(s"dot_product(emb, $arr)") >= 0, lit(1L << i))
+  /** Sign-bit bucket of `emb` against the plane set — one narrow map,
+    * no join against a plane relation. The plane set is ONE `typedLit`
+    * array<array<double>> constant shared by every bit term (a codegen
+    * reference object, so the compiled code is independent of the
+    * plane values — see [[withScoreArray]] for why that matters). */
+  private[graft] def signBucketCol(planes: Array[Array[Double]]): org.apache.spark.sql.Column = {
+    val pl = typedLit(planes.map(_.toIndexedSeq).toIndexedSeq)
+    planes.indices.map { i =>
+      when(dotc(col("emb"), element_at(pl, lit(i + 1))) >= 0, lit(1L << i))
         .otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Multi-probe search over an assigned (vec_id, emb, nrm, bucket)
     * index relation — shared by the batch query and the streaming
@@ -428,25 +448,25 @@ object Similarity {
   }
 
   /** Append per-subspace code columns `code_0 … code_{m−1}`: the
-    * argmin-L2 cell per subspace, unrolled into codegen'd
-    * `dot_product(slice(emb, …), array(<literals>))` columns — one
-    * narrow map, no join against a codebook relation, first-min
-    * tie-break via `array_position(arr, array_min(arr))`. */
+    * argmin-L2 cell per subspace — one narrow map, no join against a
+    * codebook relation, first-min tie-break via
+    * `array_position(arr, array_min(arr))`. Each subspace's codebook
+    * (and its driver-computed ‖c‖² terms) rides in as a `typedLit`
+    * constant and the ksub distances come from one `transform` —
+    * value-independent generated code (see [[withScoreArray]]). */
   private def withPqCodes(df: DataFrame,
       books: Array[Array[Array[Double]]], dsub: Int): DataFrame =
     books.zipWithIndex.foldLeft(df) { case (acc, (book, j)) =>
-      val dcols = book.zipWithIndex.map { case (c, i) =>
-        val c2 = c.map(x => x * x).sum
-        val arr = c.map(x => s"${x}D").mkString("array(", ",", ")")
-        (lit(c2) - lit(2.0) * expr(
-          s"dot_product(slice(emb, ${j * dsub + 1}, $dsub), $arr)"))
-          .as(s"__pd$i")
-      }
-      acc.select((col("*") +: dcols.toIndexedSeq): _*)
-        .withColumn("__pda", array(book.indices.map(i => col(s"__pd$i")): _*))
+      val bk = typedLit(book.map(_.toIndexedSeq).toIndexedSeq)
+      val c2s = typedLit(book.map(c => c.map(x => x * x).sum).toIndexedSeq)
+      acc.withColumn("__sub", slice(col("emb"), j * dsub + 1, dsub))
+        .withColumn("__pda",
+          transform(sequence(lit(0), lit(book.length - 1)),
+            i => element_at(c2s, i + lit(1)) -
+              lit(2.0) * dotc(col("__sub"), element_at(bk, i + lit(1)))))
         .withColumn(s"code_$j",
           (expr("array_position(__pda, array_min(__pda))") - 1L).cast("int"))
-        .drop(book.indices.map(i => s"__pd$i") :+ "__pda": _*)
+        .drop("__sub", "__pda")
     }
 
   /** PQ-compressed ANN with asymmetric-distance (ADC) scan + exact
@@ -485,14 +505,22 @@ object Similarity {
     val coded = withPqCodes(e, books, dsub)
       .select(col("vec_id"),
         array((0 until m).map(j => col(s"code_$j")): _*).as("codes"))
-    // query-side LUT in (subspace, cell) order — m·ksub partial dots
-    val lutTerms = for { j <- 0 until m; c <- 0 until ksub } yield {
-      val arr = books(j)(c).map(x => s"${x}D").mkString("array(", ",", ")")
-      expr(s"dot_product(slice(emb, ${j * dsub + 1}, $dsub), $arr)")
-    }
+    // query-side LUT in (subspace, cell) order — m·ksub partial dots.
+    // The full codebook tensor is ONE typedLit array<array<array<
+    // double>>> constant; entry t = j·ksub + c is the dot of the j-th
+    // query subvector against codeword c (value-independent generated
+    // code — see withScoreArray). `/` on ints is double division in
+    // Spark SQL, so the subspace index is floor(t / ksub) cast back.
+    val bks = typedLit(books.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
+    val lutCol = transform(sequence(lit(0), lit(m * ksub - 1)), t => {
+      val j = floor(t.cast("double") / lit(ksub)).cast("int")
+      val c = pmod(t, lit(ksub))
+      dotc(slice(col("emb"), j * lit(dsub) + lit(1), lit(dsub)),
+        element_at(element_at(bks, j + lit(1)), c + lit(1)))
+    })
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-        col("nrm").as("q_nrm"), array(lutTerms: _*).as("lut"))
+        col("nrm").as("q_nrm"), lutCol.as("lut"))
     val adc = broadcast(q).crossJoin(coded)
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", expr(
