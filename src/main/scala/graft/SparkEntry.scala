@@ -78,6 +78,9 @@ object SparkEntry {
     // sweep-line interval analytic over the sessionize output:
     // max concurrent sessions per day via the two-pass prefix sum
     "w_peak_concurrency"   -> (EventQueries.wPeakConcurrency _),
+    // interval-union busy time per day (utilization twin of the
+    // peak-concurrency sweep, same two-pass distributed prefix sum)
+    "w_interval_coverage"  -> (EventQueries.wIntervalCoverage _),
     "w_hourly_window"      -> (EventQueries.wHourlyWindow _),
     "w_asof_join"          -> (EventQueries.wAsofJoin _),
     "w_range_join"         -> ((s, d) => EventQueries.wRangeJoin(s, d)),
@@ -125,6 +128,17 @@ object SparkEntry {
     "t_token_budget"    -> ((s, d) => TextAnalysis.tTokenBudget(s, d)),
     "t_seq_pack"        -> ((s, d) => TextAnalysis.tSeqPack(s, d)),
     "t_dataset_card"    -> (TextAnalysis.tDatasetCard _),
+    // CMS candidates -> exact verify: guaranteed φ-fraction heavy
+    // hitters (output exact, sketch is scan-side pruning only)
+    "t_heavy_hitters"   -> ((s, d) => TextAnalysis.tHeavyHitters(s, d)),
+    // incremental twin: exact vocabulary counts as a summing MV,
+    // φ-threshold applied at read; same oracle as the batch query
+    "t_stream_heavy_hitters" -> ((s, d) =>
+      graft.streaming.StreamingHeavyHitters.tStreamHeavyHitters(s, d)),
+    // sliding-window token chunking (stride overlap, truncating tail)
+    "t_chunk_windows"   -> ((s, d) => TextAnalysis.tChunkWindows(s, d)),
+    // greedy quality-ranked selection under a per-source token budget
+    "t_curate_budget"   -> ((s, d) => TextAnalysis.tCurateBudget(s, d)),
     // incremental twin: summing-MV card maintained by the real
     // streaming engine (checkpoint, mid-stream restart, merge);
     // same oracle as the batch card
@@ -166,6 +180,9 @@ object SparkEntry {
     "d_containment_pairs" -> ((s, d) => Dedup.dContainmentPairs(s, d)),
     // connected components of the near-dup graph (min-label propagation)
     "d_dup_groups"      -> ((s, d) => Dedup.dDupGroups(s, d)),
+    // canonical keeper per duplicate group (longest doc, min-id ties)
+    // + remap table — the post-components curation policy
+    "d_cluster_rep"     -> ((s, d) => Dedup.dClusterRep(s, d)),
     // full cleaning pipeline: gates -> exact dedup -> near-dup removal
     "pipe_corpus_clean" -> (CorpusPipeline.pipeCorpusClean _),
     // incremental twin through the real streaming engine (checkpoint,
@@ -192,6 +209,8 @@ object SparkEntry {
     // image-content dedup: md5 over DECODED rasters (real PNG round
     // trip) — the multimodal × dedup crossover
     "mm_image_dedup"    -> (Multimodal.mmImageDedup _),
+    // frame-difference scene boundaries over the sampled decoded series
+    "mm_scene_detect"   -> ((s, d) => Multimodal.mmSceneDetect(s, d)),
     // NEAR layer end-to-end over the deterministic fixture corpus
     // (SURVEY §2.3-§2.6: P1-P13, T2-T5, M1-M10, G1-G8)
     "near_bronze_events"       -> (NearQueries.bronzeEvents _),
@@ -250,6 +269,19 @@ object SparkEntry {
       |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
       |    AS rolling_7d
       |FROM daily ORDER BY event_type, epoch_day""".stripMargin
+
+  /** The φ-fraction heavy-hitter oracle — exact counts with the
+    * ceil(φ·N) threshold; shared by the batch CMS-pruned query and its
+    * streaming summing-MV twin (the sketch is candidate pruning only,
+    * so the oracle never models it). */
+  private val heavyHittersSql: String =
+    """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+'))
+      |    AS token FROM documents),
+      |th AS (SELECT CAST(ceil(0.02 * COUNT(*)) AS BIGINT) AS t FROM tok)
+      |SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+      |FROM tok GROUP BY token
+      |HAVING COUNT(*) >= (SELECT t FROM th)
+      |ORDER BY tf DESC, token""".stripMargin
 
   /** Shared by `pipe_corpus_clean` and its streaming twin
     * `pipe_stream_clean` - one oracle, two execution engines. */
@@ -924,6 +956,44 @@ object SparkEntry {
         |SELECT day AS epoch_day, CAST(MAX(cum) AS BIGINT) AS peak_concurrency,
         |  CAST(COUNT(*) AS BIGINT) AS n_points
         |FROM c GROUP BY day ORDER BY day""".stripMargin,
+    // same sweep as w_peak_concurrency; active segments [t, next_t)
+    // where the running count > 0, exploded to their day range and
+    // clamped — interval-union busy time per epoch-day
+    "w_interval_coverage" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+        |m AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |sess AS (SELECT user_id, MIN(ts_us) AS s_us, MAX(ts_us) AS e_us
+        |  FROM s GROUP BY user_id, sid),
+        |pts AS (SELECT ts_us, SUM(delta) AS net FROM (
+        |    SELECT s_us AS ts_us, 1 AS delta FROM sess
+        |    UNION ALL SELECT e_us + 1, -1 FROM sess)
+        |  GROUP BY ts_us),
+        |c AS (SELECT ts_us,
+        |    SUM(net) OVER (ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS cum,
+        |    LEAD(ts_us) OVER (ORDER BY ts_us) AS seg_end
+        |  FROM pts),
+        |segs AS (SELECT ts_us AS seg_start, seg_end
+        |  FROM c WHERE cum > 0 AND seg_end IS NOT NULL),
+        |d AS (SELECT seg_start, seg_end,
+        |    unnest(range(seg_start // 86400000000,
+        |      (seg_end - 1) // 86400000000 + 1)) AS epoch_day
+        |  FROM segs)
+        |SELECT epoch_day,
+        |  CAST(SUM(LEAST(seg_end, (epoch_day + 1) * 86400000000) -
+        |    GREATEST(seg_start, epoch_day * 86400000000)) AS BIGINT)
+        |    AS busy_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_segments
+        |FROM d GROUP BY epoch_day ORDER BY epoch_day""".stripMargin,
     "w_hourly_window" ->
       """SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS hour_start_us,
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n
@@ -1314,6 +1384,40 @@ object SparkEntry {
     "t_dataset_card" -> datasetCardSql,
     // the streaming twin accumulates to the same composition report
     "t_stream_dataset_card" -> datasetCardSql,
+    "t_heavy_hitters" -> heavyHittersSql,
+    // the streaming twin accumulates to the same exact counts
+    "t_stream_heavy_hitters" -> heavyHittersSql,
+    "t_chunk_windows" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |c AS (SELECT doc_id, t, len(t) AS n,
+        |    unnest(range(0, len(t), 12)) AS s
+        |  FROM t WHERE len(t) >= 1)
+        |SELECT doc_id, CAST(s // 12 AS BIGINT) AS chunk_idx,
+        |  CAST(s AS BIGINT) AS start_tok,
+        |  CAST(LEAST(16, n - s) AS BIGINT) AS chunk_len,
+        |  array_to_string(list_slice(t, s + 1, s + LEAST(16, n - s)), ' ')
+        |    AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "t_curate_budget" ->
+      """WITH q AS (SELECT doc_id, source,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    0.5 * (CAST(len(list_distinct(t)) AS DOUBLE) /
+        |           CAST(len(t) AS DOUBLE)) +
+        |      CASE WHEN len(t) >= 50 THEN 0.5
+        |           ELSE CAST(len(t) AS DOUBLE) * 0.01 END AS quality
+        |  FROM (SELECT doc_id, source,
+        |          string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents) x),
+        |c AS (SELECT doc_id, source, n_tokens, quality,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM q)
+        |SELECT doc_id, source, n_tokens, quality, cum_before
+        |FROM c WHERE cum_before + n_tokens <= 800
+        |ORDER BY source, cum_before""".stripMargin,
 
     "t_vocab_topk" ->
       """SELECT token, CAST(SUM(tf_doc) AS BIGINT) AS tf,
@@ -1485,6 +1589,41 @@ object SparkEntry {
         |    (SELECT MIN(dst) FROM reach WHERE src = v.doc_id)) AS group_id
         |FROM (SELECT DISTINCT src AS doc_id FROM e) v
         |ORDER BY doc_id""".stripMargin,
+    // same component construction as d_dup_groups, then the keeper
+    // policy (longest doc, min-id ties) + group size per member
+    "d_cluster_rep" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ss
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents) x),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) >= 0.8),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |g AS (SELECT v.doc_id,
+        |    LEAST(v.doc_id,
+        |      (SELECT MIN(dst) FROM reach WHERE src = v.doc_id)) AS group_id
+        |  FROM (SELECT DISTINCT src AS doc_id FROM e) v),
+        |sized AS (SELECT g.doc_id, g.group_id, d.n_chars
+        |  FROM g JOIN documents d USING (doc_id)),
+        |rep AS (SELECT group_id, doc_id AS rep_id,
+        |    ROW_NUMBER() OVER (PARTITION BY group_id
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM sized)
+        |SELECT s.doc_id, s.group_id, r.rep_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY s.group_id) AS BIGINT) AS group_sz
+        |FROM sized s
+        |JOIN (SELECT group_id, rep_id FROM rep WHERE rk = 1) r USING (group_id)
+        |ORDER BY s.doc_id""".stripMargin,
     "d_simhash_pairs" ->
       """WITH t AS (SELECT doc_id,
         |    list_distinct(string_split_regex(trim(text), '\s+')) AS dt
@@ -1873,6 +2012,36 @@ object SparkEntry {
         |    THEN ascii(substring(text, frame_idx * 64 + j, 1))
         |    ELSE 0 END) AS DOUBLE) / 64 AS mean_byte
         |FROM b GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // same sampled-frame means as mm_frame_sample, then the
+    // frame-difference boundary rule (|Δmean| > 10) via lag per asset
+    "mm_scene_detect" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    ((n_chars % 64) + 16) * (((n_chars // 64) % 64) + 16) AS n_px
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text, len,
+        |    unnest(range(0, n_px // 64, 4)) AS frame_idx
+        |  FROM d),
+        |b AS (
+        |  SELECT doc_id, frame_idx, text, len,
+        |    unnest(range(1, 65)) AS j
+        |  FROM f),
+        |mf AS (
+        |  SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |    CAST(SUM(CASE WHEN frame_idx * 64 + j <= len
+        |      THEN ascii(substring(text, frame_idx * 64 + j, 1))
+        |      ELSE 0 END) AS DOUBLE) / 64 AS mean_byte
+        |  FROM b GROUP BY doc_id, frame_idx),
+        |lg AS (
+        |  SELECT doc_id, frame_idx,
+        |    LAG(frame_idx) OVER w AS prev_idx,
+        |    LAG(mean_byte) OVER w AS prev_mean, mean_byte,
+        |    mean_byte - LAG(mean_byte) OVER w AS jump
+        |  FROM mf WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx))
+        |SELECT doc_id, frame_idx, prev_idx, prev_mean, mean_byte, jump
+        |FROM lg WHERE prev_mean IS NOT NULL AND abs(jump) > 10.0
         |ORDER BY doc_id, frame_idx""".stripMargin,
     // NEAR fixture oracles: bronze/resolver = pinned VALUES golden rows;
     // silver/gold = independent DuckDB JSON SQL re-implementations.

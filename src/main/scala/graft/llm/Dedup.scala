@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.QueryCaches
 import graft.Tables._
 import TextAnalysis.tokens
@@ -440,6 +441,41 @@ object Dedup {
       .localCheckpoint() // materialize the pair graph once, then free
     cached.foreach(_.unpersist()) // the LSH caches — the loop never re-reads them
     minLabelComponents(pairs).orderBy(col("doc_id"))
+  }
+
+  /** Canonical REPRESENTATIVE per duplicate group + remap table — the
+    * step after [[dDupGroups]] in a dedup pipeline: every grouped
+    * document maps to the group's keeper (the longest document by
+    * n_chars, ties to the smallest doc_id — "keep the most complete
+    * copy", the usual curation policy, deliberately NOT the min-id
+    * label the components algorithm happens to produce), plus the group
+    * size so downstream can weight survivors by how many copies they
+    * absorbed.
+    *
+    * Scale shape: the components relation (doc_id, group_id) is already
+    * hash-partitioned by doc_id; one broadcast-free equi-join brings in
+    * n_chars, then a group_id-partitioned window picks the keeper —
+    * group sizes are near-dup cluster sizes (bounded in practice; a
+    * pathological mega-cluster would already have broken the pair
+    * stage, not this one). */
+  def dClusterRep(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val groups = dDupGroups(spark, dir, threshold)
+    val sized = groups.join(
+      documents(spark, dir).select(col("doc_id"), col("n_chars")),
+      Seq("doc_id"))
+    val w = Window.partitionBy(col("group_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    sized
+      // running-first over the keeper order: every frame starts at the
+      // partition's rank-1 row, so each row sees the keeper's doc_id
+      .withColumn("rep_id", first(col("doc_id")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("group_sz",
+        count(lit(1)).over(Window.partitionBy(col("group_id"))))
+      .select(col("doc_id"), col("group_id"), col("rep_id"),
+        col("group_sz"))
+      .orderBy(col("doc_id"))
   }
 
   /** Connected components by min-label propagation with POINTER

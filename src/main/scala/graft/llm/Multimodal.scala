@@ -448,6 +448,40 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** SCENE-boundary detection over the sampled frame series — the
+    * shot-segmentation pass of a video curation pipeline: a boundary is
+    * a sampled frame whose decoded mean differs from the PREVIOUS
+    * sampled frame's by more than `jumpThreshold` (the frame-difference
+    * detector; real pipelines threshold a histogram distance, same
+    * plan shape). Runs on the SAME every-4th decoded series as
+    * [[mmFrameSample]] — sampled-frame scene detection, so detection
+    * cost scales with frames kept, not frames stored.
+    *
+    * Determinism: each mean is an exact integer pixel sum divided once
+    * (bit-identical to the oracle's closed-form byte-window mean —
+    * PNG grayscale is lossless), so the difference and the threshold
+    * comparison are bit-exact cross-engine.
+    *
+    * Scale shape: decode is the narrow per-partition pass; the lag sits
+    * in a window partitioned per media asset (frames-per-asset
+    * bounded), never global. */
+  def mmSceneDetect(spark: SparkSession, dir: String,
+      jumpThreshold: Double = 10.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames =
+      sampleFrameSeries(encodeFrameSeries(mediaTable(spark, dir))).toDF()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("prev_idx", lag(col("frame_idx"), 1).over(w))
+      .withColumn("prev_mean", lag(col("mean_byte"), 1).over(w))
+      .withColumn("jump", col("mean_byte") - col("prev_mean"))
+      .filter(col("prev_mean").isNotNull &&
+        abs(col("jump")) > lit(jumpThreshold))
+      .select(col("doc_id"), col("frame_idx"), col("prev_idx"),
+        col("prev_mean"), col("mean_byte"), col("jump"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   // ───────────────────────── audio (WAV PCM16) ─────────────────────────
 
   /** One audio asset: opaque payload plus the sample rate the lake

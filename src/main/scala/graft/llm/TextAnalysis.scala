@@ -606,6 +606,131 @@ object TextAnalysis {
       .orderBy(col("bucket"), col("doc_id"))
   }
 
+  /** GUARANTEED heavy hitters via a Count-Min sketch candidate stage +
+    * exact verify — the frequent-token pass (stopword mining, tokenizer
+    * merges, contamination hot-strings) shaped for a corpus whose
+    * distinct-token space does NOT fit anywhere.
+    *
+    * Heavy hitter = token with ≥ φ·N occurrences (N = total stream
+    * length), the classic φ-fraction definition, so the threshold
+    * scales with the corpus instead of being an absolute count.
+    *
+    * Shape (candidates-then-verify, the same design language as the
+    * dedup families):
+    *  1. SKETCH: one pass over occurrences; each lands in `depth`
+    *     (row, xxhash64(token, row) mod width) cells. Map-side combine
+    *     reduces the shuffle to ≤ depth·width cell partials; the merged
+    *     sketch (depth·width longs — here 4·512) collects to the
+    *     driver and rides back as ONE `typedLit` constant.
+    *  2. PRUNE: a token's estimate = min over rows of its cells; CMS
+    *     only ever OVER-estimates, so `est ≥ T` keeps every true heavy
+    *     hitter — recall 1 by construction, the same guarantee story as
+    *     [[Dedup.dPrefixPairs]]. The filter runs BEFORE the per-token
+    *     shuffle, which is the point at 100 TB: the exact groupBy sees
+    *     only candidate occurrences, not the full long-tail vocabulary.
+    *  3. VERIFY: exact counts of the survivors; `HAVING cnt ≥ T` drops
+    *     the sketch's false positives, so the OUTPUT is exact — the
+    *     DuckDB oracle never needs to model the sketch at all.
+    *
+    * (On this synthetic corpus the vocabulary is ~31 tokens, so the
+    * prune stage is degenerate — every token is a candidate; the
+    * mechanism and its guarantee are what the spec pins.) */
+  def tHeavyHitters(spark: SparkSession, dir: String, phi: Double = 0.02,
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    val toks = documents(spark, dir)
+      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
+      .select(explode(tokens(col("text"))).as("token"))
+    // ceil(φ·N) as exact integer arithmetic: N is a scalar long, and
+    // floor/ceil on φ·N at these magnitudes is well inside double
+    // exactness; both engines compute the identical threshold.
+    val n = toks.count()
+    val minCount = math.ceil(phi * n).toLong
+    val cellRows = toks
+      .select(explode(array((0 until depth).map(r => struct(
+        lit(r).as("r"),
+        pmod(xxhash64(col("token"), lit(r)), lit(width)).cast("int").as("c"))): _*))
+        .as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("n"))
+      .collect() // bounded: ≤ depth·width rows regardless of corpus size
+    val cells = Array.fill(depth, width)(0L)
+    cellRows.foreach(row => cells(row.getInt(0))(row.getInt(1)) = row.getLong(2))
+    val cellsLit = typedLit(cells.map(_.toIndexedSeq).toIndexedSeq)
+    val est = (0 until depth).map(r =>
+      element_at(element_at(cellsLit, lit(r + 1)),
+        (pmod(xxhash64(col("token"), lit(r)), lit(width)) + lit(1)).cast("int")))
+      .reduce(least(_, _))
+    toks.filter(est >= lit(minCount))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .filter(col("tf") >= lit(minCount))
+      .orderBy(col("tf").desc, col("token"))
+  }
+
+  /** Sliding-window token CHUNKING — the training-example splitter that
+    * turns long documents into overlapping fixed-size windows (the
+    * stride-overlap scheme of BERT-style context windowing). One chunk
+    * per (doc, start) with start = 0, stride, 2·stride, … < n_tokens;
+    * the final window truncates at the document end.
+    *
+    * Scale shape: a single codegen'd `posexplode(sequence(...))` per
+    * document — no self-join, no window function, no state; chunk text
+    * re-materializes via `slice` + `concat_ws` inside the same
+    * projection. Embarrassingly parallel, pushdown-friendly. */
+  def tChunkWindows(spark: SparkSession, dir: String, win: Int = 16,
+      stride: Int = 12): DataFrame = {
+    documents(spark, dir)
+      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("t"), col("n"),
+        posexplode(expr(s"sequence(0, n - 1, $stride)"))
+          .as(Seq("chunk_idx", "start_tok")))
+      .withColumn("chunk_len", least(lit(win), col("n") - col("start_tok")))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("t"), col("start_tok") + 1, col("chunk_len"))))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        col("chunk_len").cast("long").as("chunk_len"), col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Quality-ranked CURATION under a per-source token budget — the
+    * data-mixture assembly step: within each source, take documents in
+    * (quality DESC, doc_id) order while the cumulative token count
+    * stays within budget (greedy prefix selection; a document that
+    * would overflow the budget is skipped, as are all after it in that
+    * source). Reuses THE quality formula ([[qualityCol]] — one source
+    * of truth with `t_quality_score` and the corpus-clean gate).
+    *
+    * Scale note: the in-source prefix sum is a window partitioned by
+    * source — with few huge sources that is the sequential-scan skew
+    * trap. At 100 TB the equivalent selection is computed by CUT VALUE
+    * instead: histogram quality per source (the
+    * [[tQualityPercentiles]] formulation), binary-search the quality
+    * threshold whose token mass meets the budget, then filter — two
+    * narrow passes, no window. The window form is kept here because it
+    * is exact at any tie and the oracle mirrors it row for row. */
+  def tCurateBudget(spark: SparkSession, dir: String,
+      budget: Long = 800L): DataFrame = {
+    val scored = documents(spark, dir)
+      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("t"))).cast("long"))
+      .withColumn("quality", qualityCol(col("n_tokens"), col("n_distinct")))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scored
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") + col("n_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"),
+        col("cum_before"))
+      .orderBy(col("source"), col("cum_before"))
+  }
+
   /** Content fingerprints per document: full md5 of the raw text, md5 of
     * the whitespace/case-normalized text (the exact-dedup key), a 64-bit
     * prefix fingerprint, and the distinct 3-token shingle count (the

@@ -266,6 +266,77 @@ object EventQueries {
       .orderBy(col("epoch_day"))
   }
 
+  /** Interval-union COVERAGE per day — the utilization twin of
+    * [[wPeakConcurrency]]: how many microseconds of each epoch-day have
+    * at least one session open, across all users (sessions overlap
+    * across users, so this is a genuine interval union, not a sum of
+    * lengths). Same session construction, same aggregated +1/−1 sweep;
+    * instead of max(concurrency) per day it measures the covered time.
+    *
+    * Mechanics: between consecutive transition points [t, next_t) the
+    * active count is constant, so the union is the sum of segment
+    * lengths where the running count > 0. Segments can CROSS silent
+    * midnights (a session spanning days contributes to each), so each
+    * active segment explodes to its day range and is clamped to the
+    * day's bounds — all integer µs arithmetic, exact in both engines.
+    *
+    * Scale shape: the sweep reuses [[wPeakConcurrency]]'s two-pass
+    * distributed prefix sum (per-day partials → day-bounded offset
+    * window → within-day cumulative). The segment end (global
+    * next-transition) is the within-day `lead`, patched at each day's
+    * last point by a join against the day-bounded "first point of the
+    * next day" relation — so no window ever spans the full corpus. */
+  def wIntervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.Sessionize
+    val dayUs = 86400000000L
+    val evs = events(spark, dir)
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_id"))
+      .as[Sessionize.Ev]
+    val sessions =
+      Sessionize.sessionsBatch(evs, gapUs = 30L * 60L * 1000000L).toDF()
+    // persisted: day offsets, day firsts, and the main sweep all read it
+    val pts = QueryCaches.persistTracked(sessions
+      .select(col("session_start_us").as("ts_us"), lit(1L).as("delta"))
+      .unionByName(sessions.select((col("session_end_us") + 1L).as("ts_us"),
+        lit(-1L).as("delta")))
+      .groupBy(col("ts_us")).agg(sum(col("delta")).as("net"))
+      .withColumn("day", expr(s"ts_us DIV $dayUs")))
+    val offsets = pts.groupBy(col("day")).agg(sum(col("net")).as("day_net"))
+      .withColumn("offset",
+        coalesce(sum(col("day_net")).over(
+          Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("offset"))
+    // first transition point of each day, shifted to serve as the
+    // previous point-bearing day's segment terminator (day-bounded)
+    val nextFirst = pts.groupBy(col("day")).agg(min(col("ts_us")).as("first_us"))
+      .withColumn("next_first_us", lead(col("first_us"), 1).over(
+        Window.orderBy(col("day"))))
+      .select(col("day"), col("next_first_us"))
+    val wIn = Window.partitionBy(col("day")).orderBy(col("ts_us"))
+    val segs = pts.join(broadcast(offsets), Seq("day"))
+      .join(broadcast(nextFirst), Seq("day"))
+      .withColumn("cum", col("offset") + sum(col("net")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("seg_end",
+        coalesce(lead(col("ts_us"), 1).over(wIn), col("next_first_us")))
+      .filter(col("cum") > 0 && col("seg_end").isNotNull)
+      .select(col("ts_us").as("seg_start"), col("seg_end"))
+    segs
+      .select(col("seg_start"), col("seg_end"),
+        explode(expr(s"sequence(seg_start DIV $dayUs, " +
+          s"(seg_end - 1) DIV $dayUs)")).as("epoch_day"))
+      .withColumn("covered_us",
+        least(col("seg_end"), (col("epoch_day") + 1) * dayUs) -
+          greatest(col("seg_start"), col("epoch_day") * dayUs))
+      .groupBy(col("epoch_day"))
+      .agg(sum(col("covered_us")).as("busy_us"),
+        count(lit(1)).as("n_segments"))
+      .orderBy(col("epoch_day"))
+  }
+
   /** Hourly tumbling windows through the REAL `window()` operator
     * ([[graft.streaming.WindowedActivity.hourlyCounts]] — the same
     * code serves `readStream` with a watermark); epoch-aligned window
