@@ -29,7 +29,7 @@ object SparkEntry {
       name == "d_stream_spans" || name == "g_stream_retention" ||
       name == "pipe_stream_clean" ||
       name == "t_stream_dataset_card" || name == "s_stream_ann_lsh" ||
-      name == "w_stream_rolling_7d"
+      name == "w_stream_rolling_7d" || name == "t_stream_heavy_hitters"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

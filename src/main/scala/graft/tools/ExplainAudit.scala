@@ -3,7 +3,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Plan auditor: prints the formatted physical plan of selected headline
   * queries so scan pushdown / join strategies / codegen spans can be
-  * reviewed (brief: iterate on .explain until it's the plan you want). */
+  * reviewed (brief: iterate on .explain until it's the plan you want).
+  *
+  * Note (ADVICE r9): some audited queries do real DRIVER-SIDE work at
+  * plan-construction time — `d_semantic_dedup` trains its k-means
+  * quantizer (localCheckpoint + Lloyd collects) and `d_dup_spans`
+  * scans for its id shift — so "explain" for those entries runs small
+  * jobs, not just analysis. Deliberate: the printed plan embeds the
+  * trained constants the production plan would carry. */
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

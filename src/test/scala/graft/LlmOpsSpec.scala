@@ -844,6 +844,126 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(msg.contains("doc_id=42") && msg.contains("image/garbage"))
   }
 
+  test("heavy hitters equal an exact driver-side model — the CMS stage " +
+    "prunes candidates but can never drop a true hitter") {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .collect().map(_.getString(0))
+    val minCount = math.ceil(0.02 * toks.length).toLong
+    val exact = toks.groupBy(identity)
+      .map { case (t, occ) => t -> occ.length.toLong }
+      .filter(_._2 >= minCount)
+    val rows = graft.llm.TextAnalysis.tHeavyHitters(spark, dir).collect()
+    val got = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === exact)
+    assert(got.nonEmpty)
+    // declared order: tf desc, then token asc
+    val pairs = rows.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sameElements(pairs.sortBy { case (tf, t) => (-tf, t) }))
+  }
+
+  test("chunk windows tile each document: consecutive strides, truncated " +
+    "tail, text slices reconstruct the token sequence") {
+    val byDoc = graft.llm.TextAnalysis.tChunkWindows(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .groupBy(_._1)
+    val texts = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    assert(byDoc.keySet === texts.keySet) // every doc chunks
+    byDoc.foreach { case (docId, chunks) =>
+      val t = texts(docId)
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2) === (0L until sorted.length.toLong)) // 0..k-1
+      sorted.foreach { case (_, idx, start, len, text) =>
+        assert(start === idx * 12)
+        assert(len === math.min(16L, t.length - start))
+        assert(text === t.slice(start.toInt, (start + len).toInt).mkString(" "))
+      }
+      // the last window reaches the document end; win > stride means
+      // every token is covered by at least one window
+      assert(sorted.last._3 + sorted.last._4 === t.length.toLong)
+      assert(sorted.last._3 < t.length.toLong)
+    }
+  }
+
+  test("curate budget selects the maximal quality-ranked prefix per " +
+    "source, never exceeding the token budget") {
+    val sel = graft.llm.TextAnalysis.tCurateBudget(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+      .groupBy(_._1)
+    // independent model: driver-side quality ranking per source
+    val ranked = Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val t = r.getString(2).trim.split("\\s+")
+        val q = 0.5 * (t.distinct.length.toDouble / t.length) +
+          (if (t.length >= 50) 0.5 else t.length * 0.01)
+        (r.getString(1), r.getLong(0), t.length.toLong, q)
+      }
+      .groupBy(_._1)
+      .map { case (src, docs) =>
+        src -> docs.sortBy { case (_, id, _, q) => (-q, id) }
+      }
+    ranked.foreach { case (src, docs) =>
+      // replay the greedy prefix
+      var cum = 0L
+      val expect = docs.takeWhile { case (_, _, n, _) =>
+        val fits = cum + n <= 800L; if (fits) cum += n; fits
+      }.map(d => (d._2, d._3))
+      val got = sel.getOrElse(src, Array.empty).sortBy(_._2)
+        .map(d => (d._2, d._3)).toSeq
+      assert(got.sortBy(_._1) === expect.sortBy(_._1), s"source $src")
+      assert(expect.map(_._2).sum <= 800L)
+      // selection is genuinely partial (the budget binds)
+      assert(expect.length < docs.length, s"source $src selects everything")
+    }
+  }
+
+  test("cluster reps are group members holding the keeper policy: " +
+    "longest doc, min-id ties, with exact group sizes") {
+    val rows = Dedup.dClusterRep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val nChars = Tables.documents(spark, dir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // membership set must equal the components output exactly
+    val groups = Dedup.dDupGroups(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap === groups)
+    rows.groupBy(_._2).foreach { case (gid, members) =>
+      val reps = members.map(_._3).distinct
+      assert(reps.length === 1, s"group $gid disagrees on its rep")
+      val memberIds = members.map(_._1).toSet
+      assert(memberIds.contains(reps.head), s"group $gid rep not a member")
+      val keeper = members.map(_._1)
+        .sortBy(id => (-nChars(id), id)).head
+      assert(reps.head === keeper, s"group $gid keeper policy")
+      members.foreach(m => assert(m._4 === members.length.toLong))
+    }
+  }
+
+  test("scene boundaries equal a driver-side lag model over the sampled " +
+    "frame series") {
+    val frames = Multimodal.mmFrameSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = frames.groupBy(_._1).toSeq.flatMap { case (docId, fs) =>
+      fs.sortBy(_._2).sliding(2).collect {
+        case Array((_, pi, pm), (_, fi, m)) if math.abs(m - pm) > 10.0 =>
+          (docId, fi, pi, pm, m, m - pm)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Multimodal.mmSceneDetect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // sampled-series adjacency: the previous frame is 4 indices back
+    got.foreach { case (_, fi, pi, _, _, _) => assert(fi - pi === 4L) }
+  }
+
   test("multimodal decode computes byte stats from the payload") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, dir)

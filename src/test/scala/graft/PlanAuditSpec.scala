@@ -45,6 +45,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_token_budget" -> ((1, Set("offset"))), // bucket offsets: 256 rows by construction
     "t_seq_pack" -> ((1, Set("offset"))), // same 256-row offsets relation
     "w_peak_concurrency" -> ((1, Set("offset"))), // day offsets: day-count-bounded
+    "w_interval_coverage" ->
+      // day offsets + next-day first points: both day-count-bounded
+      ((2, Set("offset", "next_first_us"))),
     "t_dataset_card" -> ((1, Set("split_tokens"))), // per-split totals: ≤3 rows
     "w_value_deciles" -> ((1, Set("bs"))), // boundary arrays: types × 9 rows
     "q11_supplier_share" -> ((1, Set("total_dec"))), // global scalar: 1 row
@@ -345,7 +348,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "d_stream_prefix", "d_stream_spans", "g_stream_retention",
     "pipe_stream_clean",
     "t_stream_dataset_card", "s_stream_ann_lsh", "w_stream_rolling_7d",
-    "j_bucketed_orders")
+    "t_stream_heavy_hitters", "j_bucketed_orders")
 
   test("no declared query plans a CartesianProduct, and forced broadcasts stay on bounded relations") {
     graft.Tables.tune(spark)

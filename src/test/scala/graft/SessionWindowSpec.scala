@@ -94,6 +94,39 @@ class SessionWindowSpec extends AnyFunSuite {
     assert(got.values.exists(_._1 > 1))
   }
 
+  test("interval coverage equals a driver-side merged-interval model") {
+    val sessions = queries.EventQueries.wSessionize(spark, dir)
+      .select("session_start_us", "session_end_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1) + 1)) // half-open [s, e+1)
+      .sortBy(_._1)
+    // independent model: merge overlapping intervals on the driver,
+    // then slice each merged interval across its day range
+    val merged = sessions.foldLeft(List.empty[(Long, Long)]) {
+      case ((ms, me) :: rest, (s, e)) if s <= me =>
+        (ms, math.max(me, e)) :: rest
+      case (acc, iv) => iv :: acc
+    }.reverse
+    val dayUs = 86400000000L
+    val busy = scala.collection.mutable.Map.empty[Long, Long]
+    merged.foreach { case (s, e) =>
+      ((s / dayUs) to ((e - 1) / dayUs)).foreach { day =>
+        val c = math.min(e, (day + 1) * dayUs) - math.max(s, day * dayUs)
+        busy(day) = busy.getOrElse(day, 0L) + c
+      }
+    }
+    val got = queries.EventQueries.wIntervalCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.QueryCaches.releaseAll() // the sweep points' tracked persist
+    assert(got.keySet === busy.keySet)
+    got.foreach { case (day, us) =>
+      assert(us === busy(day), s"day $day busy_us")
+      assert(us <= dayUs, s"day $day exceeds the day length")
+    }
+    // sessions genuinely overlap across users somewhere: the union is
+    // strictly smaller than the sum of per-session lengths
+    assert(busy.values.sum < sessions.map(iv => iv._2 - iv._1).sum)
+  }
+
   test("retention cohorts: day-0 cells are cohort sizes that bound every " +
     "later offset and sum to the user universe") {
     val r = queries.EventQueries.gRetentionCohorts(spark, dir).collect()

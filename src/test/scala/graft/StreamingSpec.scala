@@ -411,6 +411,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch) // identical rows, order, and doubles
   }
 
+  test("streaming heavy hitters (restart + mid-sequence merge) equals " +
+    "the batch CMS-pruned query exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingHeavyHitters
+      .tStreamHeavyHitters(spark, dir)
+      .collect().map(_.toString).toSeq
+    val batch = graft.llm.TextAnalysis.tHeavyHitters(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch) // identical rows, order, and counts
+    assert(streamed.nonEmpty)
+  }
+
   test("watermark drops late events: a row older than the watermark " +
     "never reaches an already-closed window") {
     // the semantic the declared queries' batch twins cannot show: in
