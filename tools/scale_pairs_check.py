@@ -285,6 +285,29 @@ def main():
         ok &= check("d_dup_groups@" + sfdir + " (full union-find replay)",
                     got_groups, want_groups)
 
+    # ---- d_cluster_rep: FULL keeper-policy replay over the groups ----
+    if have("d_cluster_rep") and not have("d_dup_groups"):
+        print("SKIP d_cluster_rep (needs the d_dup_groups dump "
+              "for its component relation)")
+    if have("d_dup_groups") and have("d_cluster_rep"):
+        groups = spark_rows(outdir, "d_dup_groups", ["doc_id", "group_id"])
+        nchars = dict(con.execute(
+            f"SELECT doc_id, n_chars FROM '{sfdir}/documents.parquet'"
+        ).fetchall())
+        by_gid = {}
+        for doc, gid in groups:
+            by_gid.setdefault(gid, []).append(doc)
+        want_rep = []
+        for gid, docs in by_gid.items():
+            rep = min(docs, key=lambda d: (-nchars[d], d))
+            for doc in docs:
+                want_rep.append((doc, gid, rep, len(docs)))
+        want_rep.sort()
+        got_rep = spark_rows(outdir, "d_cluster_rep",
+                             ["doc_id", "group_id", "rep_id", "group_sz"])
+        ok &= check("d_cluster_rep@" + sfdir + " (full keeper replay)",
+                    got_rep, want_rep)
+
     sys.exit(0 if ok else 1)
 
 
