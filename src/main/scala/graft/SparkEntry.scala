@@ -29,7 +29,8 @@ object SparkEntry {
       name == "d_stream_spans" || name == "g_stream_retention" ||
       name == "pipe_stream_clean" ||
       name == "t_stream_dataset_card" || name == "s_stream_ann_lsh" ||
-      name == "w_stream_rolling_7d" || name == "t_stream_heavy_hitters"
+      name == "w_stream_rolling_7d" || name == "t_stream_heavy_hitters" ||
+      name == "w_stream_anomaly"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -81,6 +82,15 @@ object SparkEntry {
     // interval-union busy time per day (utilization twin of the
     // peak-concurrency sweep, same two-pass distributed prefix sum)
     "w_interval_coverage"  -> (EventQueries.wIntervalCoverage _),
+    // daily-count anomaly days per type: integer-exact 2-sigma test
+    // (no float compare anywhere in the detection set)
+    "w_anomaly_zscore"     -> (EventQueries.wAnomalyZscore _),
+    // incremental twin: daily count grid as a summing MV, shared
+    // detector applied at read; same oracle as the batch query
+    "w_stream_anomaly"     -> ((s, d) =>
+      graft.streaming.StreamingAnomaly.wStreamAnomaly(s, d)),
+    // SCD type-2 history: per-user state runs -> validity intervals
+    "k_scd2_history"       -> (EventQueries.kScd2History _),
     "w_hourly_window"      -> (EventQueries.wHourlyWindow _),
     "w_asof_join"          -> (EventQueries.wAsofJoin _),
     "w_range_join"         -> ((s, d) => EventQueries.wRangeJoin(s, d)),
@@ -139,6 +149,9 @@ object SparkEntry {
     "t_chunk_windows"   -> ((s, d) => TextAnalysis.tChunkWindows(s, d)),
     // greedy quality-ranked selection under a per-source token budget
     "t_curate_budget"   -> ((s, d) => TextAnalysis.tCurateBudget(s, d)),
+    // mixture rebalancing: bottleneck-capped feasible mix + sampling
+    // rates from target domain weights
+    "t_mixture_plan"    -> ((s, d) => TextAnalysis.tMixturePlan(s, d)),
     // incremental twin: summing-MV card maintained by the real
     // streaming engine (checkpoint, mid-stream restart, merge);
     // same oracle as the batch card
@@ -183,6 +196,9 @@ object SparkEntry {
     // canonical keeper per duplicate group (longest doc, min-id ties)
     // + remap table — the post-components curation policy
     "d_cluster_rep"     -> ((s, d) => Dedup.dClusterRep(s, d)),
+    // edit-distance-1 vocabulary pairs via the deletion-neighborhood
+    // (FastSS) candidate join + exact levenshtein verify
+    "d_fuzzy_token_pairs" -> ((s, d) => Dedup.dFuzzyTokenPairs(s, d)),
     // full cleaning pipeline: gates -> exact dedup -> near-dup removal
     "pipe_corpus_clean" -> (CorpusPipeline.pipeCorpusClean _),
     // incremental twin through the real streaming engine (checkpoint,
@@ -269,6 +285,29 @@ object SparkEntry {
       |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
       |    AS rolling_7d
       |FROM daily ORDER BY event_type, epoch_day""".stripMargin
+
+  /** The integer-exact 2σ anomaly oracle — shared by the batch query
+    * and the streaming summing-MV twin. The detection predicate is the
+    * division-free (n·c − s1)² > 4·(n·s2 − s1²) form, so the flagged
+    * set involves no float comparison in either engine. */
+  private val anomalySql: String =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS epoch_day,
+      |    CAST(COUNT(*) AS BIGINT) AS day_count
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(day_count) AS BIGINT) AS s1,
+      |    CAST(SUM(day_count * day_count) AS BIGINT) AS s2
+      |  FROM d GROUP BY event_type)
+      |SELECT d.event_type, d.epoch_day, d.day_count, st.n_days,
+      |  CAST(st.s1 AS DOUBLE) / CAST(st.n_days AS DOUBLE) AS mean_count,
+      |  (st.n_days * d.day_count - st.s1) > 0 AS is_high
+      |FROM d JOIN st USING (event_type)
+      |WHERE (st.n_days * d.day_count - st.s1) *
+      |      (st.n_days * d.day_count - st.s1) >
+      |      4 * (st.n_days * st.s2 - st.s1 * st.s1)
+      |ORDER BY event_type, epoch_day""".stripMargin
 
   /** The φ-fraction heavy-hitter oracle — exact counts with the
     * ceil(φ·N) threshold; shared by the batch CMS-pruned query and its
@@ -1387,6 +1426,68 @@ object SparkEntry {
     "t_heavy_hitters" -> heavyHittersSql,
     // the streaming twin accumulates to the same exact counts
     "t_stream_heavy_hitters" -> heavyHittersSql,
+    "w_anomaly_zscore" -> anomalySql,
+    // the streaming twin accumulates to the same daily grid
+    "w_stream_anomaly" -> anomalySql,
+    "k_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts_us, event_id, event_type,
+        |    CASE WHEN LAG(event_type) OVER w IS NULL
+        |           OR LAG(event_type) OVER w <> event_type
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |r AS (
+        |  SELECT user_id, ts_us, event_type,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM m),
+        |runs AS (
+        |  SELECT user_id, run_id, MIN(event_type) AS state,
+        |    MIN(ts_us) AS valid_from_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM r GROUP BY user_id, run_id)
+        |SELECT user_id, state, valid_from_us,
+        |  LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id)
+        |    AS valid_to_us,
+        |  n_events,
+        |  LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id)
+        |    IS NULL AS is_current
+        |FROM runs ORDER BY user_id, valid_from_us""".stripMargin,
+    "t_mixture_plan" ->
+      """WITH a AS (
+        |  SELECT 'domain_' || (CAST(substring(source, 4, 10) AS INT) % 4)
+        |      AS domain,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS avail_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT domain, avail_tokens,
+        |    CASE domain WHEN 'domain_0' THEN 0.4 WHEN 'domain_1' THEN 0.3
+        |      WHEN 'domain_2' THEN 0.2 ELSE 0.1 END AS weight
+        |  FROM a),
+        |f AS (
+        |  SELECT domain, avail_tokens, weight,
+        |    MIN(CAST(avail_tokens AS DOUBLE) / weight) OVER ()
+        |      AS feasible_total
+        |  FROM w)
+        |SELECT domain, avail_tokens, CAST(weight AS DOUBLE) AS weight,
+        |  CAST(FLOOR(weight * feasible_total) AS BIGINT) AS plan_tokens,
+        |  CAST(CAST(FLOOR(weight * feasible_total) AS BIGINT) AS DOUBLE) /
+        |    CAST(avail_tokens AS DOUBLE) AS sampling_rate
+        |FROM f ORDER BY domain""".stripMargin,
+    "d_fuzzy_token_pairs" ->
+      """WITH v0 AS (SELECT DISTINCT
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |v AS (SELECT t FROM v0
+        |      UNION SELECT substring(t, 2) FROM v0 WHERE length(t) >= 4)
+        |SELECT a.t AS tok_a, b.t AS tok_b
+        |FROM v a JOIN v b ON a.t < b.t
+        |WHERE levenshtein(a.t, b.t) = 1
+        |ORDER BY tok_a, tok_b""".stripMargin,
     "t_chunk_windows" ->
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(trim(text), '\s+') AS t FROM documents),

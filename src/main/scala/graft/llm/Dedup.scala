@@ -551,6 +551,52 @@ object Dedup {
     labels
   }
 
+  /** FUZZY token pairs — all vocabulary pairs within edit distance 1
+    * via the DELETION-NEIGHBORHOOD join (the FastSS candidate scheme,
+    * Bocek et al. 2007 — public literature): two strings are within
+    * one edit iff they share a member of each other's {self} ∪
+    * {single-char deletions} key sets, so an equi-join on those keys
+    * has recall 1 BY CONSTRUCTION for distance ≤ 1; an exact
+    * `levenshtein` then verifies the survivors (a shared deletion can
+    * also come from a transposition at distance 2). The candidates-
+    * then-verify design language of the dedup families, applied to the
+    * typo/variant-normalization pass of corpus cleaning.
+    *
+    * This corpus's natural vocabulary is mutually distant (zero
+    * edit-1 pairs), so the input models a TYPO FEED the way
+    * [[dExactDedup]] models re-inserts: the distinct tokens unioned
+    * with their first-char-deletion variants (length ≥ 4 — derivable
+    * identically in the oracle's SQL).
+    *
+    * Scale shape: keys per token = length+1 (bounded by token length),
+    * the self-join is a hash equi-join on the key — no cross join, no
+    * broadcast of the vocabulary. At web scale short tokens' deletion
+    * keys get hot ("a", 1-char keys); production caps the neighborhood
+    * at token length ≥ 3 or drops keys above a document-frequency
+    * bound — the same hot-bucket countermeasure as the prefix family's
+    * rarest-shingle keys. */
+  def dFuzzyTokenPairs(spark: SparkSession, dir: String): DataFrame = {
+    val vocab0 = documents(spark, dir)
+      .repartition(col("doc_id")) // parallelize the narrow stage
+      .select(explode(tokens(col("text"))).as("t"))
+      .distinct()
+    val vocab = vocab0.unionByName(
+        vocab0.filter(length(col("t")) >= 4)
+          .select(expr("substring(t, 2)").as("t")))
+      .distinct()
+    val keyed = vocab.select(col("t"), explode(expr(
+      """array_distinct(concat(array(t),
+        |  transform(sequence(1, length(t)),
+        |    i -> concat(substring(t, 1, i - 1), substring(t, i + 1)))))"""
+        .stripMargin)).as("k"))
+    keyed.as("a").join(keyed.as("b"), col("a.k") === col("b.k"))
+      .filter(col("a.t") < col("b.t"))
+      .select(col("a.t").as("tok_a"), col("b.t").as("tok_b"))
+      .distinct()
+      .filter(levenshtein(col("tok_a"), col("tok_b")) === 1)
+      .orderBy(col("tok_a"), col("tok_b"))
+  }
+
   /** Per-document shingle NOVELTY — the memorization-risk metric of a
     * training corpus: for each doc, the fraction of its distinct
     * 3-token shingles that appear in NO other document (novelty 0 = the

@@ -731,6 +731,52 @@ object TextAnalysis {
       .orderBy(col("source"), col("cum_before"))
   }
 
+  /** Data-MIXTURE plan: given target domain weights, compute the
+    * largest feasible training mix and the per-domain sampling rates —
+    * the mixture-rebalancing arithmetic (DoReMi-style fixed target
+    * weights; the weights here are configuration, the operator is the
+    * distributed accounting). Sources group into 4 domains
+    * (source number mod 4) with target shares 0.4/0.3/0.2/0.1; the
+    * BOTTLENECK domain (min available/weight) caps the total feasible
+    * token count T, each domain then contributes floor(weight·T).
+    *
+    * Determinism: available tokens are exact integer sums; T and the
+    * plan derive through single double divisions/multiplications on
+    * identical operands, so floor lands identically cross-engine.
+    *
+    * Scale shape: one hash-partitioned aggregation to a DOMAIN-BOUNDED
+    * relation, then window math over those few rows — the corpus is
+    * touched once, narrowly. */
+  def tMixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val weights = map(
+      lit("domain_0"), lit(0.4), lit("domain_1"), lit(0.3),
+      lit("domain_2"), lit(0.2), lit("domain_3"), lit(0.1))
+    val avail = documents(spark, dir)
+      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
+      .withColumn("domain",
+        concat(lit("domain_"),
+          (expr("CAST(substring(source, 4, 10) AS INT)") % 4)))
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .groupBy(col("domain"))
+      .agg(sum(col("n_tokens")).as("avail_tokens"))
+      .withColumn("weight", element_at(weights, col("domain")))
+    // the bottleneck cap over the domain-bounded relation (≤4 rows —
+    // the unpartitioned window is deliberate and harmless here)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    avail
+      .withColumn("feasible_total",
+        min(col("avail_tokens").cast("double") / col("weight")).over(wAll))
+      .withColumn("plan_tokens",
+        floor(col("weight") * col("feasible_total")).cast("long"))
+      .withColumn("sampling_rate",
+        col("plan_tokens").cast("double") /
+          col("avail_tokens").cast("double"))
+      .select(col("domain"), col("avail_tokens"), col("weight"),
+        col("plan_tokens"), col("sampling_rate"))
+      .orderBy(col("domain"))
+  }
+
   /** Content fingerprints per document: full md5 of the raw text, md5 of
     * the whitespace/case-normalized text (the exact-dedup key), a 64-bit
     * prefix fingerprint, and the distinct 3-token shingle count (the

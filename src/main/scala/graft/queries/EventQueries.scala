@@ -266,6 +266,93 @@ object EventQueries {
       .orderBy(col("epoch_day"))
   }
 
+  /** INTEGER-EXACT z-score anomaly read over a (event_type, epoch_day,
+    * day_count) daily grid — shared by the batch query and the
+    * streaming summing-MV twin (one detector, two grid builders).
+    *
+    * The 2σ test runs in EXACT integer arithmetic: with per-type
+    * n = #days, s1 = Σc, s2 = Σc², the flag
+    * (c − μ)² > 4σ²  ⇔  (n·c − s1)² > 4·(n·s2 − s1²)
+    * multiplies both sides by n² so no division, no sqrt, no float
+    * compare ever happens — the detection set is bit-free deterministic
+    * in any engine (μ, σ are population moments; magnitudes stay well
+    * inside int64 for day counts × day counts × days). `mean_count` is
+    * exposed as the single double division s1/n for readability. */
+  private[graft] def anomalyFromDaily(daily: DataFrame): DataFrame = {
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("day_count")).as("s1"),
+        sum(col("day_count") * col("day_count")).as("s2"))
+    daily.join(stats, Seq("event_type"))
+      .withColumn("dev_n", col("n_days") * col("day_count") - col("s1"))
+      .withColumn("var_n2",
+        col("n_days") * col("s2") - col("s1") * col("s1"))
+      .filter(col("dev_n") * col("dev_n") > lit(4L) * col("var_n2"))
+      .withColumn("mean_count",
+        col("s1").cast("double") / col("n_days").cast("double"))
+      .withColumn("is_high", col("dev_n") > 0L)
+      .select(col("event_type"), col("epoch_day"), col("day_count"),
+        col("n_days"), col("mean_count"), col("is_high"))
+      .orderBy(col("event_type"), col("epoch_day"))
+  }
+
+  /** Daily-count ANOMALY detection per event type: days whose event
+    * count sits more than 2 population standard deviations from that
+    * type's mean — the data-quality tripwire over ingest volumes
+    * (broken feed, replay storm, silent drop), done with the
+    * integer-exact test of [[anomalyFromDaily]].
+    *
+    * Scale shape: one hash-partitioned daily aggregation (map-side
+    * combined), a type-bounded stats aggregate joined back (AQE
+    * broadcasts it on size), then a narrow filter. No windows, no
+    * global sort. */
+  def wAnomalyZscore(spark: SparkSession, dir: String): DataFrame =
+    anomalyFromDaily(
+      events(spark, dir)
+        .withColumn("epoch_day", expr(s"ts DIV ${NanosPerDay}L"))
+        .groupBy(col("event_type"), col("epoch_day"))
+        .agg(count(lit(1)).as("day_count")))
+
+  /** SCD TYPE-2 dimension history from the event stream: each user's
+    * event_type sequence collapses into validity intervals — one row
+    * per consecutive-state RUN with [valid_from, valid_to) bounds,
+    * where valid_to is the next run's start and the open run is marked
+    * current (the slowly-changing-dimension history table the
+    * reference's ReplacingMergeTree family stores the LATEST row of;
+    * this keeps the full history, the other half of that design
+    * space).
+    *
+    * Mechanics: lag detects state changes, a per-user running sum
+    * numbers the runs, runs aggregate to intervals, lead supplies the
+    * next run's start. All windows partition BY USER (per-user event
+    * counts are bounded); µs-truncated time for oracle parity. */
+  def kScd2History(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val runs = e
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(wOrd).isNull ||
+          lag(col("event_type"), 1).over(wOrd) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"))
+      // every row in a run shares one event_type, so min IS that state
+      // (first() in an agg is order-undefined; min is deterministic)
+      .agg(min(col("event_type")).as("state"),
+        min(col("ts_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    runs
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wRun))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("user_id"), col("state"), col("valid_from_us"),
+        col("valid_to_us"), col("n_events"), col("is_current"))
+      .orderBy(col("user_id"), col("valid_from_us"))
+  }
+
   /** Interval-union COVERAGE per day — the utilization twin of
     * [[wPeakConcurrency]]: how many microseconds of each epoch-day have
     * at least one session open, across all users (sessions overlap

@@ -964,6 +964,30 @@ class LlmOpsSpec extends AnyFunSuite {
     got.foreach { case (_, fi, pi, _, _, _) => assert(fi - pi === 4L) }
   }
 
+  test("fuzzy token pairs equal brute-force edit-distance-1 over the " +
+    "modeled vocabulary — deletion neighborhood has recall 1") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab0 = Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val vocab = vocab0 ++ vocab0.filter(_.length >= 4).map(_.drop(1))
+    val expect = (for {
+      a <- vocab; b <- vocab if a < b && lev(a, b) == 1
+    } yield (a, b)).toSet
+    val got = Dedup.dFuzzyTokenPairs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("multimodal decode computes byte stats from the payload") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, dir)

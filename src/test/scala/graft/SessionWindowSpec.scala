@@ -127,6 +127,90 @@ class SessionWindowSpec extends AnyFunSuite {
     assert(busy.values.sum < sessions.map(iv => iv._2 - iv._1).sum)
   }
 
+  test("anomaly days equal an exact integer replay of the 2-sigma test") {
+    val daily = Tables.events(spark, dir)
+      .groupBy(org.apache.spark.sql.functions.expr(
+        s"ts DIV ${86400L * 1000000000L}L").as("day"), col("event_type"))
+      .count().collect()
+      .map(r => ((r.getString(1), r.getLong(0)), r.getLong(2))).toMap
+    val byType = daily.groupBy(_._1._1)
+    val expect = byType.flatMap { case (et, cells) =>
+      val n = cells.size.toLong
+      val s1 = cells.values.sum
+      val s2 = cells.values.map(c => c * c).sum
+      cells.collect {
+        case ((_, day), c) if {
+          val dev = n * c - s1
+          dev * dev > 4L * (n * s2 - s1 * s1)
+        } => (et, day, c, n, s1.toDouble / n, n * c - s1 > 0)
+      }
+    }.toSet
+    val got = queries.EventQueries.wAnomalyZscore(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // both tails can trigger; at minimum the flagged days genuinely
+    // deviate: no flagged day equals its type's mean
+    got.foreach { case (_, _, c, n, mean, _) =>
+      assert(c.toDouble != mean)
+      assert(n > 0)
+    }
+  }
+
+  test("SCD2 history equals a per-user sequential fold and tiles time") {
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"),
+        org.apache.spark.sql.functions.expr("ts DIV 1000").as("ts_us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val got = queries.EventQueries.kScd2History(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4),
+        r.getBoolean(5)))
+      .groupBy(_._1)
+    assert(got.keySet === evs.keySet)
+    evs.foreach { case (uid, rows) =>
+      // fold the ordered event sequence into (state, from, n) runs
+      val ordered = rows.sortBy(e => (e._2, e._3))
+      val runs = ordered.foldLeft(List.empty[(String, Long, Long)]) {
+        case ((st, from, n) :: rest, (_, ts, _, et)) if st == et =>
+          (st, from, n + 1) :: rest
+        case (acc, (_, ts, _, et)) => (et, ts, 1L) :: acc
+      }.reverse
+      val expect = runs.zipWithIndex.map { case ((st, from, n), i) =>
+        val to = if (i + 1 < runs.length) Some(runs(i + 1)._2) else None
+        (uid, st, from, to, n, to.isEmpty)
+      }
+      val mine = got(uid).sortBy(_._3).toList
+      assert(mine === expect, s"user $uid")
+      // intervals tile: each run's end is the next run's start, exactly
+      // one open (current) run per user
+      assert(mine.count(_._6) === 1)
+    }
+  }
+
+  test("mixture plan: bottleneck domain caps the mix, rates stay in " +
+    "(0, 1], and plans respect the weights") {
+    val rows = graft.llm.TextAnalysis.tMixturePlan(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).sorted.toSeq ===
+      Seq("domain_0", "domain_1", "domain_2", "domain_3"))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-12)
+    val feasible = rows.map(r => r._2.toDouble / r._3).min
+    rows.foreach { case (d, avail, w, plan, rate) =>
+      assert(plan === math.floor(w * feasible).toLong, s"$d plan")
+      assert(plan <= avail, s"$d overdraws its domain")
+      assert(rate > 0.0 && rate <= 1.0, s"$d rate $rate")
+    }
+    // the bottleneck domain is taken (nearly) whole: its plan is within
+    // one floor-rounding of its availability
+    val bottleneck = rows.minBy(r => r._2.toDouble / r._3)
+    assert(bottleneck._2 - bottleneck._4 <= 1L)
+  }
+
   test("retention cohorts: day-0 cells are cohort sizes that bound every " +
     "later offset and sum to the user universe") {
     val r = queries.EventQueries.gRetentionCohorts(spark, dir).collect()

@@ -423,6 +423,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming anomaly grid (restart + mid-sequence merge) flags " +
+    "exactly the batch detector's days") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingAnomaly
+      .wStreamAnomaly(spark, dir)
+      .collect().map(_.toString).toSeq
+    val batch = graft.queries.EventQueries.wAnomalyZscore(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch) // identical rows, order, and moments
+    assert(streamed.nonEmpty)
+  }
+
   test("watermark drops late events: a row older than the watermark " +
     "never reaches an already-closed window") {
     // the semantic the declared queries' batch twins cannot show: in
