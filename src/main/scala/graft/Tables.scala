@@ -22,6 +22,20 @@ object Tables {
     // µs precision instead are normalized in [[events]].
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // AQE's small-partition floor (minPartitionSize, default 1 MB)
+    // coalesces every post-shuffle stage of a BYTE-small input to ONE
+    // task — which un-does the `repartition(col("doc_id"))` fan-outs in
+    // front of the CPU-bound narrow stages (codecs, hashing, shingling):
+    // measured 5000 media assets encoding+decoding in a single task,
+    // 2.2 s warm, vs 0.5 s across 32 once the floor is dropped.
+    // `parallelismFirst` (default true) already prefers parallelism
+    // over the 64 MB advisory target; removing the floor lets it
+    // actually reach defaultParallelism on small-bytes/heavy-CPU
+    // relations. At production scale partitions dwarf 1 MB, so this
+    // changes nothing there; results are partition-count independent by
+    // design (decimal-exact or order-free aggregation everywhere).
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
     graft.functions.GraftFunctions.register(spark)
     spark
   }

@@ -55,6 +55,13 @@ object Multimodal {
       concat(lit("mediaTable: NULL or non-ASCII text (bytes != chars) " +
         "for doc_id="), col("doc_id")))
     documents(spark, dir)
+      // the documents file is one scan split at test SFs, and every
+      // downstream codec pass (PNG encode, decode, frame series) is
+      // CPU-bound per row — hash the assets across the cluster before
+      // that work, not after (the same idiom as the text operators'
+      // narrow stages; at production scale the media table is already
+      // many splits and this is a cheap no-op-shaped exchange)
+      .repartition(col("doc_id"))
       .select(
         col("doc_id").cast("long").as("doc_id"),
         lit("image/raw").as("media_type"),
@@ -367,6 +374,16 @@ object Multimodal {
     val frameBytes = fw * fh
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false) // once per partition
+      // ONE PNG writer per partition (= per task thread): the
+      // ImageIO.write convenience entry scans the synchronized codec
+      // registry per call, which serializes the 32 task threads when a
+      // series has tens of thousands of frames — the registry lock,
+      // not the compression, was the measured hot spot. The writer
+      // instance is thread-confined here, and its output bytes are
+      // identical to the convenience path (same PNGImageWriter, same
+      // default write param).
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
       rows.map { r =>
         val padded = new Array[Byte](r.width * r.height)
         System.arraycopy(r.payload, 0, padded, 0,
@@ -382,7 +399,11 @@ object Multimodal {
             java.util.Arrays.copyOfRange(
               padded, f * frameBytes, (f + 1) * frameBytes))
           val frameOut = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", frameOut)
+          val ios = new javax.imageio.stream
+            .MemoryCacheImageOutputStream(frameOut)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.flush()
           val bytes = frameOut.toByteArray
           dos.writeInt(bytes.length)
           dos.write(bytes)
@@ -403,6 +424,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false) // once per partition
+      // ONE PNG reader per partition, for the same registry-lock
+      // reason as the writer in [[encodeFrameSeries]]; decoded rasters
+      // are identical to the ImageIO.read convenience path.
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
       rows.flatMap { r =>
         val in = new java.io.DataInputStream(
           new java.io.ByteArrayInputStream(r.payload))
@@ -417,8 +443,12 @@ object Multimodal {
         }.takeWhile(_.isDefined).map(_.get)
         frames.zipWithIndex.collect {
           case (bytes, idx) if idx % every == 0 =>
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))
+            reader.setInput(new javax.imageio.stream
+              .MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bytes)), true, true)
+            val img =
+              try reader.read(0)
+              catch { case _: javax.imageio.IIOException => null }
             require(img != null,
               s"sampleFrameSeries: undecodable frame $idx for " +
                 s"doc_id=${r.doc_id} (${bytes.length} bytes)")
@@ -520,6 +550,7 @@ object Multimodal {
       concat(lit("audioTable: NULL or non-ASCII text (bytes != chars) " +
         "for doc_id="), col("doc_id")))
     documents(spark, dir)
+      .repartition(col("doc_id")) // parallelize the codec passes (see mediaTable)
       .select(
         col("doc_id").cast("long").as("doc_id"),
         lit("audio/pcm").as("media_type"),
