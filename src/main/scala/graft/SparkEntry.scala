@@ -91,6 +91,8 @@ object SparkEntry {
       graft.streaming.StreamingAnomaly.wStreamAnomaly(s, d)),
     // SCD type-2 history: per-user state runs -> validity intervals
     "k_scd2_history"       -> (EventQueries.kScd2History _),
+    // dense hourly grid with forward fill (gap-filled time series)
+    "w_gap_fill"           -> ((s, d) => EventQueries.wGapFill(s, d)),
     "w_hourly_window"      -> (EventQueries.wHourlyWindow _),
     "w_asof_join"          -> (EventQueries.wAsofJoin _),
     "w_range_join"         -> ((s, d) => EventQueries.wRangeJoin(s, d)),
@@ -199,6 +201,9 @@ object SparkEntry {
     // edit-distance-1 vocabulary pairs via the deletion-neighborhood
     // (FastSS) candidate join + exact levenshtein verify
     "d_fuzzy_token_pairs" -> ((s, d) => Dedup.dFuzzyTokenPairs(s, d)),
+    // block-granularity (paragraph-grain) dedup report over the
+    // spans remix corpus
+    "d_block_dedup"     -> ((s, d) => Dedup.dBlockDedup(s, d)),
     // full cleaning pipeline: gates -> exact dedup -> near-dup removal
     "pipe_corpus_clean" -> (CorpusPipeline.pipeCorpusClean _),
     // incremental twin through the real streaming engine (checkpoint,
@@ -218,6 +223,8 @@ object SparkEntry {
     // iterations as CTEs and hash-matches exactly
     "s_ann_kmeans"      -> ((s, d) => Similarity.sAnnKmeans(s, d)),
     "s_ann_pq"          -> ((s, d) => Similarity.sAnnPq(s, d)),
+    // per-dimension affine int8 quantization + exact error accounting
+    "s_quantize_int8"   -> ((s, d) => Similarity.sQuantizeInt8(s, d)),
     "mm_media_features" -> (Multimodal.mmMediaFeatures _),
     "mm_resize"         -> (Multimodal.mmResize _),
     "mm_frame_sample"   -> (Multimodal.mmFrameSample _),
@@ -1478,6 +1485,59 @@ object SparkEntry {
         |  CAST(CAST(FLOOR(weight * feasible_total) AS BIGINT) AS DOUBLE) /
         |    CAST(avail_tokens AS DOUBLE) AS sampling_rate
         |FROM f ORDER BY domain""".stripMargin,
+    "w_gap_fill" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS epoch_hour,
+        |    SUM(CAST(value AS DECIMAL(28,2))) AS hour_dec
+        |  FROM events WHERE value >= 90.0 GROUP BY 1, 2),
+        |g AS (SELECT event_type, unnest(range(mn, mx + 1)) AS epoch_hour
+        |  FROM (SELECT event_type, MIN(epoch_hour) AS mn, MAX(epoch_hour) AS mx
+        |        FROM d GROUP BY 1) b),
+        |j AS (SELECT g.event_type, g.epoch_hour, d.hour_dec
+        |  FROM g LEFT JOIN d USING (event_type, epoch_hour))
+        |SELECT event_type, epoch_hour,
+        |  CAST(LAST_VALUE(hour_dec IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY epoch_hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS hour_value,
+        |  hour_dec IS NULL AS is_filled
+        |FROM j ORDER BY event_type, epoch_hour""".stripMargin,
+    // same modeled remix corpus as d_dup_spans, cut into aligned
+    // non-overlapping 12-token blocks; dup = block in >= 2 documents
+    "d_block_dedup" -> (spansCorpusCte + "\n" +
+      """tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM corpus),
+        |blk AS (SELECT doc_id, md5(b) AS bh FROM (
+        |    SELECT doc_id, unnest(list_transform(range(0, len(t), 12),
+        |      s -> array_to_string(list_slice(t, s + 1, s + 12), ' '))) AS b
+        |    FROM tk) x),
+        |df AS (SELECT bh, COUNT(*) AS bdf FROM (
+        |    SELECT DISTINCT doc_id, bh FROM blk) u GROUP BY bh)
+        |SELECT blk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN df.bdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_blocks,
+        |  CAST(CAST(SUM(CASE WHEN df.bdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+        |FROM blk JOIN df USING (bh)
+        |GROUP BY blk.doc_id ORDER BY blk.doc_id""".stripMargin),
+    "s_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |x AS (SELECT vec_id, dd.d, emb[dd.d] AS v
+        |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd),
+        |b AS (SELECT d, MIN(v) AS mn, (MAX(v) - MIN(v)) / 256.0 AS sc
+        |  FROM x GROUP BY d),
+        |er AS (SELECT x.vec_id, x.d,
+        |    x.v - (CASE WHEN b.sc = 0 THEN b.mn
+        |      ELSE b.mn + (LEAST(255.0, FLOOR((x.v - b.mn) / b.sc)) + 0.5)
+        |        * b.sc END) AS ev
+        |  FROM x JOIN b USING (d)),
+        |l AS (SELECT vec_id, list(ev ORDER BY d) AS evs
+        |  FROM er GROUP BY vec_id)
+        |SELECT vec_id,
+        |  list_max(list_transform(evs, v -> abs(v))) AS max_abs_err,
+        |  list_sum(list_transform(evs, v -> v * v)) AS sum_sq_err
+        |FROM l ORDER BY vec_id""".stripMargin,
     "d_fuzzy_token_pairs" ->
       """WITH v0 AS (SELECT DISTINCT
         |    unnest(string_split_regex(trim(text), '\s+')) AS t

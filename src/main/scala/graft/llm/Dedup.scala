@@ -551,6 +551,46 @@ object Dedup {
     labels
   }
 
+  /** BLOCK-granularity dedup report — the paragraph-grain middle of
+    * the dedup family (document-level exact dedup above, overlapping
+    * 8-token spans below): cut each document into NON-overlapping
+    * 12-token blocks (this corpus has no sentence boundaries, so the
+    * fixed-width block plays the paragraph; the operator shape is the
+    * Falcon/RefinedWeb repeated-paragraph signal either way), count
+    * each block's distinct-document frequency corpus-wide, and report
+    * per document how much of it is boilerplate. Runs over the SAME
+    * modeled remix corpus as [[dDupSpans]] — every remix shares its
+    * aligned head block with its source, so block-level duplication is
+    * genuinely present and one-sided glue stays unique.
+    *
+    * Scale shape: one narrow chunk explode to (doc, block md5) rows
+    * (the hash collapses blocks to fixed-width keys before the
+    * shuffle), one hash-partitioned distinct-doc count per key, one
+    * join back, one per-doc aggregate — the [[dShingleNovelty]]
+    * profile at block grain; nothing broadcast (the block vocabulary
+    * grows with the corpus). */
+  def dBlockDedup(spark: SparkSession, dir: String,
+      block: Int = 12): DataFrame = {
+    val blocks = QueryCaches.persistTracked(
+      spansCorpus(documents(spark, dir))
+        .repartition(col("doc_id")) // parallelize the narrow stage
+        .withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+        .select(col("doc_id"),
+          explode(expr(s"transform(sequence(0, n - 1, $block), " +
+            s"s -> concat_ws(' ', slice(t, s + 1, $block)))")).as("blk"))
+        .select(col("doc_id"), md5(col("blk")).as("bh")))
+    val docFreq = blocks.select(col("doc_id"), col("bh")).distinct()
+      .groupBy(col("bh")).agg(count(lit(1)).as("bdf"))
+    blocks.join(docFreq, Seq("bh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("bdf") >= 2, 1L).otherwise(0L)).as("n_dup_blocks"))
+      .withColumn("dup_ratio",
+        col("n_dup_blocks").cast("double") / col("n_blocks").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   /** FUZZY token pairs — all vocabulary pairs within edit distance 1
     * via the DELETION-NEIGHBORHOOD join (the FastSS candidate scheme,
     * Bocek et al. 2007 — public literature): two strings are within

@@ -546,6 +546,63 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Affine INT8 quantization of the embedding corpus with exact error
+    * accounting — the production storage trick for embedding tables
+    * (4× smaller than float32, 8× smaller than the float64 compute
+    * form; PQ above compresses harder but lossier — this is the
+    * other point on that curve). Per-DIMENSION affine grid: over the
+    * corpus, dim i gets [min_i, max_i], scale_i = range/256, code =
+    * clamp(floor((x−min)/scale), 0..255), dequant = min + (code+0.5)·
+    * scale (midpoint reconstruction). Output per vector: max absolute
+    * reconstruction error and the summed squared error.
+    *
+    * Determinism: min/max are exact; every per-element expression is
+    * single-op double arithmetic on identical operands; the error
+    * folds run as SEQUENTIAL `aggregate` higher-order folds, matching
+    * the DuckDB oracle's list folds bit-for-bit. `floor`, not
+    * `round` — round's half-way rule differs across engines, floor
+    * doesn't. A constant dimension (range 0) keeps code 0 and
+    * reconstructs as its min (CASE-guarded identically in the
+    * oracle).
+    *
+    * Scale shape: the per-dim bounds are ONE aggregation with d·2
+    * cells (posexplode + map-side combine) collected and shipped back
+    * as typedLit constants ([[withScoreArray]]'s codegen-stable
+    * pattern); the quantize+error pass is a narrow map. */
+  def sQuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(embeddings(spark, dir))
+      .select(col("vec_id"), col("emb"))
+    val bounds = e
+      .select(posexplode(col("emb")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).map(_._2)
+    val mins = typedLit(bounds.map(_._1).toIndexedSeq)
+    val scales = typedLit(bounds.map { case (mn, mx) =>
+      (mx - mn) / 256.0 }.toIndexedSeq)
+    val d = bounds.length
+    // per-element: code then midpoint dequant then error, all inside
+    // one transform over the dimension index
+    val errs = transform(sequence(lit(0), lit(d - 1)), i => {
+      val x = element_at(col("emb"), i + lit(1))
+      val mn = element_at(mins, i + lit(1))
+      val sc = element_at(scales, i + lit(1))
+      val code = when(sc === 0.0, lit(0.0))
+        .otherwise(least(lit(255.0), floor((x - mn) / sc)))
+      val dq = when(sc === 0.0, mn)
+        .otherwise(mn + (code + lit(0.5)) * sc)
+      x - dq
+    })
+    e.withColumn("__err", errs)
+      .withColumn("max_abs_err", expr(
+        "aggregate(__err, cast(0.0 as double), (a, v) -> greatest(a, abs(v)))"))
+      .withColumn("sum_sq_err", expr(
+        "aggregate(__err, cast(0.0 as double), (a, v) -> a + v * v)"))
+      .select(col("vec_id"), col("max_abs_err"), col("sum_sq_err"))
+      .orderBy(col("vec_id"))
+  }
+
   /** SEMANTIC dedup — the cluster-then-prune embedding dedup of Abbas
     * et al., "SemDeDup: Data-efficient learning at web-scale through
     * semantic deduplication", 2023 (public literature): train a coarse

@@ -424,6 +424,48 @@ object EventQueries {
       .orderBy(col("epoch_day"))
   }
 
+  /** GAP-FILLED hourly series with forward fill — the time-series
+    * regularization every dashboard/train-data export needs: per event
+    * type, the high-value (≥ 90) revenue series materializes densely
+    * over the type's [first, last] HOUR range (silent hours get a
+    * row), missing values carry forward from the last observed hour,
+    * and `is_filled` marks synthesized rows. (Hour grain + the value
+    * gate because this corpus's daily × type grid is fully dense —
+    * a gap-fill over it would never fill anything.)
+    *
+    * Mechanics: per-type hour bounds → `sequence` explode to the dense
+    * grid (grid-bounded, not event-bounded) → left join the real
+    * hourly DECIMAL sums → `last(_, ignoreNulls)` over the per-type
+    * hour order. The first grid hour is observed by construction, so
+    * forward fill never reads past the start.
+    *
+    * Scale shape: events aggregate once (hash-partitioned, map-side
+    * combined, the value filter pushed to the scan); everything after
+    * runs on the hours × types grid. Windows partition by type over
+    * that grid — bounded by the time range, not the event count. */
+  def wGapFill(spark: SparkSession, dir: String,
+      minValue: Double = 90.0): DataFrame = {
+    val nanosPerHour = 3600L * 1000000000L
+    val hourly = events(spark, dir)
+      .filter(col("value") >= minValue)
+      .withColumn("epoch_hour", expr(s"ts DIV ${nanosPerHour}L"))
+      .groupBy(col("event_type"), col("epoch_hour"))
+      .agg(sum(col("value").cast("decimal(28,2)")).as("hour_dec"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("epoch_hour")).as("h0"), max(col("epoch_hour")).as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1)")).as("epoch_hour"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("epoch_hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "epoch_hour"), "left")
+      .withColumn("is_filled", col("hour_dec").isNull)
+      .withColumn("hour_value",
+        last(col("hour_dec"), ignoreNulls = true).over(w).cast("double"))
+      .select(col("event_type"), col("epoch_hour"), col("hour_value"),
+        col("is_filled"))
+      .orderBy(col("event_type"), col("epoch_hour"))
+  }
+
   /** Hourly tumbling windows through the REAL `window()` operator
     * ([[graft.streaming.WindowedActivity.hourlyCounts]] — the same
     * code serves `readStream` with a watermark); epoch-aligned window

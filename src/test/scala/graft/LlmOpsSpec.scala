@@ -988,6 +988,70 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("block dedup: every remix shares its aligned head block with its " +
+    "source; dup counts match a driver-side model") {
+    val rows = Dedup.dBlockDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    graft.QueryCaches.releaseAll()
+    val maxBase = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val shift = ("1" + "0" * maxBase.toString.length).toLong
+    // driver-side model over the same modeled corpus
+    val base = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    val corpus = base ++ base.collect {
+      case (id, t) if id % 5 == 0 && t.length >= 30 =>
+        (id + shift) -> (t.take(12) ++ Seq(s"xq${id}xq") ++ t.takeRight(12))
+    }
+    val blocks = corpus.toSeq.flatMap { case (id, t) =>
+      t.grouped(12).map(b => (id, b.mkString(" ")))
+    }
+    val docFreq = blocks.distinct.groupBy(_._2).map { case (b, xs) =>
+      b -> xs.map(_._1).distinct.size
+    }
+    val expect = blocks.groupBy(_._1).map { case (id, bs) =>
+      val dup = bs.count(b => docFreq(b._2) >= 2).toLong
+      (id, bs.length.toLong, dup, dup.toDouble / bs.length)
+    }.toSet
+    assert(rows.toSet === expect)
+    // every remix doc is flagged (its head block is its source's)
+    rows.filter(_._1 >= shift).foreach { r =>
+      assert(r._3 >= 1L, s"remix ${r._1} has no dup block")
+    }
+    assert(rows.exists(_._1 >= shift))
+  }
+
+  test("int8 quantization: reconstruction error bounded by half a grid " +
+    "step, exact on a driver-side replay") {
+    val rows = Similarity.sQuantizeInt8(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val embs = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) emb")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val d = embs.values.head.length
+    val mins = (0 until d).map(i => embs.values.map(_(i)).min).toArray
+    val maxs = (0 until d).map(i => embs.values.map(_(i)).max).toArray
+    val scales = (0 until d).map(i => (maxs(i) - mins(i)) / 256.0).toArray
+    val bound = scales.max / 2.0
+    rows.foreach { case (id, maxErr, sumSq) =>
+      assert(maxErr <= bound + 1e-12, s"vec $id err $maxErr > $bound")
+      // exact replay of the sequential folds
+      val errs = embs(id).zipWithIndex.map { case (x, i) =>
+        if (scales(i) == 0.0) x - mins(i)
+        else {
+          val code = math.min(255.0, math.floor((x - mins(i)) / scales(i)))
+          x - (mins(i) + (code + 0.5) * scales(i))
+        }
+      }
+      val mx = errs.foldLeft(0.0)((a, v) => math.max(a, math.abs(v)))
+      val ss = errs.foldLeft(0.0)((a, v) => a + v * v)
+      assert(maxErr === mx, s"vec $id max_abs_err")
+      assert(sumSq === ss, s"vec $id sum_sq_err")
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("multimodal decode computes byte stats from the payload") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, dir)

@@ -127,6 +127,36 @@ class SessionWindowSpec extends AnyFunSuite {
     assert(busy.values.sum < sessions.map(iv => iv._2 - iv._1).sum)
   }
 
+  test("gap fill densifies each type's hour range and forward-fills " +
+    "exactly the last observed value") {
+    val rows = queries.EventQueries.wGapFill(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    val byType = rows.groupBy(_._1)
+    byType.foreach { case (et, rs) =>
+      val hours = rs.map(_._2).sorted
+      // dense: every hour between first and last present exactly once
+      assert(hours.toSeq === (hours.min to hours.max).toSeq, s"$et grid")
+      val sorted = rs.sortBy(_._2)
+      assert(!sorted.head._4, s"$et first hour must be observed")
+      // forward fill: a filled hour's value equals the previous hour's
+      sorted.sliding(2).foreach {
+        case Array((_, _, prev, _), (_, hr, v, filled)) =>
+          if (filled) assert(v === prev, s"$et hour $hr fill")
+        case _ => ()
+      }
+    }
+    // gaps genuinely exist in the corpus (something was filled), and
+    // observed rows match the filtered hourly cells exactly
+    assert(rows.exists(_._4))
+    assert(rows.count(!_._4) ===
+      Tables.events(spark, dir)
+        .filter(col("value") >= 90.0)
+        .select(org.apache.spark.sql.functions.expr(
+          s"ts DIV ${3600L * 1000000000L}L").as("h"), col("event_type"))
+        .distinct().count().toInt)
+  }
+
   test("anomaly days equal an exact integer replay of the 2-sigma test") {
     val daily = Tables.events(spark, dir)
       .groupBy(org.apache.spark.sql.functions.expr(
