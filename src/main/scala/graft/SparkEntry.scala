@@ -30,7 +30,7 @@ object SparkEntry {
       name == "pipe_stream_clean" ||
       name == "t_stream_dataset_card" || name == "s_stream_ann_lsh" ||
       name == "w_stream_rolling_7d" || name == "t_stream_heavy_hitters" ||
-      name == "w_stream_anomaly"
+      name == "w_stream_anomaly" || name == "w_stream_range_join"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -96,6 +96,11 @@ object SparkEntry {
     "w_hourly_window"      -> (EventQueries.wHourlyWindow _),
     "w_asof_join"          -> (EventQueries.wAsofJoin _),
     "w_range_join"         -> ((s, d) => EventQueries.wRangeJoin(s, d)),
+    // the watermarked STREAM-STREAM interval join (symmetric join
+    // state, checkpoint-restored across a mid-stream restart);
+    // same oracle as the batch banded range join
+    "w_stream_range_join"  -> ((s, d) =>
+      graft.streaming.StreamingRangeJoin.wStreamRangeJoin(s, d)),
     "g_rollup_metrics"     -> (EventQueries.gRollupMetrics _),
     "g_grouping_sets"      -> (EventQueries.gGroupingSets _),
     "w_rolling_7d"         -> (EventQueries.wRolling7d _),
@@ -292,6 +297,17 @@ object SparkEntry {
       |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
       |    AS rolling_7d
       |FROM daily ORDER BY event_type, epoch_day""".stripMargin
+
+  /** The interval-join oracle — shared by the batch banded range join
+    * and its watermarked stream-stream twin. */
+  private val rangeJoinSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+      |SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+      |  b.ts_us - a.ts_us AS gap_us
+      |FROM e a JOIN e b ON a.user_id = b.user_id
+      |  AND a.event_id < b.event_id
+      |  AND abs(a.ts_us - b.ts_us) <= 3600000000
+      |ORDER BY a.user_id, event_a, event_b""".stripMargin
 
   /** The integer-exact 2σ anomaly oracle — shared by the batch query
     * and the streaming summing-MV twin. The detection predicate is the
@@ -1119,14 +1135,9 @@ object SparkEntry {
         |FROM e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
         |ORDER BY e.event_id""".stripMargin,
-    "w_range_join" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
-        |SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
-        |  b.ts_us - a.ts_us AS gap_us
-        |FROM e a JOIN e b ON a.user_id = b.user_id
-        |  AND a.event_id < b.event_id
-        |  AND abs(a.ts_us - b.ts_us) <= 3600000000
-        |ORDER BY a.user_id, event_a, event_b""".stripMargin,
+    "w_range_join" -> rangeJoinSql,
+    // the stream-stream watermarked join accumulates the same pairs
+    "w_stream_range_join" -> rangeJoinSql,
     "w_value_deciles" ->
       """WITH e AS (SELECT event_id, event_type, value FROM events),
         |hist AS (SELECT event_type, value, COUNT(*) AS cnt

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.sink.ParquetSink
+
+/** STREAM-STREAM interval join — the watermarked two-stream join of
+  * Structured Streaming, as the incremental twin of
+  * [[graft.queries.EventQueries.wRangeJoin]]: all same-user event
+  * pairs within one hour, discovered while BOTH sides stream in.
+  *
+  * This is the one streaming-engine feature the other twins don't
+  * exercise: symmetric join STATE. Each side buffers rows in the state
+  * store until the watermark proves no future partner can be in range
+  * — the eviction bound is the join's own time arithmetic (a row at
+  * time T can only pair within T ± 1 h, so once the watermark passes
+  * T + 1 h it retires), which keeps state O(window × rate), not
+  * O(stream). A mid-stream restart restores that state from the
+  * checkpoint, so pairs STRADDLING the stop (one side arrived before
+  * it, the partner after) are still found — asserted by the suite and
+  * by the shared oracle.
+  *
+  * Watermark sizing: delay = join window (1 h) + 1 h slack. The feed
+  * is event-time ordered (measured disorder 0 — block/event streams
+  * arrive in height order here, as in the reference), so this delay
+  * drops nothing; at production the slack term is the ingest's
+  * out-of-orderness SLA. Correctness does not ride on the EXACT
+  * timestamp type: the range condition on the µs-derived timestamps
+  * drives state eviction, while the emitted `gap_us` stays exact
+  * integer µs arithmetic, identical to the batch query and oracle.
+  *
+  * Pairs land through the PK-FINAL sink ((event_a, event_b) is a
+  * natural key), so a crash-replayed micro-batch re-inserting the
+  * same pairs is absorbed — the same at-least-once + FINAL pairing as
+  * every other sink in the engine. */
+object StreamingRangeJoin {
+
+  private val feedSchema = StructType(Seq(
+    StructField("doc_id", LongType), // event_id; the feed writer keys on doc_id
+    StructField("ts", LongType), // epoch nanos (feed carries the normalized Long)
+    StructField("user_id", LongType)))
+  private val pairPk = Seq("event_a", "event_b")
+
+  /** Drain every unseen chunk file through the watermarked two-stream
+    * join (Trigger.AvailableNow, resumable checkpoint — join state
+    * included). */
+  def runStream(spark: SparkSession, feedDir: String, warehouse: String,
+      windowUs: Long): Unit = {
+    val path = s"$warehouse/range_pairs"
+    def side(tag: String): DataFrame =
+      StreamingDedup.readDocStream(spark, feedDir, feedSchema)
+        .select(col("doc_id").as(s"event_$tag"), col("user_id").as(s"u_$tag"),
+          expr("ts DIV 1000").as(s"ts_$tag"),
+          timestamp_micros(expr("ts DIV 1000")).as(s"t_$tag"))
+        .withWatermark(s"t_$tag", "2 hours")
+    val joined = side("a").join(side("b"),
+      col("u_a") === col("u_b") &&
+        col("event_a") < col("event_b") &&
+        col("t_b") >= col("t_a") - expr(s"INTERVAL ${windowUs} MICROSECOND") &&
+        col("t_b") <= col("t_a") + expr(s"INTERVAL ${windowUs} MICROSECOND") &&
+        abs(col("ts_a") - col("ts_b")) <= windowUs)
+      .select(col("u_a").as("user_id"), col("event_a"), col("event_b"),
+        (col("ts_b") - col("ts_a")).as("gap_us"))
+    val query = joined.writeStream
+      .option("checkpointLocation", s"$warehouse/_range_checkpoint")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val batch = b.localCheckpoint()
+        if (!batch.isEmpty) {
+          val maxId = batch.agg(max(col("event_b"))).collect()(0).getLong(0)
+          ParquetSink.writeBatch(
+            batch.withColumn("block_height", col("event_b")),
+            path, maxId, pairPk)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** Declared query (`w_stream_range_join`): stream the events table
+    * through the watermarked two-stream join — two chunks, a
+    * mid-stream restart from the same checkpoint (join STATE restored,
+    * so stop-straddling pairs are found), then the full feed — and
+    * read the accumulated FINAL pair table. Equals the batch
+    * [[graft.queries.EventQueries.wRangeJoin]] and shares its oracle.
+    * Correctness-only: its cost is micro-batch orchestration, not data
+    * volume. */
+  def wStreamRangeJoin(spark: SparkSession, dir: String,
+      windowUs: Long = 3600000000L, nChunks: Int = 5): DataFrame = {
+    graft.Tables.tune(spark)
+    val feed = StreamingDedup.freshDir("range_feed")
+    val warehouse = StreamingDedup.freshDir("range_wh")
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("event_id").as("doc_id"), col("ts"), col("user_id"))
+    StreamingDedup.writeDocChunks(spark, evs, feed, nChunks,
+      takeChunks = 2, schema = feedSchema)
+    runStream(spark, feed, warehouse, windowUs)
+    StreamingDedup.writeDocChunks(spark, evs, feed, nChunks,
+      schema = feedSchema)
+    runStream(spark, feed, warehouse, windowUs)
+    ParquetSink.readFinal(spark.read.parquet(s"$warehouse/range_pairs"),
+        pairPk)
+      .select(col("user_id"), col("event_a"), col("event_b"), col("gap_us"))
+      .orderBy(col("user_id"), col("event_a"), col("event_b"))
+  }
+}

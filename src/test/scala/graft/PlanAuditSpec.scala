@@ -348,7 +348,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "d_stream_prefix", "d_stream_spans", "g_stream_retention",
     "pipe_stream_clean",
     "t_stream_dataset_card", "s_stream_ann_lsh", "w_stream_rolling_7d",
-    "t_stream_heavy_hitters", "w_stream_anomaly", "j_bucketed_orders")
+    "t_stream_heavy_hitters", "w_stream_anomaly", "w_stream_range_join",
+    "j_bucketed_orders")
 
   test("no declared query plans a CartesianProduct, and forced broadcasts stay on bounded relations") {
     graft.Tables.tune(spark)

@@ -435,6 +435,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join (watermarked, restart restores the " +
+    "symmetric join state) equals the batch range join exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingRangeJoin
+      .wStreamRangeJoin(spark, dir)
+      .collect().map(_.toString).toSeq
+    val batch = graft.queries.EventQueries.wRangeJoin(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // the restart genuinely splits the feed mid-stream (2 of 5 chunks
+    // first), so same-user pairs straddling the stop exist and were
+    // only findable through checkpoint-restored join state — if the
+    // state had been lost, those pairs would be missing and the
+    // equality above would have failed on count alone
+  }
+
   test("watermark drops late events: a row older than the watermark " +
     "never reaches an already-closed window") {
     // the semantic the declared queries' batch twins cannot show: in
