@@ -83,6 +83,12 @@ object StreamingAnomaly {
     StreamingDedup.writeDocChunks(spark, evs, feed, nChunks,
       schema = eventSchema)
     runStream(spark, feed, warehouse)
+    readAnomalies(spark, warehouse)
+  }
+
+  /** The shared-detector read over the accumulated summed grid —
+    * shared by the declared query and the randomized soak. */
+  def readAnomalies(spark: SparkSession, warehouse: String): DataFrame = {
     val grid = ParquetSink.readSummed(
       spark.read.parquet(s"$warehouse/anomaly_summed"), keys, sums)
       .select(col("event_type"), col("epoch_day"), col("day_count"))

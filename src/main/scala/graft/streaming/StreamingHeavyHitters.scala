@@ -61,6 +61,21 @@ object StreamingHeavyHitters {
     query.awaitTermination()
   }
 
+  /** The φ-threshold read over the accumulated summed vocabulary —
+    * shared by the declared query and the randomized soak. */
+  def readHeavyHitters(spark: SparkSession, warehouse: String,
+      phi: Double = 0.02): DataFrame = {
+    val summed = ParquetSink.readSummed(
+      spark.read.parquet(s"$warehouse/vocab_summed"), keys, sums)
+      .select(col("token"), col("tf"))
+    // ceil(φ·N) exactly as the batch query computes it (same double
+    // arithmetic, same bits)
+    val n = summed.agg(sum(col("tf"))).collect()(0).getLong(0)
+    val minCount = math.ceil(phi * n).toLong
+    summed.filter(col("tf") >= lit(minCount))
+      .orderBy(col("tf").desc, col("token"))
+  }
+
   /** Declared query (`t_stream_heavy_hitters`): stream the documents
     * table through the incremental vocabulary MV — two chunks, a
     * mid-stream restart from the same checkpoint (only unseen chunks
@@ -83,14 +98,6 @@ object StreamingHeavyHitters {
     StreamingDedup.writeDocChunks(spark, docs, feed, nChunks,
       schema = hhSchema)
     runStream(spark, feed, warehouse)
-    val summed = ParquetSink.readSummed(
-      spark.read.parquet(s"$warehouse/vocab_summed"), keys, sums)
-      .select(col("token"), col("tf"))
-    // ceil(φ·N) exactly as the batch query computes it (same double
-    // arithmetic, same bits)
-    val n = summed.agg(sum(col("tf"))).collect()(0).getLong(0)
-    val minCount = math.ceil(phi * n).toLong
-    summed.filter(col("tf") >= lit(minCount))
-      .orderBy(col("tf").desc, col("token"))
+    readHeavyHitters(spark, warehouse, phi)
   }
 }

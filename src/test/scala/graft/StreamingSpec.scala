@@ -435,6 +435,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("heavy-hitter and anomaly MV soak: randomized chunk waves with a " +
+    "restart per wave and random merges converge to the batch answers") {
+    // the rolling-grid soak discipline applied to this round's two
+    // summing MVs: whatever the arrival/restart/merge schedule, the
+    // threshold reads must equal the one-shot batch queries
+    import graft.streaming.{StreamingAnomaly, StreamingDedup,
+      StreamingHeavyHitters}
+    import graft.sink.ParquetSink
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
+      StructField, StructType}
+    def tmp(name: String): String = {
+      val d = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_test_$name")
+      ParquetSink.delete(d)
+      d.getAbsolutePath
+    }
+    val dir = "/root/testdata/sf0.001"
+    val nChunks = 6
+    val batchHH = graft.llm.TextAnalysis.tHeavyHitters(spark, dir)
+      .collect().map(_.toString).toSeq
+    val batchAn = graft.queries.EventQueries.wAnomalyZscore(spark, dir)
+      .collect().map(_.toString).toSeq
+    val hhSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val evSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    (0 until 2).foreach { round =>
+      val rnd = new scala.util.Random(6400 + round)
+      val cuts = (Seq(nChunks) ++
+        Seq.fill(3)(1 + rnd.nextInt(nChunks))).distinct.sorted
+
+      val feedH = tmp(s"hhsoak_feed$round")
+      val whH = tmp(s"hhsoak_wh$round")
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      cuts.foreach { take =>
+        StreamingDedup.writeDocChunks(spark, docs, feedH, nChunks, take,
+          schema = hhSchema)
+        StreamingHeavyHitters.runStream(spark, feedH, whH)
+        if (rnd.nextBoolean())
+          ParquetSink.compactSummed(spark, s"$whH/vocab_summed",
+            Seq("token"), Seq("tf"))
+      }
+      val gotHH = StreamingHeavyHitters.readHeavyHitters(spark, whH)
+        .collect().map(_.toString).toSeq
+      assert(gotHH === batchHH, s"heavy-hitter soak round $round diverged")
+
+      val feedA = tmp(s"ansoak_feed$round")
+      val whA = tmp(s"ansoak_wh$round")
+      val evs = Tables.events(spark, dir)
+        .select(col("event_id").as("doc_id"), col("ts"), col("event_type"),
+          col("value"))
+      cuts.foreach { take =>
+        StreamingDedup.writeDocChunks(spark, evs, feedA, nChunks, take,
+          schema = evSchema)
+        StreamingAnomaly.runStream(spark, feedA, whA)
+        if (rnd.nextBoolean())
+          ParquetSink.compactSummed(spark, s"$whA/anomaly_summed",
+            Seq("event_type", "epoch_day"), Seq("day_count"))
+      }
+      val gotAn = StreamingAnomaly.readAnomalies(spark, whA)
+        .collect().map(_.toString).toSeq
+      assert(gotAn === batchAn, s"anomaly soak round $round diverged")
+    }
+  }
+
   test("stream-stream interval join (watermarked, restart restores the " +
     "symmetric join state) equals the batch range join exactly") {
     val dir = "/root/testdata/sf0.001"
