@@ -159,6 +159,10 @@ object SparkEntry {
     // mixture rebalancing: bottleneck-capped feasible mix + sampling
     // rates from target domain weights
     "t_mixture_plan"    -> ((s, d) => TextAnalysis.tMixturePlan(s, d)),
+    // Heaps-curve vocabulary growth over corpus prefixes (integer)
+    "t_vocab_growth"    -> ((s, d) => TextAnalysis.tVocabGrowth(s, d)),
+    // collocation mining by lift (the monotone pre-log PMI ranking)
+    "t_collocations"    -> ((s, d) => TextAnalysis.tCollocations(s, d)),
     // incremental twin: summing-MV card maintained by the real
     // streaming engine (checkpoint, mid-stream restart, merge);
     // same oracle as the batch card
@@ -1441,6 +1445,59 @@ object SparkEntry {
     "t_dataset_card" -> datasetCardSql,
     // the streaming twin accumulates to the same composition report
     "t_stream_dataset_card" -> datasetCardSql,
+    "t_vocab_growth" ->
+      """WITH tk AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |mx AS (SELECT MAX(doc_id) AS m FROM documents),
+        |fu AS (SELECT ty, MIN(doc_id) AS first_doc FROM (
+        |    SELECT doc_id, unnest(t) AS ty FROM tk) x GROUP BY ty),
+        |fs AS (SELECT ty, MIN(doc_id) AS first_doc FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ty
+        |    FROM tk WHERE len(t) >= 3) x GROUP BY ty),
+        |pu AS (SELECT
+        |    CAST(first_doc * 10 // ((SELECT m FROM mx) + 1) AS BIGINT)
+        |      AS bucket, CAST(COUNT(*) AS BIGINT) AS new_tokens
+        |  FROM fu GROUP BY 1),
+        |ps AS (SELECT
+        |    CAST(first_doc * 10 // ((SELECT m FROM mx) + 1) AS BIGINT)
+        |      AS bucket, CAST(COUNT(*) AS BIGINT) AS new_shingles
+        |  FROM fs GROUP BY 1),
+        |g AS (SELECT unnest(range(0, 10)) AS bucket)
+        |SELECT g.bucket,
+        |  COALESCE(pu.new_tokens, 0) AS new_tokens,
+        |  CAST(SUM(COALESCE(pu.new_tokens, 0)) OVER (ORDER BY g.bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size,
+        |  COALESCE(ps.new_shingles, 0) AS new_shingles,
+        |  CAST(SUM(COALESCE(ps.new_shingles, 0)) OVER (ORDER BY g.bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS shingle_vocab_size
+        |FROM g LEFT JOIN pu USING (bucket) LEFT JOIN ps USING (bucket)
+        |ORDER BY g.bucket""".stripMargin,
+    // lift via exact integer products (HUGEINT here, decimal(38,0) in
+    // Spark — both exact), each cast to double ONCE before the single
+    // division, so the ranking doubles are bit-identical
+    "t_collocations" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cu
+        |  FROM (SELECT unnest(t) AS token FROM t) x GROUP BY token),
+        |nu AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uni),
+        |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM (
+        |    SELECT t[i + 1] AS w1, t[i + 2] AS w2
+        |    FROM t, unnest(range(0, len(t) - 1)) AS u(i)
+        |    WHERE len(t) >= 2) p
+        |  GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+        |nb AS (SELECT CAST(SUM(len(t) - 1) AS BIGINT) AS n
+        |  FROM t WHERE len(t) >= 2)
+        |SELECT w1 || ' ' || w2 AS bigram, cb,
+        |  u1.cu AS cu1, u2.cu AS cu2,
+        |  CAST(CAST(cb AS HUGEINT) * (SELECT n FROM nu)
+        |      * (SELECT n FROM nu) AS DOUBLE) /
+        |    CAST(CAST((SELECT n FROM nb) AS HUGEINT) * u1.cu * u2.cu
+        |      AS DOUBLE) AS lift
+        |FROM bi JOIN uni u1 ON bi.w1 = u1.token
+        |        JOIN uni u2 ON bi.w2 = u2.token
+        |ORDER BY lift DESC, bigram LIMIT 50""".stripMargin,
     "t_heavy_hitters" -> heavyHittersSql,
     // the streaming twin accumulates to the same exact counts
     "t_stream_heavy_hitters" -> heavyHittersSql,

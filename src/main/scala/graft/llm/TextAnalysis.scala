@@ -731,6 +731,109 @@ object TextAnalysis {
       .orderBy(col("source"), col("cum_before"))
   }
 
+  /** VOCABULARY GROWTH curve (Heaps' law measurement): distinct TYPE
+    * counts over growing corpus prefixes, at two grains — unigram
+    * tokens and 3-token shingles — the pass that sizes a tokenizer
+    * vocabulary and decides when more data stops buying new types
+    * (this corpus's unigram vocabulary saturates in the first bucket;
+    * the shingle types keep growing, which is exactly the contrast the
+    * curve exists to show). The doc-id range splits into `buckets`
+    * equal ranges; each type's FIRST document determines where it
+    * enters, and the curve is the cumulative bucket sum. All integer
+    * arithmetic.
+    *
+    * Scale shape: one explode + min-aggregate per type at each grain
+    * (map-side combined), then a bucket-bounded cumulative window —
+    * the corpus is touched once per grain, the curve costs
+    * O(buckets). */
+  def tVocabGrowth(spark: SparkSession, dir: String,
+      buckets: Int = 10): DataFrame = {
+    val docs = documents(spark, dir)
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    // integer DIV, not `/`: long `/` routes through double division,
+    // whose rounding can cross an integer boundary before the cast
+    def growth(typed: DataFrame, cnt: String): DataFrame = typed
+      .groupBy(col("ty"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .withColumn("bucket",
+        expr(s"(first_doc * $buckets) DIV ${maxId + 1}L"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as(cnt))
+    val base = docs
+      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
+      .withColumn("t", tokens(col("text")))
+    val uni = growth(
+      base.select(col("doc_id"), explode(col("t")).as("ty")), "new_tokens")
+    val shn = growth(
+      base.filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 3), " +
+            "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("ty")),
+      "new_shingles")
+    val grid = spark.range(buckets).select(col("id").as("bucket"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(uni, Seq("bucket"), "left")
+      .join(shn, Seq("bucket"), "left")
+      .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
+      .withColumn("new_shingles", coalesce(col("new_shingles"), lit(0L)))
+      .withColumn("vocab_size", sum(col("new_tokens")).over(w))
+      .withColumn("shingle_vocab_size", sum(col("new_shingles")).over(w))
+      .select(col("bucket"), col("new_tokens"), col("vocab_size"),
+        col("new_shingles"), col("shingle_vocab_size"))
+      .orderBy(col("bucket"))
+  }
+
+  /** COLLOCATION mining by LIFT — the PMI pass of corpus analysis
+    * without the cross-engine log-bit hazard (lift = the PMI argument
+    * before the log; the RANKING is identical because log is
+    * monotone): for adjacent token pairs with count ≥ `minCount`,
+    * lift(a,b) = p(ab) / (p(a)·p(b)) computed as ONE division of two
+    * EXACT decimal products — c_ab·N_u², decimal(38,0), cannot
+    * overflow at any corpus size — each cast to double once
+    * (correctly-rounded nearest in both engines), top-k by
+    * (lift DESC, bigram).
+    *
+    * Scale shape: two hash-partitioned counts (unigram occurrences,
+    * adjacent-pair occurrences via the [[tBigramTopk]] transform-
+    * explode — no positional self-join), a vocab-bounded join of pair
+    * counts to both unigram counts, `TakeOrderedAndProject` for the
+    * k-cut. */
+  def tCollocations(spark: SparkSession, dir: String, k: Int = 50,
+      minCount: Long = 5L): DataFrame = {
+    val toks = QueryCaches.persistTracked(documents(spark, dir)
+      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
+      .select(col("doc_id"), tokens(col("text")).as("t")))
+    val uni = toks
+      .select(explode(col("t")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cu"))
+    val nUni = toks.select(explode(col("t")).as("token")).count()
+    val bi = toks
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> named_struct('w1', t[i], 'w2', t[i + 1]))")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+    val nBi = toks.filter(size(col("t")) >= 2)
+      .select((size(col("t")) - 1).cast("long").as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    bi
+      .join(uni.select(col("token").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(uni.select(col("token").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .withColumn("lift",
+        (col("cb").cast("decimal(38,0)") * lit(nUni) * lit(nUni))
+          .cast("double") /
+          (lit(nBi).cast("decimal(38,0)") * col("cu1") * col("cu2"))
+            .cast("double"))
+      .withColumn("bigram", concat_ws(" ", col("w1"), col("w2")))
+      .select(col("bigram"), col("cb"), col("cu1"), col("cu2"), col("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Data-MIXTURE plan: given target domain weights, compute the
     * largest feasible training mix and the per-domain sampling rates —
     * the mixture-rebalancing arithmetic (DoReMi-style fixed target

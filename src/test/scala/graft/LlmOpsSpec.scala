@@ -1052,6 +1052,53 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("vocabulary growth curve is cumulative, totals match distinct " +
+    "type counts, and the shingle grain genuinely grows") {
+    val rows = graft.llm.TextAnalysis.tVocabGrowth(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0L until 10L))
+    // cumulative columns are running sums of the per-bucket news
+    rows.foldLeft((0L, 0L)) { case ((cu, cs), (_, nt, vs, ns, svs)) =>
+      assert(vs === cu + nt); assert(svs === cs + ns); (vs, svs)
+    }
+    val texts = Tables.documents(spark, dir)
+      .select("text").collect().map(_.getString(0).trim.split("\\s+").toSeq)
+    assert(rows.last._3 === texts.flatten.distinct.size.toLong)
+    val shingles = texts.filter(_.length >= 3)
+      .flatMap(t => t.sliding(3).map(_.mkString(" "))).distinct
+    assert(rows.last._5 === shingles.size.toLong)
+    // the contrast the curve exists to show: unigrams saturate early,
+    // shingle types keep arriving
+    assert(rows.count(_._4 > 0) >= 5, "shingle growth is degenerate")
+  }
+
+  test("collocation lift matches a driver-side rational model " +
+    "including the top-k tie-break") {
+    val texts = Tables.documents(spark, dir)
+      .select("text").collect().map(_.getString(0).trim.split("\\s+").toSeq)
+    val uni = texts.flatten.groupBy(identity).map { case (t, o) =>
+      t -> o.size.toLong }
+    val nU = BigInt(texts.map(_.size).sum)
+    val pairs = texts.filter(_.length >= 2)
+      .flatMap(t => t.sliding(2).map(p => (p(0), p(1))))
+    val nB = BigInt(pairs.size)
+    val expect = pairs.groupBy(identity).map { case ((a, b), o) =>
+      (s"$a $b", o.size.toLong, uni(a), uni(b)) }
+      .filter(_._2 >= 5L)
+      .map { case (bg, cb, c1, c2) =>
+        val lift = (BigInt(cb) * nU * nU).toDouble /
+          (nB * BigInt(c1) * BigInt(c2)).toDouble
+        (bg, cb, c1, c2, lift)
+      }.toSeq.sortBy(t => (-t._5, t._1)).take(50)
+    val got = graft.llm.TextAnalysis.tCollocations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    graft.QueryCaches.releaseAll()
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("multimodal decode computes byte stats from the payload") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, dir)
