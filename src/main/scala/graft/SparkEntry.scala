@@ -207,6 +207,9 @@ object SparkEntry {
     // canonical keeper per duplicate group (longest doc, min-id ties)
     // + remap table — the post-components curation policy
     "d_cluster_rep"     -> ((s, d) => Dedup.dClusterRep(s, d)),
+    // exact 1/2/3-hop walk counts over the near-dup graph (iterative
+    // sparse matrix-vector products, all integer)
+    "d_walk_counts"     -> ((s, d) => Dedup.dWalkCounts(s, d)),
     // edit-distance-1 vocabulary pairs via the deletion-neighborhood
     // (FastSS) candidate join + exact levenshtein verify
     "d_fuzzy_token_pairs" -> ((s, d) => Dedup.dFuzzyTokenPairs(s, d)),
@@ -1817,6 +1820,31 @@ object SparkEntry {
         |  LEAST(v.doc_id,
         |    (SELECT MIN(dst) FROM reach WHERE src = v.doc_id)) AS group_id
         |FROM (SELECT DISTINCT src AS doc_id FROM e) v
+        |ORDER BY doc_id""".stripMargin,
+    // same pair relation as d_dup_groups, then three exact
+    // matrix-vector products (degree, 2-walks, 3-walks)
+    "d_walk_counts" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ss
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents) x),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE) >= 0.8),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |c1 AS (SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM e GROUP BY src),
+        |c2 AS (SELECT e.src AS doc_id, CAST(SUM(c1.c) AS BIGINT) AS c
+        |  FROM e JOIN c1 ON e.dst = c1.doc_id GROUP BY e.src),
+        |c3 AS (SELECT e.src AS doc_id, CAST(SUM(c2.c) AS BIGINT) AS c
+        |  FROM e JOIN c2 ON e.dst = c2.doc_id GROUP BY e.src)
+        |SELECT c1.doc_id, c1.c AS walks_1, c2.c AS walks_2, c3.c AS walks_3
+        |FROM c1 JOIN c2 USING (doc_id) JOIN c3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // same component construction as d_dup_groups, then the keeper
     // policy (longest doc, min-id ties) + group size per member

@@ -443,6 +443,47 @@ object Dedup {
     minLabelComponents(pairs).orderBy(col("doc_id"))
   }
 
+  /** k-hop WALK COUNTS over the near-dup graph — the iterative numeric
+    * graph analytic ([[dDupGroups]] is the iterative LABEL analytic):
+    * for every vertex, the number of walks of length 1, 2, and 3
+    * starting there (walks, not paths — revisits count, the standard
+    * adjacency-power semantics). Walk counts expose the local density
+    * the flat component label hides: a 3-clique member and a chain end
+    * can share a group yet differ 4× in 3-walks — the signal for
+    * prioritizing manual review of dense near-dup clusters.
+    *
+    * EXACT integers, so cross-engine bit questions never arise:
+    * c_k(v) = Σ_{u ~ v} c_{k−1}(u), c_0 ≡ 1 — each iteration is one
+    * hash equi-join edges ⋈ counts + one aggregation (the distributed
+    * sparse matrix-vector product), never a multi-hop join explosion.
+    * The DuckDB oracle replays the same three products over its own
+    * recomputed pair relation. */
+  def dWalkCounts(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val (verified, cached) = lshVerifiedPairsTracked(
+      documents(spark, dir).repartition(col("doc_id")),
+      "token_shingle_hashes(text, 3)", threshold)
+    val pairs = verified.select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // materialize the pair graph once, then free
+    cached.foreach(_.unpersist())
+    val edges = pairs.unionByName(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint() // three products read it
+    def step(counts: DataFrame): DataFrame = edges
+      .join(counts.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+      .groupBy(col("src").as("doc_id"))
+      .agg(sum(col("c")).as("c"))
+    val c1 = step(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("c", lit(1L)))
+    val c2 = step(c1)
+    val c3 = step(c2)
+    c1.select(col("doc_id"), col("c").as("walks_1"))
+      .join(c2.select(col("doc_id"), col("c").as("walks_2")), Seq("doc_id"))
+      .join(c3.select(col("doc_id"), col("c").as("walks_3")), Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Canonical REPRESENTATIVE per duplicate group + remap table — the
     * step after [[dDupGroups]] in a dedup pipeline: every grouped
     * document maps to the group's keeper (the longest document by

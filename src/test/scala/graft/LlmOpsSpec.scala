@@ -1099,6 +1099,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("walk counts equal three driver-side adjacency products over " +
+    "the verified pair graph") {
+    val pairs = Dedup.dMinhashPairs(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+    pairs.foreach { case (a, b) =>
+      adj(a) = b :: adj.getOrElse(a, Nil)
+      adj(b) = a :: adj.getOrElse(b, Nil)
+    }
+    val c1 = adj.map { case (v, ns) => v -> ns.size.toLong }
+    val c2 = adj.map { case (v, ns) => v -> ns.map(c1).sum }
+    val c3 = adj.map { case (v, ns) => v -> ns.map(c2).sum }
+    val expect = adj.keys.map(v => (v, c1(v), c2(v), c3(v))).toSet
+    val got = Dedup.dWalkCounts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // the density signal exists: some vertex has strictly more 3-walks
+    // than a pure chain of its degree would (i.e. a dense neighborhood)
+    assert(got.exists { case (_, d1, _, w3) => w3 > d1 * d1 * d1 } ||
+      got.exists { case (_, d1, w2, _) => w2 > d1 })
+  }
+
   test("multimodal decode computes byte stats from the payload") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, dir)

@@ -308,6 +308,24 @@ def main():
         ok &= check("d_cluster_rep@" + sfdir + " (full keeper replay)",
                     got_rep, want_rep)
 
+    # ---- d_walk_counts: FULL matrix-power replay over the edges ----
+    if have("d_walk_counts") and mh is None:
+        print("SKIP d_walk_counts (needs the d_minhash_pairs dump "
+              "for its edge relation)")
+    if mh is not None and have("d_walk_counts"):
+        adj = {}
+        for a, b, _ in mh:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        c1 = {v: len(ns) for v, ns in adj.items()}
+        c2 = {v: sum(c1[u] for u in ns) for v, ns in adj.items()}
+        c3 = {v: sum(c2[u] for u in ns) for v, ns in adj.items()}
+        want_walks = sorted((v, c1[v], c2[v], c3[v]) for v in adj)
+        got_walks = spark_rows(outdir, "d_walk_counts",
+                               ["doc_id", "walks_1", "walks_2", "walks_3"])
+        ok &= check("d_walk_counts@" + sfdir + " (full matrix-power replay)",
+                    got_walks, want_walks)
+
     sys.exit(0 if ok else 1)
 
 
