@@ -519,6 +519,53 @@ class StreamingSpec extends AnyFunSuite {
     // equality above would have failed on count alone
   }
 
+  test("stream-stream join soak: randomized chunk waves with a restart " +
+    "per wave converge to the batch range join") {
+    // the soak discipline applied to symmetric JOIN state: whatever the
+    // arrival/restart schedule, the accumulated pair table must equal
+    // the batch join — every restart must restore both sides' buffered
+    // rows or cross-wave pairs go missing
+    import graft.streaming.{StreamingDedup, StreamingRangeJoin}
+    import graft.sink.ParquetSink
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    def tmp(name: String): String = {
+      val d = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_test_$name")
+      ParquetSink.delete(d)
+      d.getAbsolutePath
+    }
+    val dir = "/root/testdata/sf0.001"
+    val nChunks = 6
+    val windowUs = 3600000000L
+    val batch = graft.queries.EventQueries.wRangeJoin(spark, dir)
+      .collect().map(_.toString).toSeq
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType)))
+    (0 until 2).foreach { round =>
+      val rnd = new scala.util.Random(7500 + round)
+      val cuts = (Seq(nChunks) ++
+        Seq.fill(3)(1 + rnd.nextInt(nChunks))).distinct.sorted
+      val feed = tmp(s"rjsoak_feed$round")
+      val wh = tmp(s"rjsoak_wh$round")
+      val evs = Tables.events(spark, dir)
+        .select(col("event_id").as("doc_id"), col("ts"), col("user_id"))
+      cuts.foreach { take =>
+        StreamingDedup.writeDocChunks(spark, evs, feed, nChunks, take,
+          schema = schema)
+        StreamingRangeJoin.runStream(spark, feed, wh, windowUs)
+      }
+      val streamed = ParquetSink.readFinal(
+        spark.read.parquet(s"$wh/range_pairs"),
+        Seq("event_a", "event_b"))
+        .select(col("user_id"), col("event_a"), col("event_b"),
+          col("gap_us"))
+        .orderBy(col("user_id"), col("event_a"), col("event_b"))
+        .collect().map(_.toString).toSeq
+      assert(streamed === batch, s"range-join soak round $round diverged")
+    }
+  }
+
   test("watermark drops late events: a row older than the watermark " +
     "never reaches an already-closed window") {
     // the semantic the declared queries' batch twins cannot show: in
