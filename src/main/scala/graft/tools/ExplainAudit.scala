@@ -25,7 +25,12 @@ object ExplainAudit {
         "q5_local_supplier", "s_cosine_topk", "d_minhash_pairs",
         "q19_disjunctive_revenue", "q21_waiting_supplier", "w_rolling_7d",
         "d_prefix_pairs", "d_dup_spans", "d_semantic_dedup",
-        "g_retention_cohorts", "g_funnel_steps")
+        "g_retention_cohorts", "g_funnel_steps",
+        // round 10 headline additions (t_heavy_hitters builds its CMS
+        // at plan construction — small driver jobs, like the k-means
+        // entries above)
+        "t_heavy_hitters", "d_walk_counts", "w_interval_coverage",
+        "s_quantize_int8")
     names.foreach { n =>
       println(s"===== $n =====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
