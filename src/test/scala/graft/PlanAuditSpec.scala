@@ -89,6 +89,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nCols <= 5, s"p_filter_project reads $nCols columns: $readSchema")
   }
 
+  test("gap fill pushes the value gate to the scan and prunes columns") {
+    graft.Tables.tune(spark)
+    val plan = formatted(SparkEntry.queries("w_gap_fill")(spark, dir))
+    assert(plan.contains("GreaterThanOrEqual(value,90.0)"),
+      s"w_gap_fill: value gate not pushed to the scan\n$plan")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length <= 3,
+      s"w_gap_fill reads more than its 3 columns: $readSchema")
+  }
+
   test("q19's OR-of-ANDs splits into per-side disjunctive pushed filters") {
     // the point of the Q19 shape: Catalyst must derive, from the
     // post-join disjunction, a quantity-only disjunct for the lineitem
