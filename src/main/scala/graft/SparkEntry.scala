@@ -125,6 +125,8 @@ object SparkEntry {
     "g_unpivot_daily"      -> (EventQueries.gUnpivotDaily _),
     "v_set_ops"            -> (EventQueries.vSetOps _),
     "j_salted_user_events" -> (EventQueries.jSaltedUserEvents _),
+    // Benford first-digit audit over order totals (forensic screen)
+    "v_benford"            -> (TpchQueries.vBenford _),
     // co-located (bucketed) join: zero-exchange join + rollup
     "j_bucketed_orders" -> (graft.operators.BucketedJoin.jBucketedOrders _),
     // LLM training-data pipeline (brief: first-class deliverables)
@@ -1142,6 +1144,26 @@ object SparkEntry {
         |FROM e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
         |ORDER BY e.event_id""".stripMargin,
+    "v_benford" ->
+      """WITH d AS (SELECT CAST(substring(
+        |    CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR), 1, 1)
+        |    AS INT) AS digit FROM orders),
+        |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM d GROUP BY digit),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+        |e AS (SELECT * FROM (VALUES
+        |    (1, 0.3010299956639812), (2, 0.17609125905568124),
+        |    (3, 0.12493873660829992), (4, 0.09691001300805642),
+        |    (5, 0.07918124604762482), (6, 0.06694678963061322),
+        |    (7, 0.05799194697768673), (8, 0.05115252244738129),
+        |    (9, 0.04575749056067514)) AS v(digit, expected_share))
+        |SELECT c.digit, c.n,
+        |  CAST(c.n AS DOUBLE) / CAST((SELECT tot FROM t) AS DOUBLE)
+        |    AS observed_share,
+        |  e.expected_share,
+        |  CAST(c.n AS DOUBLE) / CAST((SELECT tot FROM t) AS DOUBLE)
+        |    - e.expected_share AS deviation
+        |FROM c JOIN e USING (digit) ORDER BY digit""".stripMargin,
     "w_range_join" -> rangeJoinSql,
     // the stream-stream watermarked join accumulates the same pairs
     "w_stream_range_join" -> rangeJoinSql,

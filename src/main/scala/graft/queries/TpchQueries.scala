@@ -289,6 +289,42 @@ object TpchQueries {
       .orderBy(col("table_name"))
   }
 
+  /** BENFORD first-digit audit over order totals — the forensic
+    * data-quality screen (fabricated or unit-mangled monetary columns
+    * drift from the log-uniform first-digit law; a synthetic uniform
+    * corpus like this one FAILS it loudly, which is exactly what the
+    * report shows). Digit extraction stays in integer space: the
+    * cents-scaled value casts to BIGINT and the leading digit comes
+    * off its decimal string — both engines render integers
+    * identically, so no float-to-string formatting can drift. The
+    * expected shares are log10(1+1/d) pinned as LITERALS (identical
+    * text in the oracle — no cross-engine libm question), and the
+    * observed share is one exact-count division.
+    *
+    * Scale shape: one narrow projection + a 9-cell aggregation with
+    * map-side combine; the report is digit-bounded. */
+  def vBenford(spark: SparkSession, dir: String): DataFrame = {
+    val expected = typedLit(Seq(
+      0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      0.05799194697768673, 0.05115252244738129, 0.04575749056067514))
+    val digits = orders(spark, dir)
+      .select(expr(
+        "CAST(substring(CAST(CAST(o_totalprice * 100 AS BIGINT) AS STRING)," +
+          " 1, 1) AS INT)").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    digits
+      .withColumn("observed_share",
+        col("n").cast("double") / sum(col("n")).over(total).cast("double"))
+      .withColumn("expected_share", element_at(expected, col("digit")))
+      .withColumn("deviation", col("observed_share") - col("expected_share"))
+      .select(col("digit"), col("n"), col("observed_share"),
+        col("expected_share"), col("deviation"))
+      .orderBy(col("digit"))
+  }
+
   /** Semi-join (EXISTS) — customers having at least one high-value
     * order; complements V4's anti-join. */
   def jCustomersWithBigOrders(spark: SparkSession, dir: String): DataFrame = {

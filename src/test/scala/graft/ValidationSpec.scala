@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+// (Benford spec below reads orders via graft.Tables)
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import graft.validate.Validation
@@ -360,5 +361,29 @@ class ValidationSpec extends AnyFunSuite {
     val err = math.abs(1e25 - new java.math.BigDecimal(
       "10000000000000000000000001").doubleValue())
     assert(err >= 0.0) // documentation-level sanity, not engine-dependent
+  }
+
+  test("Benford audit: counts cover the table, shares sum to 1, and a " +
+    "driver-side digit model agrees") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.TpchQueries.vBenford(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    val prices = graft.Tables.orders(spark, dir)
+      .select(col("o_totalprice")).collect().map(_.getDouble(0))
+    val model = prices.map(p => (p * 100).toLong.toString.head.asDigit)
+      .groupBy(identity).map { case (d, o) => d -> o.size.toLong }
+    assert(rows.map(r => r._1 -> r._2).toMap === model)
+    assert(rows.map(_._2).sum === prices.length.toLong)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-12)
+    rows.foreach { case (d, _, obs, exp, dev) =>
+      assert(d >= 1 && d <= 9)
+      assert(dev === obs - exp)
+    }
+    // the synthetic uniform corpus genuinely fails Benford somewhere —
+    // the audit's whole point is that this is loudly visible
+    assert(rows.exists { case (_, _, obs, exp, _) =>
+      math.abs(obs - exp) > 0.05 })
   }
 }
