@@ -255,6 +255,8 @@ object SparkEntry {
     "near_bronze_receipts"     -> (NearQueries.bronzeReceipts _),
     "near_bronze_outcomes"     -> (NearQueries.bronzeOutcomes _),
     "near_resolver"            -> (NearQueries.resolver _),
+    // receipt-DAG depth: frontier BFS over outcome->receipt_ids edges
+    "near_receipt_depth"       -> (NearQueries.nearReceiptDepth _),
     "near_m1_nep245"           -> (NearQueries.m1Nep245 _),
     "near_m2_token_diff"       -> (NearQueries.m2TokenDiff _),
     "near_m3_public_keys"      -> (NearQueries.m3PublicKeys _),
@@ -2329,6 +2331,7 @@ object SparkEntry {
     "near_bronze_receipts"     -> graft.fixtures.NearFixtures.receiptsSql,
     "near_bronze_outcomes"     -> graft.fixtures.NearFixtures.outcomesSql,
     "near_resolver"            -> graft.fixtures.NearFixtures.resolverSql,
+    "near_receipt_depth"       -> graft.fixtures.NearFixtures.receiptDepthSql,
     "near_m1_nep245"           -> graft.fixtures.NearOracles.m1Sql,
     "near_m2_token_diff"       -> graft.fixtures.NearOracles.m2Sql,
     "near_m3_public_keys"      -> graft.fixtures.NearOracles.m3Sql,

@@ -436,6 +436,24 @@ object NearFixtures {
     s"WITH $eventsCte\nSELECT * FROM ne " +
       "ORDER BY block_height, receipt_index_in_block, index_in_log"
 
+  /** Receipt-DAG depth oracle: recursive closure over the pinned
+    * outcome → receipt_ids edges, MIN(depth) per vertex from the
+    * in-degree-0 roots — the independent replay of
+    * [[graft.queries.NearQueries.nearReceiptDepth]]'s frontier BFS. */
+  def receiptDepthSql: String =
+    s"""WITH RECURSIVE $outcomesCte,
+       |e AS (SELECT DISTINCT src, dst FROM (
+       |    SELECT receipt_id AS src, unnest(receipt_ids) AS dst
+       |    FROM no_) x),
+       |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |roots AS (SELECT id FROM v WHERE id NOT IN (SELECT dst FROM e)),
+       |walk(id, depth) AS (
+       |  SELECT id, 0 FROM roots
+       |  UNION ALL
+       |  SELECT e.dst, walk.depth + 1 FROM walk JOIN e ON e.src = walk.id)
+       |SELECT id AS receipt_id, CAST(MIN(depth) AS BIGINT) AS depth
+       |FROM walk GROUP BY id ORDER BY receipt_id""".stripMargin
+
   def resolverSql: String = {
     val rows = expectedResolution.map { case (r, tx, main, h) =>
       s"(${q(r)}, ${q(tx)}, ${if (main) "TRUE" else "FALSE"}, ${L(h)})"

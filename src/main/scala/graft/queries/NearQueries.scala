@@ -478,6 +478,58 @@ object NearQueries {
       col("amount_str").cast("decimal(38,0)").cast("double"))
   }
 
+  /** Receipt-DAG DEPTH: each receipt's BFS generation from the root
+    * receipts (those no outcome lists as a child) along the
+    * outcome → receipt_ids edges — the graph-DISTANCE analytic over
+    * the same transitive structure the resolver labels
+    * (transactions → receipts → child receipts, SURVEY §1.1's implicit
+    * DAG; the resolver answers "which tx", this answers "how deep",
+    * the promotion-debugging view of the chain).
+    *
+    * Level-synchronous frontier BFS: each round joins the frontier to
+    * the edge relation and anti-joins the already-settled set, so the
+    * FIRST arrival is the minimum depth by construction; one
+    * `localCheckpoint` per level bounds the lineage exactly like the
+    * resolver's own loop. Rounds = DAG depth (the TTL window bounds it
+    * in production — a receipt chain cannot outlive its resolver
+    * entry). The DuckDB oracle replays the closure recursively and
+    * takes MIN(depth) per vertex. */
+  def nearReceiptDepth(spark: SparkSession, dir: String): DataFrame = {
+    // depth over the INDEXED table's rows (outcomes of interest) — the
+    // same relation the stored execution_outcomes table and the pinned
+    // oracle fixture carry
+    val outs = BronzeExtractors.outcomesOfInterest(
+      BronzeExtractors.outcomes(blocksDf(spark)), acc)
+    val edges = outs
+      .select(col("receipt_id").as("src"),
+        explode(col("receipt_ids")).as("dst"))
+      .distinct()
+      .localCheckpoint() // every BFS level reads it
+    val vertices = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+    val roots = vertices
+      .join(edges.select(col("dst").as("id")).distinct(),
+        Seq("id"), "left_anti")
+    var settled = roots.withColumn("depth", lit(0L)).localCheckpoint()
+    var frontier = settled
+    var frontierSize = frontier.count()
+    while (frontierSize > 0) {
+      val next = edges
+        .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), (col("depth") + 1L).as("depth"))
+        .distinct()
+        .join(settled.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint()
+      frontierSize = next.count()
+      if (frontierSize > 0) {
+        settled = settled.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    settled.select(col("id").as("receipt_id"), col("depth"))
+      .orderBy(col("receipt_id"))
+  }
+
   // --------------------------------------------------------------- gold
 
   def goldMetrics(spark: SparkSession, dir: String): DataFrame = {

@@ -58,6 +58,27 @@ class NearPipelineSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("receipt depth is a valid BFS: roots at 0, every other vertex " +
+    "one past its shallowest parent") {
+    val depths = NearQueries.nearReceiptDepth(spark, "unused").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // edges from the same pinned of-interest outcome fixture
+    val edges = NearFixtures.expectedOutcomes.flatMap { case (o, rid) =>
+      o.receipt_ids.map(child => rid -> child)
+    }
+    val dsts = edges.map(_._2).toSet
+    val parents = edges.groupBy(_._2).map { case (c, es) => c -> es.map(_._1) }
+    assert(depths.nonEmpty)
+    depths.foreach { case (id, d) =>
+      if (!dsts.contains(id)) assert(d === 0L, s"root $id")
+      else assert(d === parents(id).map(depths).min + 1L, s"vertex $id")
+    }
+    // the of-interest fixture DAG has parent->child edges (one level);
+    // deeper chains exist only among non-indexed receipts by design
+    assert(depths.values.max >= 1L)
+    assert(depths.values.exists(_ == 0L))
+  }
+
   test("resolver is deterministic: two runs produce identical rows") {
     import spark.implicits._
     val blocks = spark.createDataset(NearFixtures.blocks).toDF()
