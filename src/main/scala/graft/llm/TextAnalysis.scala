@@ -190,7 +190,6 @@ object TextAnalysis {
     * deterministic under ties in both engines. */
   def tVocabTopk(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
     documents(spark, dir)
-      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf_doc"))
@@ -215,7 +214,7 @@ object TextAnalysis {
     * not occurrences. */
   def tBigramTopk(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
     documents(spark, dir)
-      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
+      .fanout(col("doc_id")) // parallelize the narrow stage (see Dedup)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(
@@ -253,7 +252,6 @@ object TextAnalysis {
   def tQualityPercentiles(spark: SparkSession, dir: String,
       ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame = {
     val scored = documents(spark, dir)
-      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
       .withColumn("t", tokens(col("text")))
       .withColumn("n_tokens", size(col("t")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("t"))).cast("long"))
@@ -308,7 +306,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
         col("n_shingles3"), col("n_distinct_shingles3"))
     val topBigram = documents(spark, dir)
-      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
       .withColumn("t", tokens(col("text")))
       .filter(size(col("t")) >= 2) // sequence(0, negative) counts DOWN
       .select(col("doc_id"),
@@ -359,7 +356,7 @@ object TextAnalysis {
     // (cache contract: tracked, released by the materializer — see
     // Dedup's scaladoc)
     val tf = QueryCaches.persistTracked(documents(spark, dir)
-      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
+      .fanout(col("doc_id")) // parallelize the narrow stage (see Dedup)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf")))
@@ -464,7 +461,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(expr(s"array_distinct($gram8)")).as("shingle"))
     val evalShingles = shingles(evalDocs).select(col("shingle")).distinct()
-    val matched = shingles(scanSide.repartition(col("doc_id")))
+    val matched = shingles(scanSide)
       .join(broadcast(evalShingles), Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matched"))
@@ -638,7 +635,6 @@ object TextAnalysis {
   def tHeavyHitters(spark: SparkSession, dir: String, phi: Double = 0.02,
       depth: Int = 4, width: Int = 512): DataFrame = {
     val toks = documents(spark, dir)
-      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
       .select(explode(tokens(col("text"))).as("token"))
     // ceil(φ·N) as exact integer arithmetic: N is a scalar long, and
     // floor/ceil on φ·N at these magnitudes is well inside double
@@ -679,7 +675,6 @@ object TextAnalysis {
   def tChunkWindows(spark: SparkSession, dir: String, win: Int = 16,
       stride: Int = 12): DataFrame = {
     documents(spark, dir)
-      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .withColumn("n", size(col("t")))
       .filter(col("n") >= 1)
@@ -714,7 +709,6 @@ object TextAnalysis {
   def tCurateBudget(spark: SparkSession, dir: String,
       budget: Long = 800L): DataFrame = {
     val scored = documents(spark, dir)
-      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
       .withColumn("t", tokens(col("text")))
       .withColumn("n_tokens", size(col("t")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("t"))).cast("long"))
@@ -760,7 +754,6 @@ object TextAnalysis {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as(cnt))
     val base = docs
-      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
       .withColumn("t", tokens(col("text")))
     val uni = growth(
       base.select(col("doc_id"), explode(col("t")).as("ty")), "new_tokens")
@@ -790,9 +783,14 @@ object TextAnalysis {
     * before the log; the RANKING is identical because log is
     * monotone): for adjacent token pairs with count ≥ `minCount`,
     * lift(a,b) = p(ab) / (p(a)·p(b)) computed as ONE division of two
-    * EXACT decimal products — c_ab·N_u², decimal(38,0), cannot
-    * overflow at any corpus size — each cast to double once
-    * (correctly-rounded nearest in both engines), top-k by
+    * EXACT decimal products — c_ab·N_u² as decimal(38,0), exact while
+    * the triple product stays under 10³⁸ (true through ~10¹²-token
+    * corpora; at the extreme 100 TB tail, ~10¹⁴ tokens, c_ab·N_u² can
+    * exceed 38 digits and Spark's non-ANSI decimal arithmetic would
+    * NULL the lift rather than error — the at-scale variant should
+    * then fold one factor down first, e.g. c_ab/N_u as a double,
+    * trading bit-exactness for range) — each product cast to double
+    * once (correctly-rounded nearest in both engines), top-k by
     * (lift DESC, bigram).
     *
     * Scale shape: two hash-partitioned counts (unigram occurrences,
@@ -803,7 +801,6 @@ object TextAnalysis {
   def tCollocations(spark: SparkSession, dir: String, k: Int = 50,
       minCount: Long = 5L): DataFrame = {
     val toks = QueryCaches.persistTracked(documents(spark, dir)
-      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
       .select(col("doc_id"), tokens(col("text")).as("t")))
     val uni = toks
       .select(explode(col("t")).as("token"))
@@ -855,7 +852,6 @@ object TextAnalysis {
       lit("domain_0"), lit(0.4), lit("domain_1"), lit(0.3),
       lit("domain_2"), lit(0.2), lit("domain_3"), lit(0.1))
     val avail = documents(spark, dir)
-      .repartition(col("doc_id")) // parallelize the narrow stage (see Dedup)
       .withColumn("domain",
         concat(lit("domain_"),
           (expr("CAST(substring(source, 4, 10) AS INT)") % 4)))

@@ -3,6 +3,7 @@ package graft.sink
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Tables.FanoutOps
 
 /** Table sink with the reference's storage semantics, Spark-first
   * (SURVEY §2.2 K1-K4, §2.1 S3):

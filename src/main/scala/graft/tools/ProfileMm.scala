@@ -38,7 +38,7 @@ object ProfileMm {
       encodeFrameSeries(media32).rdd.getNumPartitions.toLong)
     // and the text idiom: does repartition(col) coalesce to 1 there too?
     val vocab = graft.Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
+      .repartition(32, col("doc_id"))
       .select(org.apache.spark.sql.functions.explode(
         graft.llm.TextAnalysis.tokens(col("text"))).as("t"))
     time("vocab.partitions")(vocab.rdd.getNumPartitions.toLong)

@@ -30,7 +30,7 @@ object ScaleRecall {
     val gridP = 16
 
     val sets = graft.Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
+      .repartition(32, col("doc_id"))
       .select(col("doc_id"),
         expr("token_shingle_hashes(text, 3)").as("gs"))
       .filter(size(col("gs")) > 0)
