@@ -257,6 +257,12 @@ object SparkEntry {
     "near_resolver"            -> (NearQueries.resolver _),
     // receipt-DAG depth: frontier BFS over outcome->receipt_ids edges
     "near_receipt_depth"       -> (NearQueries.nearReceiptDepth _),
+    // deep-chain scale corpus: ~4,250 blocks / 400 interleaved chains,
+    // depth 3-5, hop gaps {1,5,50,51} vs the 50-block TTL — the same
+    // pipeline code as the golden-fixture rows, closed-form oracles
+    "near_scale_resolver"      -> (NearQueries.nearScaleResolver _),
+    "near_scale_depth"         -> (NearQueries.nearScaleDepth _),
+    "near_scale_events"        -> (NearQueries.nearScaleEvents _),
     "near_m1_nep245"           -> (NearQueries.m1Nep245 _),
     "near_m2_token_diff"       -> (NearQueries.m2TokenDiff _),
     "near_m3_public_keys"      -> (NearQueries.m3PublicKeys _),
@@ -1148,8 +1154,8 @@ object SparkEntry {
         |ORDER BY e.event_id""".stripMargin,
     "v_benford" ->
       """WITH d AS (SELECT CAST(substring(
-        |    CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR), 1, 1)
-        |    AS INT) AS digit FROM orders),
+        |    CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+        |    1, 1) AS INT) AS digit FROM orders),
         |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
         |  FROM d GROUP BY digit),
         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
@@ -2332,6 +2338,10 @@ object SparkEntry {
     "near_bronze_outcomes"     -> graft.fixtures.NearFixtures.outcomesSql,
     "near_resolver"            -> graft.fixtures.NearFixtures.resolverSql,
     "near_receipt_depth"       -> graft.fixtures.NearFixtures.receiptDepthSql,
+    // deep-chain scale corpus: closed-form ground truth from range()
+    "near_scale_resolver"      -> graft.fixtures.NearOracles.scaleResolverSql,
+    "near_scale_depth"         -> graft.fixtures.NearOracles.scaleDepthSql,
+    "near_scale_events"        -> graft.fixtures.NearOracles.scaleEventsSql,
     "near_m1_nep245"           -> graft.fixtures.NearOracles.m1Sql,
     "near_m2_token_diff"       -> graft.fixtures.NearOracles.m2Sql,
     "near_m3_public_keys"      -> graft.fixtures.NearOracles.m3Sql,

@@ -323,4 +323,59 @@ object NearOracles {
        |WHERE symbol != '' AND blockchain != ''
        |GROUP BY day, symbol, coalesce(referral, 'Others'), blockchain
        |ORDER BY day, symbol, referral""".stripMargin)
+
+  // ---------------------------------------------------------------------
+  // Deep-chain scale corpus (BlockGen.genDeepBlocks): the corpus is
+  // CLOSED-FORM in (origin k, height h0 = 1000 + 10k, gap g =
+  // {1,5,50,51}[k%4], depth d_max = 3 + k%3), so the oracles regenerate
+  // the ground truth from range() — no recursion — while the Spark side
+  // must run the real multi-hop resolution/BFS/cascade to agree.
+  // TTL rule (NearModel.TtlBlocks = 50, reference config.rs:27-29):
+  // hop resolves iff gap <= 50, so gap-51 chains keep only their seed.
+  // ---------------------------------------------------------------------
+
+  private val deepChainCte: String =
+    """WITH c AS (
+      |  SELECT k,
+      |    CAST(1000 + k*10 AS BIGINT) AS h0,
+      |    CAST(CASE k % 4 WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 50
+      |         ELSE 51 END AS BIGINT) AS g,
+      |    3 + (k % 3) AS d_max
+      |  FROM (SELECT unnest(range(0, 400)) AS k)),
+      |dd AS (SELECT unnest(range(0, 6)) AS d)""".stripMargin
+
+  val scaleResolverSql: String =
+    s"""$deepChainCte
+      |SELECT 'r' || CAST(h0 AS VARCHAR) || 'x' || CAST(d AS VARCHAR)
+      |    AS receipt_id,
+      |  'tx' || CAST(h0 AS VARCHAR) AS tx_hash,
+      |  TRUE AS main,
+      |  h0 + d*g AS entry_height
+      |FROM c CROSS JOIN dd
+      |WHERE d <= d_max AND (d = 0 OR g <= 50)
+      |ORDER BY receipt_id""".stripMargin
+
+  val scaleDepthSql: String =
+    s"""$deepChainCte
+      |SELECT 'r' || CAST(h0 AS VARCHAR) || 'x' || CAST(d AS VARCHAR)
+      |    AS receipt_id,
+      |  d AS depth
+      |FROM c CROSS JOIN dd
+      |WHERE d <= d_max
+      |ORDER BY receipt_id""".stripMargin
+
+  val scaleEventsSql: String =
+    s"""$deepChainCte
+      |SELECT h0 + d_max*g AS block_height,
+      |  'r' || CAST(h0 AS VARCHAR) || 'x' || CAST(d_max - 1 AS VARCHAR)
+      |    AS related_receipt_id,
+      |  'tx' || CAST(h0 AS VARCHAR) AS tx_hash,
+      |  'a' || CAST(h0 AS VARCHAR) || '.near' AS old_owner_id,
+      |  'b' || CAST(h0 AS VARCHAR) || '.near' AS new_owner_id,
+      |  'nep141:usdc.near' AS token_id,
+      |  CAST(k AS DOUBLE) AS amount,
+      |  'm' || CAST(h0 AS VARCHAR) AS memo
+      |FROM c
+      |WHERE g <= 50
+      |ORDER BY related_receipt_id""".stripMargin
 }

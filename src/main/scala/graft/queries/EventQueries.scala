@@ -275,8 +275,11 @@ object EventQueries {
     * (c − μ)² > 4σ²  ⇔  (n·c − s1)² > 4·(n·s2 − s1²)
     * multiplies both sides by n² so no division, no sqrt, no float
     * compare ever happens — the detection set is bit-free deterministic
-    * in any engine (μ, σ are population moments; magnitudes stay well
-    * inside int64 for day counts × day counts × days). `mean_count` is
+    * in any engine (μ, σ are population moments). Range: the test
+    * squares n·c − s1, so magnitudes are bounded by (days × max-day-
+    * count)² — safe in int64 up to ~3×10⁹ events/day over a 10-year
+    * grid; a tail beyond that (extreme 100 TB ingest) should move s1/
+    * s2/dev to decimal(38,0), same shape, still exact. `mean_count` is
     * exposed as the single double division s1/n for readability. */
   private[graft] def anomalyFromDaily(daily: DataFrame): DataFrame = {
     val stats = daily.groupBy(col("event_type"))

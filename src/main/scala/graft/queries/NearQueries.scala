@@ -498,8 +498,13 @@ object NearQueries {
     // depth over the INDEXED table's rows (outcomes of interest) — the
     // same relation the stored execution_outcomes table and the pinned
     // oracle fixture carry
-    val outs = BronzeExtractors.outcomesOfInterest(
-      BronzeExtractors.outcomes(blocksDf(spark)), acc)
+    receiptDepth(BronzeExtractors.outcomesOfInterest(
+      BronzeExtractors.outcomes(blocksDf(spark)), acc))
+  }
+
+  /** The BFS body of [[nearReceiptDepth]], shared with the deep-chain
+    * scale twin [[nearScaleDepth]]. */
+  private def receiptDepth(outs: DataFrame): DataFrame = {
     val edges = outs
       .select(col("receipt_id").as("src"),
         explode(col("receipt_ids")).as("dst"))
@@ -539,5 +544,58 @@ object NearQueries {
       SilverTransforms.dip4TokenDiff(ev, acc),
       assetsDf(spark))
       .orderBy(col("day"), col("symbol"), col("referral"))
+  }
+
+  // ----------------------------------------- deep-chain scale corpus
+  //
+  // The golden fixture is 11 events; these three twins run the SAME
+  // pipeline code over [[graft.fixtures.BlockGen.genDeepBlocks]] —
+  // ~4,250 blocks, 400 interleaved receipt chains of depth 3–5 with
+  // per-chain hop gaps {1, 5, 50, 51} (50 = exactly the resolver TTL,
+  // 51 = one past it) — and are checked against closed-form DuckDB
+  // oracles (VERDICT r10 #4: resolver/cascade correctness at volume,
+  // not just throughput).
+
+  private def deepBlocksDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.Tables.tune(spark)
+    spark.createDataset(graft.fixtures.BlockGen.genDeepBlocks()).toDF()
+  }
+
+  private def deepResolved(spark: SparkSession): DataFrame = {
+    val b = deepBlocksDf(spark)
+    ReceiptTxResolver.resolve(
+      BronzeExtractors.transactions(b, acc),
+      BronzeExtractors.outcomes(b))
+  }
+
+  /** Multi-hop resolution at volume: every receipt the TTL allows must
+    * map to its origin transaction; gap-51 chains must die at hop 1. */
+  def nearScaleResolver(spark: SparkSession, dir: String): DataFrame =
+    deepResolved(spark)
+      .select(col("receipt_id"), col("tx_hash"), col("main"),
+        col("entry_height"))
+      .orderBy(col("receipt_id"))
+
+  /** BFS depth at volume — depth here is NOT TTL-bounded (the DAG
+    * exists in bronze regardless), so all 400 chains settle at their
+    * closed-form depth. */
+  def nearScaleDepth(spark: SparkSession, dir: String): DataFrame =
+    receiptDepth(BronzeExtractors.outcomesOfInterest(
+      BronzeExtractors.outcomes(deepBlocksDf(spark)), acc))
+
+  /** The silver cascade at volume: each chain's single nep245 event
+    * rides its FINAL hop, so a correct row requires the full multi-hop
+    * resolution to have succeeded — and the gap-51 chains' events must
+    * be dropped as unresolved (T5 warn-and-drop). */
+  def nearScaleEvents(spark: SparkSession, dir: String): DataFrame = {
+    val b = deepBlocksDf(spark)
+    val ev = BronzeExtractors.eventRows(BronzeExtractors.outcomes(b), acc)
+    val withTx = ReceiptTxResolver.attachTxHash(ev, deepResolved(spark))
+    SilverTransforms.nep245Events(withTx)
+      .select(col("block_height"), col("related_receipt_id"),
+        col("tx_hash"), col("old_owner_id"), col("new_owner_id"),
+        col("token_id"), col("amount"), col("memo"))
+      .orderBy(col("related_receipt_id"))
   }
 }

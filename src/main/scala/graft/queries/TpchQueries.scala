@@ -293,10 +293,14 @@ object TpchQueries {
     * data-quality screen (fabricated or unit-mangled monetary columns
     * drift from the log-uniform first-digit law; a synthetic uniform
     * corpus like this one FAILS it loudly, which is exactly what the
-    * report shows). Digit extraction stays in integer space: the
-    * cents-scaled value casts to BIGINT and the leading digit comes
-    * off its decimal string — both engines render integers
-    * identically, so no float-to-string formatting can drift. The
+    * report shows). Digit extraction: the cents-scaled double is
+    * rounded EXPLICITLY — `floor(x*100 + 0.5)` spelled identically in
+    * both engines — before the BIGINT cast, because a bare
+    * double→BIGINT cast is the one divergent step (Spark truncates,
+    * DuckDB rounds; ADVICE r10). `floor` on a double is IEEE-exact and
+    * engine-identical, and from there the leading digit comes off the
+    * integer's decimal string, which both engines render identically.
+    * The
     * expected shares are log10(1+1/d) pinned as LITERALS (identical
     * text in the oracle — no cross-engine libm question), and the
     * observed share is one exact-count division.
@@ -310,8 +314,8 @@ object TpchQueries {
       0.05799194697768673, 0.05115252244738129, 0.04575749056067514))
     val digits = orders(spark, dir)
       .select(expr(
-        "CAST(substring(CAST(CAST(o_totalprice * 100 AS BIGINT) AS STRING)," +
-          " 1, 1) AS INT)").as("digit"))
+        "CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)" +
+          " AS STRING), 1, 1) AS INT)").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val total = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)

@@ -122,7 +122,15 @@ object BatchRunner {
     val running = writes.map { case (name, keys, df) =>
       Future(ParquetSink.writeBatch(df(), s"$warehouse/$name", seq, keys))
     }
-    running.foreach(Await.result(_, Duration.Inf))
+    // Await ALL writes before propagating the first failure (ADVICE
+    // r10): failing fast on write k would leave jobs k+1…8 running as
+    // zombies past the batch's failure boundary, racing the replayed
+    // batch into the same tables. The PK-FINAL replay contract absorbs
+    // such duplicates, but a failed batch should still return only
+    // after every cascade job has terminated.
+    val outcomes = running.map(f =>
+      scala.util.Try(Await.result(f, Duration.Inf)))
+    outcomes.foreach(_.get) // rethrows the first failure, if any
   }
 
   /** Process every block in `blocksDir` newer than the sink's resume

@@ -22,8 +22,11 @@ import graft.sink.ParquetSink
   * it, the partner after) are still found — asserted by the suite and
   * by the shared oracle.
   *
-  * Watermark sizing: delay = join window (1 h) + 1 h slack. The feed
-  * is event-time ordered (measured disorder 0 — block/event streams
+  * Watermark sizing: delay = join window (`windowUs`) + 1 h slack,
+  * DERIVED from the parameter (ADVICE r10: a hard-coded "2 hours"
+  * held only for the default 1 h window — a caller passing a larger
+  * window would silently get less slack than promised). The feed is
+  * event-time ordered (measured disorder 0 — block/event streams
   * arrive in height order here, as in the reference), so this delay
   * drops nothing; at production the slack term is the ingest's
   * out-of-orderness SLA. Correctness does not ride on the EXACT
@@ -49,12 +52,15 @@ object StreamingRangeJoin {
   def runStream(spark: SparkSession, feedDir: String, warehouse: String,
       windowUs: Long): Unit = {
     val path = s"$warehouse/range_pairs"
+    // window + 1 h slack, in µs — the delay scales with the caller's
+    // window so the eviction slack can never drift below the contract
+    val delay = s"${windowUs + 3600000000L} microseconds"
     def side(tag: String): DataFrame =
       StreamingDedup.readDocStream(spark, feedDir, feedSchema)
         .select(col("doc_id").as(s"event_$tag"), col("user_id").as(s"u_$tag"),
           expr("ts DIV 1000").as(s"ts_$tag"),
           timestamp_micros(expr("ts DIV 1000")).as(s"t_$tag"))
-        .withWatermark(s"t_$tag", "2 hours")
+        .withWatermark(s"t_$tag", delay)
     val joined = side("a").join(side("b"),
       col("u_a") === col("u_b") &&
         col("event_a") < col("event_b") &&
