@@ -30,7 +30,9 @@ object SparkEntry {
       name == "pipe_stream_clean" ||
       name == "t_stream_dataset_card" || name == "s_stream_ann_lsh" ||
       name == "w_stream_rolling_7d" || name == "t_stream_heavy_hitters" ||
-      name == "w_stream_anomaly" || name == "w_stream_range_join"
+      name == "w_stream_anomaly" || name == "w_stream_range_join" ||
+      name == "w_stream_gap_fill" || name == "k_stream_scd2" ||
+      name == "w_stream_interval_coverage"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -93,6 +95,14 @@ object SparkEntry {
     "k_scd2_history"       -> (EventQueries.kScd2History _),
     // dense hourly grid with forward fill (gap-filled time series)
     "w_gap_fill"           -> ((s, d) => EventQueries.wGapFill(s, d)),
+    // streaming twins (r11): summing-MV hourly grid / append-only
+    // event-log MV, read through the SAME shared implementations
+    "w_stream_gap_fill"    -> ((s, d) =>
+      graft.streaming.StreamingEventLog.wStreamGapFill(s, d)),
+    "k_stream_scd2"        -> ((s, d) =>
+      graft.streaming.StreamingEventLog.kStreamScd2(s, d)),
+    "w_stream_interval_coverage" -> ((s, d) =>
+      graft.streaming.StreamingEventLog.wStreamIntervalCoverage(s, d)),
     "w_hourly_window"      -> (EventQueries.wHourlyWindow _),
     "w_asof_join"          -> (EventQueries.wAsofJoin _),
     "w_range_join"         -> ((s, d) => EventQueries.wRangeJoin(s, d)),
@@ -609,7 +619,18 @@ object SparkEntry {
       |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cosine
       |FROM r WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = oracleSqlBase
+    // streaming twins of the round-11 event operators answer from their
+    // MV exactly what the batch query answers from the table — same
+    // oracle by construction (the w_stream_anomaly precedent)
+    m ++ Map(
+      "w_stream_gap_fill" -> m("w_gap_fill"),
+      "k_stream_scd2" -> m("k_scd2_history"),
+      "w_stream_interval_coverage" -> m("w_interval_coverage"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,

@@ -328,10 +328,17 @@ object EventQueries {
     * numbers the runs, runs aggregate to intervals, lead supplies the
     * next run's start. All windows partition BY USER (per-user event
     * counts are bounded); µs-truncated time for oracle parity. */
-  def kScd2History(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir)
+  def kScd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2FromEvents(events(spark, dir)
       .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
-        col("event_id"), col("event_type"))
+        col("event_id"), col("event_type")))
+
+  /** The SCD2 interval builder over a (user_id, ts_us, event_id,
+    * event_type) relation — THE shared implementation read by the batch
+    * query and by the streamed append-only event-log MV
+    * ([[graft.streaming.StreamingEventLog]]), so the two can never
+    * drift. */
+  private[graft] def scd2FromEvents(e: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
     val runs = e
@@ -376,14 +383,21 @@ object EventQueries {
     * next-transition) is the within-day `lead`, patched at each day's
     * last point by a join against the day-bounded "first point of the
     * next day" relation — so no window ever spans the full corpus. */
-  def wIntervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+  def wIntervalCoverage(spark: SparkSession, dir: String): DataFrame =
+    coverageFromEvents(spark, events(spark, dir)
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_id")))
+
+  /** The interval-union sweep over a (user_id, ts_us, event_id)
+    * relation — THE shared implementation read by the batch query and
+    * by the streamed append-only event-log MV
+    * ([[graft.streaming.StreamingEventLog]]). */
+  private[graft] def coverageFromEvents(spark: SparkSession,
+      evsDf: DataFrame): DataFrame = {
     import spark.implicits._
     import graft.streaming.Sessionize
     val dayUs = 86400000000L
-    val evs = events(spark, dir)
-      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
-        col("event_id"))
-      .as[Sessionize.Ev]
+    val evs = evsDf.as[Sessionize.Ev]
     val sessions =
       Sessionize.sessionsBatch(evs, gapUs = 30L * 60L * 1000000L).toDF()
     // persisted: day offsets, day firsts, and the main sweep all read it
@@ -447,13 +461,25 @@ object EventQueries {
     * runs on the hours × types grid. Windows partition by type over
     * that grid — bounded by the time range, not the event count. */
   def wGapFill(spark: SparkSession, dir: String,
+      minValue: Double = 90.0): DataFrame =
+    gapFillFromHourly(hourlyHighValue(events(spark, dir), minValue))
+
+  /** The hourly high-value DECIMAL grid — the additive relation the
+    * streaming twin maintains as a summing MV (one definition, two
+    * grid builders — the [[anomalyFromDaily]] discipline). */
+  private[graft] def hourlyHighValue(e: DataFrame,
       minValue: Double = 90.0): DataFrame = {
     val nanosPerHour = 3600L * 1000000000L
-    val hourly = events(spark, dir)
-      .filter(col("value") >= minValue)
+    e.filter(col("value") >= minValue)
       .withColumn("epoch_hour", expr(s"ts DIV ${nanosPerHour}L"))
       .groupBy(col("event_type"), col("epoch_hour"))
       .agg(sum(col("value").cast("decimal(28,2)")).as("hour_dec"))
+  }
+
+  /** Dense-grid forward fill over an (event_type, epoch_hour, hour_dec)
+    * relation — THE shared read for the batch query and the streamed
+    * summing-MV twin. */
+  private[graft] def gapFillFromHourly(hourly: DataFrame): DataFrame = {
     val grid = hourly.groupBy(col("event_type"))
       .agg(min(col("epoch_hour")).as("h0"), max(col("epoch_hour")).as("h1"))
       .select(col("event_type"),

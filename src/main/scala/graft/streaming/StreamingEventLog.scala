@@ -1,0 +1,156 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
+  StructField, StructType}
+import graft.queries.EventQueries
+import graft.sink.ParquetSink
+
+/** Streaming twins for the round-10 batch-only event operators
+  * (VERDICT r10 #5), each on an established state pattern:
+  *
+  *  - `w_stream_gap_fill`: the hourly high-value DECIMAL grid is
+  *    integer/decimal-ADDITIVE, so it streams as a summing MV (the
+  *    [[StreamingAnomaly]] pattern — the forward-FILL itself would be
+  *    terrible sink state: one late hour shifts every later filled
+  *    value, while the grid absorbs any replay); the dense-grid
+  *    forward fill runs at read through THE shared
+  *    [[EventQueries.gapFillFromHourly]].
+  *  - `k_stream_scd2` / `w_stream_interval_coverage`: SCD2 runs and
+  *    interval unions are NOT additive (a late event can split a run /
+  *    merge sessions), but both derive from an APPEND-ONLY event log —
+  *    a row's (event_id → user, ts, type) facts never change — so the
+  *    MV is the log itself under PK FINAL (the [[StreamingSpans]]
+  *    read-time-aggregation contract) and the analytics run at read
+  *    through the shared [[EventQueries.scd2FromEvents]] /
+  *    [[EventQueries.coverageFromEvents]]. (At production scale the
+  *    read would ride the summing/hourly MVs for its bounded grids;
+  *    the log IS the reference's own bronze-table design.)
+  *
+  * All three: checkpointed file stream, two chunks, a STOP, then the
+  * full feed against the same checkpoint (the mid-stream restart), a
+  * compaction between runs, identical oracle to the batch twin.
+  */
+object StreamingEventLog {
+
+  private val feedSchema = StructType(Seq(
+    StructField("doc_id", LongType), // event_id; the feed writer keys on doc_id
+    StructField("ts", LongType), // epoch nanos (feed carries the normalized Long)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+  private val gridKeys = Seq("event_type", "epoch_hour")
+  private val gridSums = Seq("hour_dec")
+
+  /** Summing-MV stream for the hourly grid (gap fill). */
+  def runGridStream(spark: SparkSession, feedDir: String,
+      warehouse: String): Unit = {
+    val gridPath = s"$warehouse/hourly_summed"
+    val query = StreamingDedup.readDocStream(spark, feedDir, feedSchema)
+      .writeStream
+      .option("checkpointLocation", s"$warehouse/_grid_checkpoint")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val batch = b.localCheckpoint()
+        if (!batch.isEmpty) {
+          val maxId = batch.agg(max(col("doc_id"))).collect()(0).getLong(0)
+          val partial = EventQueries.hourlyHighValue(batch)
+            .withColumn("block_height", col("epoch_hour"))
+          ParquetSink.writeSummedBatch(partial, gridPath, maxId, gridKeys)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** Append-only event-log stream (SCD2 / interval coverage). */
+  def runLogStream(spark: SparkSession, feedDir: String,
+      warehouse: String): Unit = {
+    val logPath = s"$warehouse/events_log"
+    val query = StreamingDedup.readDocStream(spark, feedDir, feedSchema)
+      .writeStream
+      .option("checkpointLocation", s"$warehouse/_log_checkpoint")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val batch = b.localCheckpoint()
+        if (!batch.isEmpty) {
+          val maxId = batch.agg(max(col("doc_id"))).collect()(0).getLong(0)
+          ParquetSink.writeBatch(
+            batch.withColumn("block_height", col("doc_id")),
+            logPath, maxId, Seq("doc_id"))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  private def feedRows(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .select(col("event_id").as("doc_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+
+  /** Two-run stream (restart mid-feed) + compaction between runs;
+    * returns the warehouse dir. */
+  private def streamTwice(spark: SparkSession, dir: String, tag: String,
+      run: (SparkSession, String, String) => Unit,
+      compact: (SparkSession, String) => Unit,
+      nChunks: Int): String = {
+    graft.Tables.tune(spark)
+    val feed = StreamingDedup.freshDir(s"${tag}_feed")
+    val warehouse = StreamingDedup.freshDir(s"${tag}_wh")
+    val evs = feedRows(spark, dir)
+    StreamingDedup.writeDocChunks(spark, evs, feed, nChunks,
+      takeChunks = 2, schema = feedSchema)
+    run(spark, feed, warehouse)
+    compact(spark, warehouse)
+    StreamingDedup.writeDocChunks(spark, evs, feed, nChunks,
+      schema = feedSchema)
+    run(spark, feed, warehouse)
+    warehouse
+  }
+
+  /** Declared query (`w_stream_gap_fill`) — equals the batch
+    * [[EventQueries.wGapFill]] and shares its oracle. Correctness-only:
+    * its cost is micro-batch orchestration, not data volume. */
+  def wStreamGapFill(spark: SparkSession, dir: String,
+      nChunks: Int = 5): DataFrame = {
+    val warehouse = streamTwice(spark, dir, "gapfill", runGridStream,
+      (s, wh) => ParquetSink.compactSummed(
+        s, s"$wh/hourly_summed", gridKeys, gridSums),
+      nChunks)
+    val grid = ParquetSink.readSummed(
+      spark.read.parquet(s"$warehouse/hourly_summed"), gridKeys, gridSums)
+      .select(col("event_type"), col("epoch_hour"), col("hour_dec"))
+    EventQueries.gapFillFromHourly(grid)
+  }
+
+  /** Declared query (`k_stream_scd2`) — equals the batch
+    * [[EventQueries.kScd2History]] and shares its oracle. */
+  def kStreamScd2(spark: SparkSession, dir: String,
+      nChunks: Int = 5): DataFrame = {
+    val warehouse = streamTwice(spark, dir, "scd2", runLogStream,
+      (s, wh) => ParquetSink.compact(s, s"$wh/events_log", Seq("doc_id")),
+      nChunks)
+    EventQueries.scd2FromEvents(readLog(spark, warehouse)
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("doc_id").as("event_id"), col("event_type")))
+  }
+
+  /** Declared query (`w_stream_interval_coverage`) — equals the batch
+    * [[EventQueries.wIntervalCoverage]] and shares its oracle. */
+  def wStreamIntervalCoverage(spark: SparkSession, dir: String,
+      nChunks: Int = 5): DataFrame = {
+    val warehouse = streamTwice(spark, dir, "coverage", runLogStream,
+      (s, wh) => ParquetSink.compact(s, s"$wh/events_log", Seq("doc_id")),
+      nChunks)
+    EventQueries.coverageFromEvents(spark, readLog(spark, warehouse)
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("doc_id").as("event_id")))
+  }
+
+  private def readLog(spark: SparkSession, warehouse: String): DataFrame =
+    ParquetSink.readFinal(
+      spark.read.parquet(s"$warehouse/events_log"), Seq("doc_id"))
+}

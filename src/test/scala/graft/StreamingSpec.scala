@@ -435,6 +435,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming gap-fill grid / SCD2 log / interval-coverage log " +
+    "(each checkpointed, mid-stream restart + compaction) equal their " +
+    "batch twins row for row") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.streaming.StreamingEventLog
+    import graft.queries.EventQueries
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    val gf = rows(StreamingEventLog.wStreamGapFill(spark, dir))
+    assert(gf === rows(EventQueries.wGapFill(spark, dir)))
+    assert(gf.nonEmpty)
+    val scd = rows(StreamingEventLog.kStreamScd2(spark, dir))
+    assert(scd === rows(EventQueries.kScd2History(spark, dir)))
+    assert(scd.nonEmpty)
+    val cov = rows(StreamingEventLog.wStreamIntervalCoverage(spark, dir))
+    assert(cov === rows(EventQueries.wIntervalCoverage(spark, dir)))
+    assert(cov.nonEmpty)
+  }
+
   test("heavy-hitter and anomaly MV soak: randomized chunk waves with a " +
     "restart per wave and random merges converge to the batch answers") {
     // the rolling-grid soak discipline applied to this round's two
