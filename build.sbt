@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Fast gate while iterating: everything except the randomized soak /
+// replay-storm tests (tagged graft.Slow). CI cadence runs the full
+// `test`; `quick` exists so the edit loop stays under ~5 min.
+addCommandAlias("quick", "testOnly * -- -l graft.Slow")
 // Forked run output goes straight to stdout WITHOUT sbt's "[info] "
 // prefix — the driver parses Bench's single JSON line from stdout and
 // a prefixed line is unparseable (BENCH_r02.json "parsed": null).

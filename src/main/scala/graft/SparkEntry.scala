@@ -147,6 +147,8 @@ object SparkEntry {
     "t_fingerprint"     -> (TextAnalysis.tFingerprint _),
     "t_vocab_topk"      -> ((s, d) => TextAnalysis.tVocabTopk(s, d)),
     "t_bigram_topk"     -> ((s, d) => TextAnalysis.tBigramTopk(s, d)),
+    // tokenizer training: 8 BPE merges learned on the word-type vocab
+    "t_bpe_merges"      -> ((s, d) => TextAnalysis.tBpeMerges(s, d)),
     "t_split_assign"    -> (TextAnalysis.tSplitAssign _),
     "t_quality_percentiles" -> ((s, d) => TextAnalysis.tQualityPercentiles(s, d)),
     "t_repetition"      -> (TextAnalysis.tRepetition _),
@@ -324,6 +326,51 @@ object SparkEntry {
       |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
       |    AS rolling_7d
       |FROM daily ORDER BY event_type, epoch_day""".stripMargin
+
+  /** The BPE-training oracle: the 8 merge steps of
+    * [[graft.llm.TextAnalysis.tBpeMerges]] unrolled as chained CTEs —
+    * per step, weighted adjacent-pair counts over the evolving
+    * space-separated symbol strings, (count DESC, left, right) argmax,
+    * and the same literal ' l r '→' lr ' replace (left-to-right
+    * non-overlapping in both engines = BPE's greedy fold). Generated by
+    * a loop so the two sides can only diverge in semantics, not in
+    * transcription. */
+  private val bpeMergesSql: String = {
+    val steps = (1 to 8).map { k =>
+      s"""p$k AS (
+        |  SELECT s[i + 1] AS l, s[i + 2] AS r, SUM(cnt) AS pc FROM (
+        |    SELECT s, cnt, unnest(range(0, len(s) - 1)) AS i
+        |    FROM (SELECT string_split(trim(syms), ' ') AS s, cnt
+        |          FROM v${k - 1}))
+        |  GROUP BY 1, 2),
+        |best$k AS MATERIALIZED (SELECT l, r, pc FROM p$k
+        |  ORDER BY pc DESC, l, r LIMIT 1),
+        |v$k AS MATERIALIZED (SELECT replace(syms,
+        |    ' ' || (SELECT l FROM best$k) || ' ' || (SELECT r FROM best$k) || ' ',
+        |    ' ' || (SELECT l FROM best$k) || (SELECT r FROM best$k) || ' ')
+        |    AS syms, cnt FROM v${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val report = (1 to 8).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS merge_step, l AS left_sym,
+        |  r AS right_sym, CAST(pc AS BIGINT) AS pair_count FROM best$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    // MATERIALIZED is load-bearing: each v_k is referenced twice
+    // (pair counts + the next merge), so un-materialized CTE inlining
+    // re-expands the chain 2^8 times — measured fd exhaustion from
+    // hundreds of parquet re-scans
+    s"""WITH w AS MATERIALIZED (
+      |  SELECT w, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+      |    FROM documents) x
+      |  GROUP BY w),
+      |v0 AS MATERIALIZED (
+      |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS syms,
+      |  cnt FROM w),
+      |$steps
+      |SELECT * FROM (
+      |$report
+      |) ORDER BY merge_step""".stripMargin
+  }
 
   /** The interval-join oracle — shared by the batch banded range join
     * and its watermarked stream-stream twin. */
@@ -1711,6 +1758,7 @@ object SparkEntry {
         |            FROM documents) t
         |      GROUP BY token, doc_id) g
         |GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "t_bpe_merges" -> bpeMergesSql,
     "t_bigram_topk" ->
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -898,4 +898,69 @@ object TextAnalysis {
         col("fp64"), col("n_shingles"))
       .orderBy(col("doc_id"))
   }
+
+  /** BPE MERGE LEARNING — the tokenizer-training pass of an LLM data
+    * pipeline (Sennrich et al. 2016): learn the first `nMerges` merge
+    * rules over the corpus by repeatedly merging the highest-weight
+    * adjacent symbol pair, trained — as real BPE/WordPiece trainers do
+    * — on the (word type, count) vocabulary, not on corpus positions.
+    *
+    * Symbol sequences ride as space-separated strings padded with one
+    * leading/trailing blank, and a merge is a literal
+    * `replace(' l r ', ' lr ')` — left-to-right non-overlapping in
+    * BOTH engines, which is exactly BPE's greedy left-fold, so the
+    * DuckDB oracle (the same 8 steps unrolled as chained CTEs) replays
+    * the training bit-for-bit. Argmax tie-break is total:
+    * (count DESC, left, right) over binary string order.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-count shuffle,
+    * hash-partitioned with map-side combine); every iteration after
+    * runs on the word-TYPE relation — vocabulary-bounded, not
+    * corpus-bounded — with one single-row argmax collect per merge
+    * (the same bounded-constant discipline as the k-means Lloyd loop).
+    * At 100 TB the vocab is ~10⁷ types: per-step pair aggregation
+    * stays a small hash shuffle, and `localCheckpoint` per step keeps
+    * lineage flat. */
+  def tBpeMerges(spark: SparkSession, dir: String,
+      nMerges: Int = 8): DataFrame = {
+    import spark.implicits._
+    var vocab = documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("syms",
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
+      .select(col("syms"), col("cnt"))
+      .localCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var dry = false
+    while (step <= nMerges && !dry) {
+      val best = vocab
+        .select(col("cnt"), split(trim(col("syms")), " ").as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(s) - 2), " +
+            "i -> struct(s[i] AS l, s[i+1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) dry = true
+      else {
+        val (l, r, pc) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step.toLong, l, r, pc))
+        val old = vocab
+        vocab = vocab.withColumn("syms",
+          replace(col("syms"), lit(s" $l $r "), lit(s" $l$r ")))
+          .localCheckpoint()
+        old.unpersist()
+        step += 1
+      }
+    }
+    merges.toSeq
+      .toDF("merge_step", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("merge_step"))
+  }
 }

@@ -26,7 +26,11 @@ object AnnRecall {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables.tune(spark)
-    val k = 3
+    // k is env-tunable because the SfGen sf1 corpus is 10 key-shifted
+    // copies: each query's 9 exact twins saturate any small-k recall
+    // (measured 1.0 at k=3 for every index/probe setting) — k beyond
+    // the twin count is the non-degenerate measure there.
+    val k = sys.env.getOrElse("SPARK_GRAFT_ANN_K", "3").toInt
     val nQueries = 20
 
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = df

@@ -1139,4 +1139,41 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(f.frames_sampled === ((bytes.length + 15) / 16).toLong)
     }
   }
+
+  test("BPE merges equal a plain-Scala greedy trainer on the word-type vocab") {
+    val got = graft.llm.TextAnalysis.tBpeMerges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // independent local model: word-type counts -> iterative weighted
+    // pair argmax -> greedy left-to-right merge (list-based, no strings)
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => (r.getString(0).toList.map(_.toString), r.getLong(1)))
+    var vocab = words
+    val model = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    for (step <- 1 to 8) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, cnt) =>
+        syms.sliding(2).foreach {
+          case List(a, b) => counts((a, b)) += cnt
+          case _ => ()
+        }
+      }
+      val ((l, r), pc) = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }
+      model += ((step.toLong, l, r, pc))
+      def mergeGreedy(syms: List[String]): List[String] = syms match {
+        case a :: b :: rest if a == l && b == r =>
+          (a + b) :: mergeGreedy(rest)
+        case a :: rest => a :: mergeGreedy(rest)
+        case Nil => Nil
+      }
+      vocab = vocab.map { case (syms, cnt) => (mergeGreedy(syms), cnt) }
+    }
+    assert(got === model.toSeq)
+    assert(got.size === 8)
+  }
 }

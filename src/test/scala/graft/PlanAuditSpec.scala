@@ -48,6 +48,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "w_interval_coverage" ->
       // day offsets + next-day first points: both day-count-bounded
       ((2, Set("offset", "next_first_us"))),
+    // the streamed event-log twin answers through the SAME shared
+    // sweep, so it inherits the same two day-bounded broadcasts
+    "w_stream_interval_coverage" ->
+      ((2, Set("offset", "next_first_us"))),
     "t_dataset_card" -> ((1, Set("split_tokens"))), // per-split totals: ≤3 rows
     "w_value_deciles" -> ((1, Set("bs"))), // boundary arrays: types × 9 rows
     "q11_supplier_share" -> ((1, Set("total_dec"))), // global scalar: 1 row

@@ -177,7 +177,7 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("randomized block chains: the streaming fold emits exactly the " +
-    "batch pipeline's events (TTL expiry, same-block hops, orphans)") {
+    "batch pipeline's events (TTL expiry, same-block hops, orphans)", Slow) {
     import graft.model._
     import graft.bronze.BronzeExtractors
     import graft.state.ReceiptTxResolver
@@ -288,7 +288,7 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("readAsOf pins never see post-pin or stale data under random maintenance") {
+  test("readAsOf pins never see post-pin or stale data under random maintenance", Slow) {
     // The ParquetSink scaladoc contract: maintenance may make an old
     // pin UNDER-report (compaction discards pre-pin versions of later-
     // overwritten keys; TTL trims drop whole rows), but a pin must
@@ -350,7 +350,7 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("summing sink equals an additive model under random replays and merges") {
+  test("summing sink equals an additive model under random replays and merges", Slow) {
     // Additive state is replay-hostile: the invariant is that totals
     // NEVER move except when a genuinely new batch lands (VERDICT r6
     // #1). Randomized (Gen, fixed seeds): batch composition, redelivery

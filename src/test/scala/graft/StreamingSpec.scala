@@ -455,7 +455,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("heavy-hitter and anomaly MV soak: randomized chunk waves with a " +
-    "restart per wave and random merges converge to the batch answers") {
+    "restart per wave and random merges converge to the batch answers", Slow) {
     // the rolling-grid soak discipline applied to this round's two
     // summing MVs: whatever the arrival/restart/merge schedule, the
     // threshold reads must equal the one-shot batch queries
@@ -539,7 +539,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("stream-stream join soak: randomized chunk waves with a restart " +
-    "per wave converge to the batch range join") {
+    "per wave converge to the batch range join", Slow) {
     // the soak discipline applied to symmetric JOIN state: whatever the
     // arrival/restart schedule, the accumulated pair table must equal
     // the batch join — every restart must restore both sides' buffered
@@ -657,7 +657,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("rolling-grid soak: randomized chunk waves, checkpoint restarts, " +
-    "and compactions converge to the batch window") {
+    "and compactions converge to the batch window", Slow) {
     // the crash-recovery depth test for the newest summing MV: events
     // arrive in randomized WAVES, every wave is drained by a FRESH
     // runStream call (i.e. a restart from the same checkpoint — only
@@ -701,7 +701,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("spans+retention MV soak: randomized chunk waves with a restart " +
-    "per wave converge to the batch answers") {
+    "per wave converge to the batch answers", Slow) {
     // the rolling-grid soak discipline applied to the two newest MVs:
     // whatever the arrival/restart schedule, the read-time report must
     // equal the one-shot batch answer (PK-FINAL state absorbs replays)
