@@ -149,6 +149,18 @@ object SparkEntry {
     "t_bigram_topk"     -> ((s, d) => TextAnalysis.tBigramTopk(s, d)),
     // tokenizer training: 8 BPE merges learned on the word-type vocab
     "t_bpe_merges"      -> ((s, d) => TextAnalysis.tBpeMerges(s, d)),
+    // tokenizer APPLICATION: per-doc token counts under the trained
+    // vocab (segmentation computed once per word type, joined out)
+    "t_bpe_encode"      -> ((s, d) => TextAnalysis.tBpeEncode(s, d)),
+    // deterministic epoch shuffle: md5-keyed shard + in-shard position
+    "t_epoch_shuffle"   -> ((s, d) => TextAnalysis.tEpochShuffle(s, d)),
+    // CCNet-style bigram-LM quality scoring (train split -> all docs,
+    // stupid backoff, floor-scaled integer probabilities)
+    "t_lm_score"        -> ((s, d) => TextAnalysis.tLmScore(s, d)),
+    // ClickHouse sequenceMatch analog: windowed view->click->purchase
+    "g_sequence_match"  -> ((s, d) => EventQueries.gSequenceMatch(s, d)),
+    // degree-oriented triangle counting over repeat-co-occurrence graph
+    "g_user_triangles"  -> (EventQueries.gUserTriangles _),
     "t_split_assign"    -> (TextAnalysis.tSplitAssign _),
     "t_quality_percentiles" -> ((s, d) => TextAnalysis.tQualityPercentiles(s, d)),
     "t_repetition"      -> (TextAnalysis.tRepetition _),
@@ -335,7 +347,10 @@ object SparkEntry {
     * non-overlapping in both engines = BPE's greedy fold). Generated by
     * a loop so the two sides can only diverge in semantics, not in
     * transcription. */
-  private val bpeMergesSql: String = {
+  /** The shared BPE-training CTE chain (w → v0 → … → v8): word-type
+    * counts, char-split symbol strings, 8 argmax-merge steps. Used by
+    * both the merge-rule oracle and the encode oracle. */
+  private val bpeTrainCtes: String = {
     val steps = (1 to 8).map { k =>
       s"""p$k AS (
         |  SELECT s[i + 1] AS l, s[i + 2] AS r, SUM(cnt) AS pc FROM (
@@ -350,15 +365,11 @@ object SparkEntry {
         |    ' ' || (SELECT l FROM best$k) || (SELECT r FROM best$k) || ' ')
         |    AS syms, cnt FROM v${k - 1})""".stripMargin
     }.mkString(",\n")
-    val report = (1 to 8).map { k =>
-      s"""SELECT CAST($k AS BIGINT) AS merge_step, l AS left_sym,
-        |  r AS right_sym, CAST(pc AS BIGINT) AS pair_count FROM best$k""".stripMargin
-    }.mkString("\nUNION ALL\n")
     // MATERIALIZED is load-bearing: each v_k is referenced twice
     // (pair counts + the next merge), so un-materialized CTE inlining
     // re-expands the chain 2^8 times — measured fd exhaustion from
     // hundreds of parquet re-scans
-    s"""WITH w AS MATERIALIZED (
+    s"""w AS MATERIALIZED (
       |  SELECT w, COUNT(*) AS cnt FROM (
       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
       |    FROM documents) x
@@ -366,11 +377,37 @@ object SparkEntry {
       |v0 AS MATERIALIZED (
       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS syms,
       |  cnt FROM w),
-      |$steps
+      |$steps""".stripMargin
+  }
+
+  private val bpeMergesSql: String = {
+    val report = (1 to 8).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS merge_step, l AS left_sym,
+        |  r AS right_sym, CAST(pc AS BIGINT) AS pair_count FROM best$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeTrainCtes
       |SELECT * FROM (
       |$report
       |) ORDER BY merge_step""".stripMargin
   }
+
+  /** Encode oracle: recover each word type from its final symbol string
+    * (strip the spaces), count its symbols, join corpus occurrences. */
+  private val bpeEncodeSql: String =
+    s"""WITH $bpeTrainCtes,
+      |enc AS (SELECT replace(syms, ' ', '') AS word,
+      |    CAST(len(string_split(trim(syms), ' ')) AS BIGINT) AS n_sym
+      |  FROM v8),
+      |dw AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\\s+')) AS word
+      |  FROM documents)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+      |  CAST(SUM(len(word)) AS DOUBLE) / CAST(SUM(n_sym) AS DOUBLE)
+      |    AS chars_per_token
+      |FROM dw JOIN enc USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** The interval-join oracle — shared by the batch banded range join
     * and its watermarked stream-stream twin. */
@@ -1759,6 +1796,104 @@ object SparkEntry {
         |      GROUP BY token, doc_id) g
         |GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
     "t_bpe_merges" -> bpeMergesSql,
+    "t_bpe_encode" -> bpeEncodeSql,
+    // md5 hex + its string order are engine-identical, so the shard
+    // assignment and the in-shard permutation replay bit-for-bit
+    "t_epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |    md5('epoch1:' || doc_id::VARCHAR) AS shuffle_key
+        |  FROM documents),
+        |s AS (SELECT doc_id, shuffle_key,
+        |    CAST((instr('0123456789abcdef', substring(shuffle_key, 1, 1))
+        |      - 1) % 8 AS BIGINT) AS shard
+        |  FROM k)
+        |SELECT doc_id, shuffle_key, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+        |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos_in_shard
+        |FROM s ORDER BY shard, pos_in_shard""".stripMargin,
+    // trigram stupid-backoff LM trained on the md5-bucket train split,
+    // scored over ALL docs; probabilities as floor-scaled integers
+    // (seen: (1e9*c_abc)//c_ab; bigram backoff: (4e8*c_bc)//c_b;
+    // unigram floor: (1.6e8*c_c)//N) so the only float is ONE
+    // division of two exact Longs per doc
+    "t_lm_score" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t,
+        |    (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +
+        |      instr('0123456789abcdef', substring(h, 2, 1)) - 1 < 230
+        |      AS is_train
+        |  FROM (SELECT doc_id, text, md5(doc_id::VARCHAR) AS h
+        |        FROM documents) x),
+        |uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cu
+        |  FROM (SELECT unnest(t) AS token FROM d WHERE is_train) x
+        |  GROUP BY token),
+        |n AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uni),
+        |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM (
+        |    SELECT t[i + 1] AS w1, t[i + 2] AS w2
+        |    FROM d, unnest(range(0, len(t) - 1)) AS u(i)
+        |    WHERE is_train AND len(t) >= 2) p
+        |  GROUP BY w1, w2),
+        |tg AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3 FROM (
+        |    SELECT t[i + 1] AS w1, t[i + 2] AS w2, t[i + 3] AS w3
+        |    FROM d, unnest(range(0, len(t) - 2)) AS u(i)
+        |    WHERE is_train AND len(t) >= 3) p
+        |  GROUP BY w1, w2, w3),
+        |dt AS (SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2,
+        |    t[i + 3] AS w3
+        |  FROM d, unnest(range(0, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN tg.c3 IS NOT NULL THEN (1000000000 * tg.c3) // ab.cb
+        |      WHEN bc.cb IS NOT NULL THEN (400000000 * bc.cb) // u2.cu
+        |      ELSE (160000000 * COALESCE(u3.cu, 0)) // (SELECT n FROM n)
+        |    END AS ps
+        |  FROM dt LEFT JOIN tg USING (w1, w2, w3)
+        |    LEFT JOIN bi ab ON dt.w1 = ab.w1 AND dt.w2 = ab.w2
+        |    LEFT JOIN bi bc ON dt.w2 = bc.w1 AND dt.w3 = bc.w2
+        |    LEFT JOIN uni u2 ON dt.w2 = u2.token
+        |    LEFT JOIN uni u3 ON dt.w3 = u3.token)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |  CAST(SUM(ps) AS BIGINT) AS sum_scaled,
+        |  CAST(SUM(ps) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lm_score
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // EXISTS-over-(v,c,p)-triples ground truth for the windowed
+    // sequence match; the Spark side collapses it to running maxima
+    "g_sequence_match" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) AS ts FROM events),
+        |p AS (SELECT user_id, event_id, ts FROM e
+        |  WHERE event_type = 'purchase'),
+        |mt AS (SELECT DISTINCT p.event_id
+        |  FROM p
+        |  JOIN e c ON c.user_id = p.user_id AND c.event_type = 'click'
+        |    AND c.ts < p.ts
+        |  JOIN e v ON v.user_id = c.user_id AND v.event_type = 'view'
+        |    AND v.ts < c.ts AND v.ts >= p.ts - 86400000000000)
+        |SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CASE WHEN mt.event_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_matches,
+        |  MIN(CASE WHEN mt.event_id IS NOT NULL THEN p.ts END)
+        |    AS first_match_ts
+        |FROM p LEFT JOIN mt ON p.event_id = mt.event_id
+        |GROUP BY p.user_id ORDER BY user_id""".stripMargin,
+    // id-ordered triangle enumeration (orientation-free ground truth
+    // for the degree-oriented Spark plan — same triangle set)
+    "g_user_triangles" ->
+      """WITH e0 AS (SELECT DISTINCT event_type,
+        |    epoch_ns(ts) // 600000000000 AS bkt, user_id FROM events),
+        |ed AS (SELECT u, v FROM (
+        |    SELECT a.user_id AS u, b.user_id AS v,
+        |      COUNT(*) AS nco
+        |    FROM e0 a JOIN e0 b ON a.event_type = b.event_type
+        |      AND a.bkt = b.bkt AND a.user_id < b.user_id
+        |    GROUP BY 1, 2) x
+        |  WHERE nco >= 2),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM ed e1 JOIN ed e2 ON e1.v = e2.u
+        |  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |m AS (SELECT unnest([a, b, c]) AS user_id FROM tri)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
     "t_bigram_topk" ->
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -924,6 +924,18 @@ object TextAnalysis {
   def tBpeMerges(spark: SparkSession, dir: String,
       nMerges: Int = 8): DataFrame = {
     import spark.implicits._
+    val (merges, _) = bpeTrain(spark, dir, nMerges)
+    merges
+      .toDF("merge_step", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("merge_step"))
+  }
+
+  /** The shared BPE training loop — returns the learned merge rules AND
+    * the final merged word-type vocabulary (the state [[tBpeEncode]]
+    * segments against). See [[tBpeMerges]] for semantics and scale
+    * notes. */
+  private[graft] def bpeTrain(spark: SparkSession, dir: String,
+      nMerges: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     var vocab = documents(spark, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -959,8 +971,156 @@ object TextAnalysis {
         step += 1
       }
     }
-    merges.toSeq
-      .toDF("merge_step", "left_sym", "right_sym", "pair_count")
-      .orderBy(col("merge_step"))
+    (merges.toSeq, vocab)
+  }
+
+  /** BPE ENCODING — apply the trained tokenizer ([[tBpeMerges]]) to the
+    * corpus and report each document's token count under the learned
+    * vocabulary: the train → apply pair every real tokenizer pipeline
+    * ships. Per doc: word count, BPE token count, character mass, and
+    * chars-per-token (the compression the 8 merges bought).
+    *
+    * The segmentation is computed ONCE per word TYPE — the final
+    * training vocabulary already holds each word's merged symbol
+    * sequence, so encoding is `replace(syms, ' ', '')` to recover the
+    * word key plus `size(split(...))` for its token count, then a
+    * vocab-bounded hash join from corpus word occurrences. That is the
+    * at-scale shape: the corpus-sized side is a narrow explode feeding
+    * one join on the token key; the expensive per-word work is
+    * vocabulary-bounded. Applying the merge rules per OCCURRENCE would
+    * redo identical string folds billions of times.
+    *
+    * Determinism: counts and character sums are exact integers;
+    * `chars_per_token` is one double division of two exact Longs
+    * (correctly-rounded identically in both engines). The oracle
+    * replays training via the same 8 materialized CTEs as
+    * [[tBpeMerges]]'s oracle, then joins the same way. */
+  def tBpeEncode(spark: SparkSession, dir: String,
+      nMerges: Int = 8): DataFrame = {
+    val (_, vocab) = bpeTrain(spark, dir, nMerges)
+    val enc = vocab.select(
+      replace(col("syms"), lit(" "), lit("")).as("word"),
+      size(split(trim(col("syms")), " ")).cast("long").as("n_sym"))
+    documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .join(enc, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_bpe_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic EPOCH SHUFFLE — the reproducible global permutation
+    * + sharding every training run needs: each doc draws a shuffle key
+    * `md5('epoch1:' || doc_id)`, lands in shard `first_hex_digit % 8`,
+    * and takes its position from the key order WITHIN the shard.
+    * Re-running with the same epoch tag reproduces the permutation
+    * bit-for-bit on any cluster size; changing the tag reshuffles
+    * everything (the rand()-free property [[tSplitAssign]] also
+    * leans on).
+    *
+    * Scale shape: no global row_number — a total order over 100 TB
+    * would serialize into one reducer. Sharding IS the hash partition
+    * (balanced by md5 uniformity), and position-in-shard is a window
+    * partitioned BY shard, so every shard sorts independently; at
+    * production scale the shard count is the writer parallelism knob.
+    * md5 hex and its string order are engine-identical, so the oracle
+    * replays the permutation exactly. */
+  def tEpochShuffle(spark: SparkSession, dir: String,
+      nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    documents(spark, dir)
+      .withColumn("shuffle_key",
+        md5(concat(lit("epoch1:"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        ((expr("instr('0123456789abcdef', substring(shuffle_key, 1, 1))") -
+          1) % nShards).cast("long"))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shuffle_key"), col("shard"),
+        col("pos_in_shard"))
+      .orderBy(col("shard"), col("pos_in_shard"))
+  }
+
+  /** N-GRAM LM QUALITY SCORING — the CCNet-style filter (Wenzek et al.
+    * 2020): train a TRIGRAM language model on the TRAIN split
+    * ([[withSplit]]) and score EVERY document by its mean trigram
+    * probability under stupid backoff (Brants et al. 2007):
+    * P(c|a,b) = c(abc)/c(ab) if the trigram is in-model, else
+    * 0.4 · c(bc)/c(b), else 0.4² · c(c)/N. Held-out val/test docs
+    * genuinely take the backoff path (~4% of gate-corpus trigram
+    * positions are unseen in train; the third level is principled
+    * completeness for OOV-bearing corpora — this synthetic vocab is
+    * small enough that every bigram is in-model).
+    *
+    * Bit-exactness across engines: probabilities ride as FLOOR-SCALED
+    * INTEGERS — seen: (10⁹·c_abc) div c_ab; bigram backoff:
+    * (4·10⁸·c_bc) div c_b; unigram floor: (1.6·10⁸·c_c) div N — so
+    * the per-doc sum is exact integer arithmetic, and `lm_score` is
+    * ONE double division of two exact Longs (no float accumulation
+    * anywhere; the [[tCollocations]] discipline). The 10⁹ scale keeps
+    * the products inside int64 through ~10⁹-token training corpora;
+    * past that, lift the product into decimal(38,0) exactly as the
+    * collocation lift does.
+    *
+    * Scale shape: two corpus passes (train counts; scoring explode),
+    * both hash-partitioned with map-side combine. The model relations
+    * are vocab-bounded; scoring is a chain of equi-joins on n-gram
+    * keys that AQE broadcasts when the model is small and
+    * hash-partitions when it is not — never a per-doc driver loop. */
+  def tLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = QueryCaches.persistTracked(
+      withSplit(documents(spark, dir))
+        .select(col("doc_id"), col("split"), tokens(col("text")).as("t")))
+    val train = docs.filter(col("split") === "train")
+    val uni = train.select(explode(col("t")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cu"))
+    val nTotal = train.select(explode(col("t")).as("token")).count()
+    val big = train
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> named_struct('w1', t[i], 'w2', t[i + 1]))")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val tri = train
+      .filter(size(col("t")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 3), " +
+          "i -> named_struct('w1', t[i], 'w2', t[i + 1], 'w3', t[i + 2]))"))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"), col("p.w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    docs
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 3), " +
+          "i -> named_struct('w1', t[i], 'w2', t[i + 1], 'w3', t[i + 2]))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"), col("p.w3"))
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(big.select(col("w1"), col("w2"), col("cb").as("cab")),
+        Seq("w1", "w2"), "left")
+      .join(big.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cb").as("cbc")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("token").as("w2"), col("cu").as("cu2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("token").as("w3"), col("cu").as("cu3")),
+        Seq("w3"), "left")
+      .withColumn("p_scaled",
+        when(col("c3").isNotNull, expr("(1000000000L * c3) div cab"))
+          .when(col("cbc").isNotNull, expr("(400000000L * cbc) div cu2"))
+          .otherwise(expr(
+            s"(160000000L * coalesce(cu3, 0L)) div ${nTotal}L")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("p_scaled")).as("sum_scaled"))
+      .withColumn("lm_score",
+        col("sum_scaled").cast("double") / col("n_trigrams").cast("double"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -1176,4 +1176,122 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got === model.toSeq)
     assert(got.size === 8)
   }
+
+  test("BPE encode equals the plain-Scala trainer applied per word, and " +
+    "compresses") {
+    // independent model: train 8 merges list-based (as the merges test
+    // does), then encode every corpus word occurrence and fold per doc
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList))
+    val words = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, os) => (w.toList.map(_.toString), os.length.toLong) }
+      .toSeq
+    var vocab = words
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 1 to 8) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, cnt) =>
+        syms.sliding(2).foreach {
+          case List(a, b) => counts((a, b)) += cnt
+          case _ => ()
+        }
+      }
+      val ((l, r), _) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      rules += ((l, r))
+      def m(syms: List[String]): List[String] = syms match {
+        case a :: b :: rest if a == l && b == r => (a + b) :: m(rest)
+        case a :: rest => a :: m(rest)
+        case Nil => Nil
+      }
+      vocab = vocab.map { case (syms, cnt) => (m(syms), cnt) }
+    }
+    val enc = vocab.map { case (syms, _) => (syms.mkString, syms.length.toLong) }
+      .toMap
+    val expect = docs.map { case (id, ws) =>
+      val nSym = ws.map(enc).sum
+      val nChr = ws.map(_.length.toLong).sum
+      (id, ws.length.toLong, nSym, nChr, nChr.toDouble / nSym.toDouble)
+    }.sortBy(_._1)
+    val got = graft.llm.TextAnalysis.tBpeEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expect)
+    // the 8 merges genuinely compress: fewer BPE tokens than characters,
+    // never fewer than words
+    assert(got.forall(t => t._3 < t._4 && t._3 >= t._2))
+  }
+
+  test("epoch shuffle is a permutation: every doc exactly once, shard " +
+    "positions contiguous, keys = md5(tag:doc_id)") {
+    val got = graft.llm.TextAnalysis.tEpochShuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(got.map(_._1).distinct.length.toLong === nDocs)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.take(50).foreach { case (id, key, shard, _) =>
+      val h = md.digest(s"epoch1:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(key === h)
+      assert(shard === ("0123456789abcdef".indexOf(h.head) % 8).toLong)
+    }
+    // within each shard: positions are exactly 1..n in key order
+    got.groupBy(_._3).values.foreach { g =>
+      val byPos = g.sortBy(_._4)
+      assert(byPos.map(_._4).toSeq === (1L to g.length.toLong).toSeq)
+      assert(byPos.map(t => (t._2, t._1)).toSeq ===
+        byPos.map(t => (t._2, t._1)).sortBy(identity).toSeq)
+    }
+    // deterministic: a second run reproduces the permutation bit-for-bit
+    val again = graft.llm.TextAnalysis.tEpochShuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === again.toSeq)
+  }
+
+  test("LM score equals a plain-Scala trigram stupid-backoff model and " +
+    "exercises the backoff path") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def isTrain(id: Long): Boolean = {
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      "0123456789abcdef".indexOf(h(0)) * 16 +
+        "0123456789abcdef".indexOf(h(1)) < 230
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList))
+    val train = docs.filter(d => isTrain(d._1))
+    val cu = train.flatMap(_._2).groupBy(identity)
+      .map { case (w, os) => (w, os.length.toLong) }
+    val n = train.map(_._2.length.toLong).sum
+    val cb = train.flatMap(_._2.sliding(2).collect {
+      case List(a, b) => (a, b)
+    }).groupBy(identity).map { case (p, os) => (p, os.length.toLong) }
+    val c3 = train.flatMap(_._2.sliding(3).collect {
+      case List(a, b, c) => (a, b, c)
+    }).groupBy(identity).map { case (p, os) => (p, os.length.toLong) }
+    var sawBackoff = false
+    val expect = docs.filter(_._2.length >= 3).map { case (id, ws) =>
+      val ps = ws.sliding(3).collect { case List(a, b, c) =>
+        c3.get((a, b, c)) match {
+          case Some(ct) => (1000000000L * ct) / cb((a, b))
+          case None =>
+            sawBackoff = true
+            cb.get((b, c)) match {
+              case Some(cbc) => (400000000L * cbc) / cu(b)
+              case None => (160000000L * cu.getOrElse(c, 0L)) / n
+            }
+        }
+      }.toList
+      (id, ps.length.toLong, ps.sum, ps.sum.toDouble / ps.length.toDouble)
+    }.sortBy(_._1).toSeq
+    val got = graft.llm.TextAnalysis.tLmScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    graft.QueryCaches.releaseAll()
+    assert(got === expect)
+    // the held-out split genuinely exercises the unseen-trigram branch
+    assert(sawBackoff)
+  }
 }

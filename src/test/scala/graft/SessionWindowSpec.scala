@@ -283,6 +283,65 @@ class SessionWindowSpec extends AnyFunSuite {
     assert(ns === counts.toSeq)
   }
 
+  test("sequence match equals brute-force EXISTS over (view,click,purchase) " +
+    "triples") {
+    val w = 86400L * 1000000000L
+    val got = queries.EventQueries.gSequenceMatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    val evs = Tables.events(spark, dir)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = evs.groupBy(_._1).toSeq.collect {
+      case (u, es) if es.exists(_._2 == "purchase") =>
+        val vs = es.filter(_._2 == "view").map(_._3)
+        val cs = es.filter(_._2 == "click").map(_._3)
+        val ps = es.filter(_._2 == "purchase").map(_._3)
+        val matched = ps.filter(p =>
+          cs.exists(c => c < p && vs.exists(v => v < c && v >= p - w)))
+        (u, ps.length.toLong, matched.length.toLong,
+          if (matched.isEmpty) None else Some(matched.min))
+    }.sortBy(_._1)
+    assert(got === expect)
+    // the corpus exercises both branches: some matched, some not
+    assert(expect.exists(_._3 > 0) && expect.exists(t => t._3 < t._2))
+  }
+
+  test("triangle counts equal a plain-Scala enumeration of the " +
+    "repeat-co-occurrence graph") {
+    // sf0.01: the sf0.001 graph is legitimately triangle-free (4 rows
+    // appear first at the gate scale), so model-check there instead
+    val d01 = "/root/testdata/sf0.01"
+    val got = queries.EventQueries.gUserTriangles(spark, d01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    QueryCaches.releaseAll()
+    val evs = Tables.events(spark, d01)
+      .select(col("event_type"), expr("ts div 600000000000L").as("b"),
+        col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val co = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    evs.groupBy(e => (e._1, e._2)).values.foreach { g =>
+      val us = g.map(_._3).sorted
+      for (i <- us.indices; j <- (i + 1) until us.length)
+        co((us(i), us(j))) = co.getOrElse((us(i), us(j)), 0) + 1
+    }
+    // NB: collect-to-tuple ON A MAP would rebuild a Map and dedup by
+    // first element — go through an iterator to keep every edge
+    val edges = co.iterator.collect { case (p, n) if n >= 2 => p }.toSet
+    val nodes = edges.flatMap(p => Set(p._1, p._2)).toSeq.sorted
+    val cnt = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      if edges((nodes(i), nodes(j)))
+      k <- (j + 1) until nodes.length
+      if edges((nodes(j), nodes(k))) && edges((nodes(i), nodes(k)))
+    } Seq(nodes(i), nodes(j), nodes(k)).foreach(u =>
+      cnt(u) = cnt.getOrElse(u, 0L) + 1L)
+    assert(got === cnt.toMap)
+    assert(got.nonEmpty)
+  }
+
   test("approx distinct sketch lands within its declared error bound") {
     val r = graft.queries.EventQueries.vApproxDistinct(spark, dir).collect()
     assert(r.length === 1)
