@@ -161,6 +161,8 @@ object SparkEntry {
     "g_sequence_match"  -> ((s, d) => EventQueries.gSequenceMatch(s, d)),
     // degree-oriented triangle counting over repeat-co-occurrence graph
     "g_user_triangles"  -> (EventQueries.gUserTriangles _),
+    // per-user transitivity (2T/deg(deg-1)) over the same pipeline
+    "g_clustering_coeff" -> (EventQueries.gClusteringCoeff _),
     "t_split_assign"    -> (TextAnalysis.tSplitAssign _),
     "t_quality_percentiles" -> ((s, d) => TextAnalysis.tQualityPercentiles(s, d)),
     "t_repetition"      -> (TextAnalysis.tRepetition _),
@@ -379,6 +381,27 @@ object SparkEntry {
       |  cnt FROM w),
       |$steps""".stripMargin
   }
+
+  /** Shared CTE chain for the co-occurrence triangle family: occupancy
+    * → repeat-co-occurrence edges → id-ordered triangles → per-user
+    * membership counts (`tc`); `ed` stays visible for the degree CTE
+    * the clustering-coefficient oracle adds. */
+  private val triangleCtes: String =
+    """e0 AS (SELECT DISTINCT event_type,
+      |    epoch_ns(ts) // 600000000000 AS bkt, user_id FROM events),
+      |ed AS (SELECT u, v FROM (
+      |    SELECT a.user_id AS u, b.user_id AS v,
+      |      COUNT(*) AS nco
+      |    FROM e0 a JOIN e0 b ON a.event_type = b.event_type
+      |      AND a.bkt = b.bkt AND a.user_id < b.user_id
+      |    GROUP BY 1, 2) x
+      |  WHERE nco >= 2),
+      |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM ed e1 JOIN ed e2 ON e1.v = e2.u
+      |  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |m AS (SELECT unnest([a, b, c]) AS user_id FROM tri),
+      |tc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |  FROM m GROUP BY user_id)""".stripMargin
 
   private val bpeMergesSql: String = {
     val report = (1 to 8).map { k =>
@@ -1879,21 +1902,20 @@ object SparkEntry {
     // id-ordered triangle enumeration (orientation-free ground truth
     // for the degree-oriented Spark plan — same triangle set)
     "g_user_triangles" ->
-      """WITH e0 AS (SELECT DISTINCT event_type,
-        |    epoch_ns(ts) // 600000000000 AS bkt, user_id FROM events),
-        |ed AS (SELECT u, v FROM (
-        |    SELECT a.user_id AS u, b.user_id AS v,
-        |      COUNT(*) AS nco
-        |    FROM e0 a JOIN e0 b ON a.event_type = b.event_type
-        |      AND a.bkt = b.bkt AND a.user_id < b.user_id
-        |    GROUP BY 1, 2) x
-        |  WHERE nco >= 2),
-        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        |  FROM ed e1 JOIN ed e2 ON e1.v = e2.u
-        |  JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
-        |m AS (SELECT unnest([a, b, c]) AS user_id FROM tri)
-        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
-        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+      s"""WITH $triangleCtes
+        |SELECT user_id, n_triangles FROM tc ORDER BY user_id""".stripMargin,
+    // per-user transitivity over the same graph: 2T/deg(deg-1) with
+    // the wedge count exact-integer and ONE double division
+    "g_clustering_coeff" ->
+      s"""WITH $triangleCtes,
+        |dg AS (SELECT n AS user_id, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS n FROM ed UNION ALL SELECT v FROM ed) x
+        |  GROUP BY 1)
+        |SELECT tc.user_id, dg.deg, tc.n_triangles,
+        |  (dg.deg * (dg.deg - 1)) // 2 AS n_wedges,
+        |  CAST(tc.n_triangles AS DOUBLE) /
+        |    CAST((dg.deg * (dg.deg - 1)) // 2 AS DOUBLE) AS clustering
+        |FROM tc JOIN dg USING (user_id) ORDER BY user_id""".stripMargin,
     "t_bigram_topk" ->
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -1004,7 +1004,15 @@ object EventQueries {
     * counts the same triangles via id-ordered edges — orientation
     * choice cannot change the set. Output: per-user membership counts
     * (each triangle credits all three corners). All-integer. */
-  def gUserTriangles(spark: SparkSession, dir: String): DataFrame = {
+  def gUserTriangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCounts(spark, dir)
+      .select(col("user_id"), col("n_triangles"))
+      .orderBy(col("user_id"))
+
+  /** The shared co-occurrence-graph triangle pipeline: per-user degree
+    * and triangle membership counts ([[gUserTriangles]] projects the
+    * counts; [[gClusteringCoeff]] derives the coefficient). */
+  private def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
     val bucketNs = 600L * 1000000000L
     // both sides of the projection self-join read the same deduped
     // occupancy relation — persist it once (tracked) instead of scanning
@@ -1039,8 +1047,33 @@ object EventQueries {
         col("z.src") === col("x.src") && col("z.dst") === col("y.dst"))
       .select(col("x.src").as("a"), col("x.dst").as("b"),
         col("y.dst").as("c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("user_id"))
+    val triPerUser = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("user_id"))
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_triangles"))
-      .orderBy(col("user_id"))
+    // every triangle member has deg >= 2, so the left join keeps all
+    deg.select(col("n").as("user_id"), col("deg"))
+      .join(triPerUser, Seq("user_id"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .filter(col("n_triangles") > 0)
   }
+
+  /** LOCAL CLUSTERING COEFFICIENT per user — how tightly a node's
+    * neighborhood closes into triangles: c(u) = 2·T(u) / (deg(u)·
+    * (deg(u)−1)), the standard transitivity measure over the same
+    * repeat-co-occurrence graph as [[gUserTriangles]] (one extra
+    * degree join over the shared pipeline, no new shuffle over raw
+    * events). Reported only where a triangle exists (deg ≥ 2 by
+    * construction there), with the wedge count 2-bounded exact:
+    * `n_wedges = deg·(deg−1)/2` in pure integer arithmetic and the
+    * coefficient as ONE double division of two exact Longs — the
+    * cross-engine float discipline every ratio in this repo follows. */
+  def gClusteringCoeff(spark: SparkSession, dir: String): DataFrame =
+    triangleCounts(spark, dir)
+      .withColumn("n_wedges", expr("(deg * (deg - 1)) div 2"))
+      .withColumn("clustering",
+        col("n_triangles").cast("double") /
+          col("n_wedges").cast("double"))
+      .select(col("user_id"), col("deg"), col("n_triangles"),
+        col("n_wedges"), col("clustering"))
+      .orderBy(col("user_id"))
 }

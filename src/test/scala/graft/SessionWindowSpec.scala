@@ -340,6 +340,25 @@ class SessionWindowSpec extends AnyFunSuite {
       cnt(u) = cnt.getOrElse(u, 0L) + 1L)
     assert(got === cnt.toMap)
     assert(got.nonEmpty)
+    // the clustering coefficient derives from the same counts: deg from
+    // the edge list, wedges = deg(deg-1)/2, one double division
+    val degM = scala.collection.mutable.Map.empty[Long, Long]
+    edges.foreach { case (u, v) =>
+      degM(u) = degM.getOrElse(u, 0L) + 1L
+      degM(v) = degM.getOrElse(v, 0L) + 1L
+    }
+    val cc = queries.EventQueries.gClusteringCoeff(spark, d01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    QueryCaches.releaseAll()
+    assert(cc.map(_._1).toSeq === cnt.keys.toSeq.sorted)
+    cc.foreach { case (u, deg, t, w, c) =>
+      assert(deg === degM(u), s"user $u deg")
+      assert(t === cnt(u), s"user $u triangles")
+      assert(w === deg * (deg - 1) / 2, s"user $u wedges")
+      assert(c === t.toDouble / w.toDouble, s"user $u coefficient")
+      assert(c > 0.0 && c <= 1.0, s"user $u coefficient range")
+    }
   }
 
   test("approx distinct sketch lands within its declared error bound") {
