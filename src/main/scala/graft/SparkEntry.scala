@@ -32,7 +32,7 @@ object SparkEntry {
       name == "w_stream_rolling_7d" || name == "t_stream_heavy_hitters" ||
       name == "w_stream_anomaly" || name == "w_stream_range_join" ||
       name == "w_stream_gap_fill" || name == "k_stream_scd2" ||
-      name == "w_stream_interval_coverage"
+      name == "w_stream_interval_coverage" || name == "t_stream_lm_score"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -154,9 +154,13 @@ object SparkEntry {
     "t_bpe_encode"      -> ((s, d) => TextAnalysis.tBpeEncode(s, d)),
     // deterministic epoch shuffle: md5-keyed shard + in-shard position
     "t_epoch_shuffle"   -> ((s, d) => TextAnalysis.tEpochShuffle(s, d)),
-    // CCNet-style bigram-LM quality scoring (train split -> all docs,
+    // CCNet-style trigram-LM quality scoring (train split -> all docs,
     // stupid backoff, floor-scaled integer probabilities)
     "t_lm_score"        -> ((s, d) => TextAnalysis.tLmScore(s, d)),
+    // streaming twin: model counts as summing MVs + PK-FINAL trigram
+    // facts, the shared scoring join at read
+    "t_stream_lm_score" -> ((s, d) =>
+      graft.streaming.StreamingLmScore.tStreamLmScore(s, d)),
     // ClickHouse sequenceMatch analog: windowed view->click->purchase
     "g_sequence_match"  -> ((s, d) => EventQueries.gSequenceMatch(s, d)),
     // degree-oriented triangle counting over repeat-co-occurrence graph
@@ -431,6 +435,49 @@ object SparkEntry {
       |    AS chars_per_token
       |FROM dw JOIN enc USING (word)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The trigram stupid-backoff LM oracle — shared by the batch query
+    * and the streaming summing-MV/PK-FINAL twin. */
+  private val lmScoreSql: String =
+    """WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t,
+        |    (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +
+        |      instr('0123456789abcdef', substring(h, 2, 1)) - 1 < 230
+        |      AS is_train
+        |  FROM (SELECT doc_id, text, md5(doc_id::VARCHAR) AS h
+        |        FROM documents) x),
+        |uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cu
+        |  FROM (SELECT unnest(t) AS token FROM d WHERE is_train) x
+        |  GROUP BY token),
+        |n AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uni),
+        |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM (
+        |    SELECT t[i + 1] AS w1, t[i + 2] AS w2
+        |    FROM d, unnest(range(0, len(t) - 1)) AS u(i)
+        |    WHERE is_train AND len(t) >= 2) p
+        |  GROUP BY w1, w2),
+        |tg AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3 FROM (
+        |    SELECT t[i + 1] AS w1, t[i + 2] AS w2, t[i + 3] AS w3
+        |    FROM d, unnest(range(0, len(t) - 2)) AS u(i)
+        |    WHERE is_train AND len(t) >= 3) p
+        |  GROUP BY w1, w2, w3),
+        |dt AS (SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2,
+        |    t[i + 3] AS w3
+        |  FROM d, unnest(range(0, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |s AS (SELECT doc_id,
+        |    CASE WHEN tg.c3 IS NOT NULL THEN (1000000000 * tg.c3) // ab.cb
+        |      WHEN bc.cb IS NOT NULL THEN (400000000 * bc.cb) // u2.cu
+        |      ELSE (160000000 * COALESCE(u3.cu, 0)) // (SELECT n FROM n)
+        |    END AS ps
+        |  FROM dt LEFT JOIN tg USING (w1, w2, w3)
+        |    LEFT JOIN bi ab ON dt.w1 = ab.w1 AND dt.w2 = ab.w2
+        |    LEFT JOIN bi bc ON dt.w2 = bc.w1 AND dt.w3 = bc.w2
+        |    LEFT JOIN uni u2 ON dt.w2 = u2.token
+        |    LEFT JOIN uni u3 ON dt.w3 = u3.token)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |  CAST(SUM(ps) AS BIGINT) AS sum_scaled,
+        |  CAST(SUM(ps) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lm_score
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** The interval-join oracle — shared by the batch banded range join
     * and its watermarked stream-stream twin. */
@@ -1839,46 +1886,9 @@ object SparkEntry {
     // (seen: (1e9*c_abc)//c_ab; bigram backoff: (4e8*c_bc)//c_b;
     // unigram floor: (1.6e8*c_c)//N) so the only float is ONE
     // division of two exact Longs per doc
-    "t_lm_score" ->
-      """WITH d AS (SELECT doc_id,
-        |    string_split_regex(trim(text), '\s+') AS t,
-        |    (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +
-        |      instr('0123456789abcdef', substring(h, 2, 1)) - 1 < 230
-        |      AS is_train
-        |  FROM (SELECT doc_id, text, md5(doc_id::VARCHAR) AS h
-        |        FROM documents) x),
-        |uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cu
-        |  FROM (SELECT unnest(t) AS token FROM d WHERE is_train) x
-        |  GROUP BY token),
-        |n AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uni),
-        |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM (
-        |    SELECT t[i + 1] AS w1, t[i + 2] AS w2
-        |    FROM d, unnest(range(0, len(t) - 1)) AS u(i)
-        |    WHERE is_train AND len(t) >= 2) p
-        |  GROUP BY w1, w2),
-        |tg AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3 FROM (
-        |    SELECT t[i + 1] AS w1, t[i + 2] AS w2, t[i + 3] AS w3
-        |    FROM d, unnest(range(0, len(t) - 2)) AS u(i)
-        |    WHERE is_train AND len(t) >= 3) p
-        |  GROUP BY w1, w2, w3),
-        |dt AS (SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2,
-        |    t[i + 3] AS w3
-        |  FROM d, unnest(range(0, len(t) - 2)) AS u(i)
-        |  WHERE len(t) >= 3),
-        |s AS (SELECT doc_id,
-        |    CASE WHEN tg.c3 IS NOT NULL THEN (1000000000 * tg.c3) // ab.cb
-        |      WHEN bc.cb IS NOT NULL THEN (400000000 * bc.cb) // u2.cu
-        |      ELSE (160000000 * COALESCE(u3.cu, 0)) // (SELECT n FROM n)
-        |    END AS ps
-        |  FROM dt LEFT JOIN tg USING (w1, w2, w3)
-        |    LEFT JOIN bi ab ON dt.w1 = ab.w1 AND dt.w2 = ab.w2
-        |    LEFT JOIN bi bc ON dt.w2 = bc.w1 AND dt.w3 = bc.w2
-        |    LEFT JOIN uni u2 ON dt.w2 = u2.token
-        |    LEFT JOIN uni u3 ON dt.w3 = u3.token)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
-        |  CAST(SUM(ps) AS BIGINT) AS sum_scaled,
-        |  CAST(SUM(ps) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lm_score
-        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_lm_score" -> lmScoreSql,
+    // the streaming twin accumulates to the same model + facts
+    "t_stream_lm_score" -> lmScoreSql,
     // EXISTS-over-(v,c,p)-triples ground truth for the windowed
     // sequence match; the Spark side collapses it to running maxima
     "g_sequence_match" ->

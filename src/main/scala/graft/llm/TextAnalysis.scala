@@ -1077,50 +1077,77 @@ object TextAnalysis {
       withSplit(documents(spark, dir))
         .select(col("doc_id"), col("split"), tokens(col("text")).as("t")))
     val train = docs.filter(col("split") === "train")
-    val uni = train.select(explode(col("t")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("cu"))
+    val uni = lmUnigramCounts(train)
     val nTotal = train.select(explode(col("t")).as("token")).count()
-    val big = train
-      .filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(t) - 2), " +
-          "i -> named_struct('w1', t[i], 'w2', t[i + 1]))")).as("p"))
-      .select(col("p.w1"), col("p.w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val tri = train
-      .filter(size(col("t")) >= 3)
-      .select(explode(expr(
-        "transform(sequence(0, size(t) - 3), " +
-          "i -> named_struct('w1', t[i], 'w2', t[i + 1], 'w3', t[i + 2]))"))
-        .as("p"))
-      .select(col("p.w1"), col("p.w2"), col("p.w3"))
-      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
-    docs
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t) - 3), " +
-          "i -> named_struct('w1', t[i], 'w2', t[i + 1], 'w3', t[i + 2]))"))
-        .as("p"))
-      .select(col("doc_id"), col("p.w1"), col("p.w2"), col("p.w3"))
-      .join(tri, Seq("w1", "w2", "w3"), "left")
-      .join(big.select(col("w1"), col("w2"), col("cb").as("cab")),
-        Seq("w1", "w2"), "left")
-      .join(big.select(col("w1").as("w2"), col("w2").as("w3"),
-        col("cb").as("cbc")), Seq("w2", "w3"), "left")
-      .join(uni.select(col("token").as("w2"), col("cu").as("cu2")),
-        Seq("w2"), "left")
-      .join(uni.select(col("token").as("w3"), col("cu").as("cu3")),
-        Seq("w3"), "left")
-      .withColumn("p_scaled",
-        when(col("c3").isNotNull, expr("(1000000000L * c3) div cab"))
-          .when(col("cbc").isNotNull, expr("(400000000L * cbc) div cu2"))
-          .otherwise(expr(
-            s"(160000000L * coalesce(cu3, 0L)) div ${nTotal}L")))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_trigrams"),
-        sum(col("p_scaled")).as("sum_scaled"))
-      .withColumn("lm_score",
-        col("sum_scaled").cast("double") / col("n_trigrams").cast("double"))
-      .orderBy(col("doc_id"))
+    val big = lmBigramCounts(train)
+    val tri = lmTrigramCounts(train)
+    lmScoreFromCounts(lmDocTrigrams(docs), uni, big, tri, nTotal)
   }
+
+  /** The three model-count folds and the per-doc trigram fold — each a
+    * hash-partitioned aggregation with map-side combine over a
+    * tokenized relation (`doc_id`, `t`). Shared verbatim by the batch
+    * query and the streaming summing-MV twin so the two models cannot
+    * drift. */
+  private[graft] def lmUnigramCounts(docs: DataFrame): DataFrame = docs
+    .select(explode(col("t")).as("token"))
+    .groupBy(col("token")).agg(count(lit(1)).as("cu"))
+
+  private[graft] def lmBigramCounts(docs: DataFrame): DataFrame = docs
+    .filter(size(col("t")) >= 2)
+    .select(explode(expr(
+      "transform(sequence(0, size(t) - 2), " +
+        "i -> named_struct('w1', t[i], 'w2', t[i + 1]))")).as("p"))
+    .select(col("p.w1"), col("p.w2"))
+    .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+
+  private[graft] def lmTrigramCounts(docs: DataFrame): DataFrame = docs
+    .filter(size(col("t")) >= 3)
+    .select(explode(expr(
+      "transform(sequence(0, size(t) - 3), " +
+        "i -> named_struct('w1', t[i], 'w2', t[i + 1], 'w3', t[i + 2]))"))
+      .as("p"))
+    .select(col("p.w1"), col("p.w2"), col("p.w3"))
+    .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+
+  /** Per-doc DISTINCT-trigram occurrence counts (`doc_id`, w1..w3,
+    * `n`) — the scoring join runs over the type grain, not the
+    * position grain, and weights by `n` (scores are per-position
+    * constants, so the weighted sum is exact and the join fan-in
+    * shrinks to per-doc distinct trigrams). */
+  private[graft] def lmDocTrigrams(docs: DataFrame): DataFrame = docs
+    .filter(size(col("t")) >= 3)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(t) - 3), " +
+        "i -> named_struct('w1', t[i], 'w2', t[i + 1], 'w3', t[i + 2]))"))
+      .as("p"))
+    .select(col("doc_id"), col("p.w1"), col("p.w2"), col("p.w3"))
+    .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+    .agg(count(lit(1)).as("n"))
+
+  /** The stupid-backoff scoring join + weighted per-doc fold over
+    * (docTri = [[lmDocTrigrams]], uni/big/tri model counts, N).
+    * Shared by batch and streaming read. */
+  private[graft] def lmScoreFromCounts(docTri: DataFrame, uni: DataFrame,
+      big: DataFrame, tri: DataFrame, nTotal: Long): DataFrame = docTri
+    .join(tri, Seq("w1", "w2", "w3"), "left")
+    .join(big.select(col("w1"), col("w2"), col("cb").as("cab")),
+      Seq("w1", "w2"), "left")
+    .join(big.select(col("w1").as("w2"), col("w2").as("w3"),
+      col("cb").as("cbc")), Seq("w2", "w3"), "left")
+    .join(uni.select(col("token").as("w2"), col("cu").as("cu2")),
+      Seq("w2"), "left")
+    .join(uni.select(col("token").as("w3"), col("cu").as("cu3")),
+      Seq("w3"), "left")
+    .withColumn("p_scaled",
+      when(col("c3").isNotNull, expr("(1000000000L * c3) div cab"))
+        .when(col("cbc").isNotNull, expr("(400000000L * cbc) div cu2"))
+        .otherwise(expr(
+          s"(160000000L * coalesce(cu3, 0L)) div ${nTotal}L")))
+    .groupBy(col("doc_id"))
+    .agg(sum(col("n")).as("n_trigrams"),
+      sum(col("n") * col("p_scaled")).as("sum_scaled"))
+    .withColumn("lm_score",
+      col("sum_scaled").cast("double") / col("n_trigrams").cast("double"))
+    .orderBy(col("doc_id"))
 }

@@ -454,6 +454,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(cov.nonEmpty)
   }
 
+  test("streaming LM score (model summing MVs + PK-FINAL trigram facts, " +
+    "checkpointed mid-stream restart + compaction) equals the batch " +
+    "scorer row for row") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingLmScore
+      .tStreamLmScore(spark, dir)
+      .collect().map(_.toString).toSeq
+    val batch = graft.llm.TextAnalysis.tLmScore(spark, dir)
+      .collect().map(_.toString).toSeq
+    graft.QueryCaches.releaseAll()
+    assert(streamed === batch) // identical rows, order, and doubles
+    assert(streamed.nonEmpty)
+  }
+
   test("heavy-hitter and anomaly MV soak: randomized chunk waves with a " +
     "restart per wave and random merges converge to the batch answers", Slow) {
     // the rolling-grid soak discipline applied to this round's two
