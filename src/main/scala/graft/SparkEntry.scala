@@ -161,6 +161,10 @@ object SparkEntry {
     // facts, the shared scoring join at read
     "t_stream_lm_score" -> ((s, d) =>
       graft.streaming.StreamingLmScore.tStreamLmScore(s, d)),
+    // inverted-index posting table (tf/first_pos + df/cf per term)
+    "t_inverted_index"  -> (TextAnalysis.tInvertedIndex _),
+    // Okapi BM25 phrase retrieval, integer-exact end to end
+    "t_bm25_topk"       -> ((s, d) => TextAnalysis.tBm25Topk(s, d)),
     // ClickHouse sequenceMatch analog: windowed view->click->purchase
     "g_sequence_match"  -> ((s, d) => EventQueries.gSequenceMatch(s, d)),
     // degree-oriented triangle counting over repeat-co-occurrence graph
@@ -1889,6 +1893,57 @@ object SparkEntry {
     "t_lm_score" -> lmScoreSql,
     // the streaming twin accumulates to the same model + facts
     "t_stream_lm_score" -> lmScoreSql,
+    "t_inverted_index" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |p AS (SELECT doc_id, t[i + 1] AS token, i + 1 AS pos
+        |  FROM t, unnest(range(0, len(t))) AS u(i)),
+        |pt AS (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+        |    CAST(MIN(pos) AS BIGINT) AS first_pos
+        |  FROM p GROUP BY 1, 2),
+        |st AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM(tf) AS BIGINT) AS cf
+        |  FROM pt GROUP BY 1)
+        |SELECT pt.token, doc_id, tf, first_pos, df, cf
+        |FROM pt JOIN st USING (token)
+        |ORDER BY token, doc_id""".stripMargin,
+    // BM25 with both factors floor-scaled to integers: the
+    // tf-saturation fraction multiplied through by 10*A, the idf as
+    // the pre-log argument (2(N-df)+1)/(2df+1) — ranking-preserving,
+    // no log in either engine
+    "t_bm25_topk" ->
+      """WITH t0 AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |d AS (SELECT doc_id, t, CAST(len(t) - 1 AS BIGINT) AS dl
+        |  FROM t0 WHERE len(t) >= 2),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(dl) AS BIGINT) AS na FROM d),
+        |q(query_id, phrase) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'table hash'), (1, 'hash join'),
+        |  (2, 'stream big'), (2, 'data line'),
+        |  (3, 'slow line'), (3, 'batch batch'), (3, 'small big')),
+        |dp AS (SELECT phrase, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, t[i + 1] || ' ' || t[i + 2] AS phrase
+        |        FROM d, unnest(range(0, len(t) - 1)) AS u(i)) x
+        |  JOIN (SELECT DISTINCT phrase FROM q) qq USING (phrase)
+        |  GROUP BY 1, 2, 3),
+        |f AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM dp GROUP BY 1),
+        |s AS (SELECT q.query_id, dp.doc_id,
+        |    SUM(((1000 * (2 * ((SELECT nd FROM c) - f.df) + 1))
+        |          // (2 * f.df + 1))
+        |      * ((1000000 * 22 * dp.tf * (SELECT na FROM c))
+        |          // (10 * dp.tf * (SELECT na FROM c)
+        |            + 3 * (SELECT na FROM c)
+        |            + 9 * dp.dl * (SELECT nd FROM c)))) AS score
+        |  FROM dp JOIN f USING (phrase) JOIN q USING (phrase)
+        |  GROUP BY 1, 2)
+        |SELECT query_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        |  doc_id, CAST(score AS BIGINT) AS score
+        |FROM s QUALIFY rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     // EXISTS-over-(v,c,p)-triples ground truth for the windowed
     // sequence match; the Spark side collapses it to running maxima
     "g_sequence_match" ->

@@ -1125,6 +1125,97 @@ object TextAnalysis {
     .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
     .agg(count(lit(1)).as("n"))
 
+  /** INVERTED INDEX build — the posting table every retrieval-based
+    * curation step (dedup lookup, contamination search, BM25 ranking)
+    * sits on: one row per (token, document) with the term frequency and
+    * first position, each row carrying its term's document frequency
+    * and collection frequency. tf/first_pos come from ONE
+    * posexplode + hash aggregation at the (token, doc) grain; df/cf
+    * from one more token-grain aggregation joined back (vocab-bounded,
+    * AQE-owned). That IS the scale shape of index building: postings
+    * live as hash-partitioned rows keyed by token — never a
+    * collect_list of a hot term's million documents into one value.
+    * All-integer output. */
+  def tInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val postings = QueryCaches.persistTracked(
+      documents(spark, dir)
+        .select(col("doc_id"), posexplode(tokens(col("text")))
+          .as(Seq("pos", "token")))
+        .groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"),
+          (min(col("pos")) + 1).cast("long").as("first_pos")))
+    val stats = postings.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    postings.join(stats, Seq("token"))
+      .select(col("token"), col("doc_id"), col("tf"), col("first_pos"),
+        col("df"), col("cf"))
+      .orderBy(col("token"), col("doc_id"))
+  }
+
+  /** BM25 PHRASE RANKING — query-relevance retrieval over the corpus
+    * (the targeted-curation primitive: "find training docs about X"),
+    * Okapi BM25 (k1 = 1.2, b = 0.75) over BIGRAM phrase terms (this
+    * corpus's unigram vocabulary is so small that every unigram is
+    * near-ubiquitous; bigram df spans 1–9% of docs, so idf genuinely
+    * discriminates).
+    *
+    * Bit-exactness: the ENTIRE score is integer arithmetic — the
+    * tf-saturation fraction rides as
+    * `(10⁶·22·tf·A) div (10·tf·A + 3·A + 9·dl·D)` (numerator and
+    * denominator of tf·2.2/(tf + 0.3 + 0.9·dl·D/A) each multiplied by
+    * 10·A, then floor-scaled), and the idf weight as the floor-scaled
+    * exact BM25 idf ARGUMENT `(10³·(2(N−df)+1)) div (2df+1)` — the
+    * [[tCollocations]] pre-log discipline: monotone in df, so ranking
+    * is preserved and no engine ever takes a log. The per-doc score
+    * Σ w·s is an exact int64 through ~10⁶-doc corpora (past that,
+    * lift the products into decimal(38,0)). Ties break on doc_id.
+    *
+    * Scale shape: the query set is a bounded literal relation (AQE
+    * broadcasts it); doc phrase stats are ONE hash aggregation at the
+    * (phrase, doc) grain restricted to query phrases BEFORE any
+    * per-term work; df is query-term-bounded; the top-k cut is a
+    * per-query window over score-sorted candidates. */
+  def tBm25Topk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val queries = Seq(
+      (1L, "table hash"), (1L, "hash join"),
+      (2L, "stream big"), (2L, "data line"),
+      (3L, "slow line"), (3L, "batch batch"), (3L, "small big"))
+      .toDF("query_id", "phrase")
+    val docs = QueryCaches.persistTracked(documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .withColumn("dl", (size(col("t")) - 1).cast("long")))
+    val corpus = docs.agg(count(lit(1)).as("d"), sum(col("dl")).as("a"))
+      .collect()(0)
+    val (nD, nA) = (corpus.getLong(0), corpus.getLong(1))
+    val docPhrase = docs
+      .select(col("doc_id"), col("dl"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> concat_ws(' ', t[i], t[i + 1]))")).as("phrase"))
+      .join(queries.select(col("phrase")).distinct(), Seq("phrase"))
+      .groupBy(col("phrase"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val df = docPhrase.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("df"))
+    val scored = docPhrase
+      .join(df, Seq("phrase"))
+      .join(queries, Seq("phrase"))
+      .withColumn("s_part", expr(
+        s"(1000000L * 22L * tf * ${nA}L) div " +
+          s"(10L * tf * ${nA}L + 3L * ${nA}L + 9L * dl * ${nD}L)"))
+      .withColumn("w_idf", expr(
+        s"(1000L * (2L * (${nD}L - df) + 1L)) div (2L * df + 1L)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w_idf") * col("s_part")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The stupid-backoff scoring join + weighted per-doc fold over
     * (docTri = [[lmDocTrigrams]], uni/big/tri model counts, N).
     * Shared by batch and streaming read. */

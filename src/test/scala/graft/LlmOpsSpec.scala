@@ -1294,4 +1294,81 @@ class LlmOpsSpec extends AnyFunSuite {
     // the held-out split genuinely exercises the unseen-trigram branch
     assert(sawBackoff)
   }
+
+  test("inverted index equals a plain-Scala postings model") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList))
+    val postings = docs.flatMap { case (id, ws) =>
+      ws.zipWithIndex.groupBy(_._1).map { case (w, os) =>
+        ((w, id), (os.length.toLong, os.map(_._2).min.toLong + 1L))
+      }
+    }.toMap
+    val df = postings.keys.groupBy(_._1).map { case (w, ks) =>
+      (w, ks.size.toLong)
+    }
+    val cf = postings.toSeq.groupBy(_._1._1).map { case (w, es) =>
+      (w, es.map(_._2._1).sum)
+    }
+    val expect = postings.toSeq.map { case ((w, id), (tf, fp)) =>
+      (w, id, tf, fp, df(w), cf(w))
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.llm.TextAnalysis.tInvertedIndex(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    graft.QueryCaches.releaseAll()
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("BM25 top-k equals a plain-Scala integer-BM25 model and ranks by " +
+    "relevance") {
+    val qs = Seq(
+      (1L, "table hash"), (1L, "hash join"),
+      (2L, "stream big"), (2L, "data line"),
+      (3L, "slow line"), (3L, "batch batch"), (3L, "small big"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList))
+      .filter(_._2.length >= 2)
+    val nD = docs.length.toLong
+    val nA = docs.map(_._2.length.toLong - 1L).sum
+    val phrases = qs.map(_._2).distinct
+    val tf = docs.flatMap { case (id, ws) =>
+      ws.sliding(2).collect { case List(a, b) => s"$a $b" }.toSeq
+        .filter(phrases.contains).groupBy(identity)
+        .map { case (p, os) => ((p, id), os.length.toLong) }
+    }.toMap
+    val dfm = tf.keys.groupBy(_._1).map { case (p, ks) => (p, ks.size.toLong) }
+    val dl = docs.map { case (id, ws) => (id, ws.length.toLong - 1L) }.toMap
+    val expect = qs.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (qid, terms) =>
+        val scores = terms.map(_._2).flatMap { p =>
+          tf.collect { case ((`p`, id), t) =>
+            val sPart = (1000000L * 22L * t * nA) /
+              (10L * t * nA + 3L * nA + 9L * dl(id) * nD)
+            val wIdf = (1000L * (2L * (nD - dfm(p)) + 1L)) /
+              (2L * dfm(p) + 1L)
+            (id, wIdf * sPart)
+          }
+        }.groupBy(_._1).map { case (id, ss) => (id, ss.map(_._2).sum) }
+        scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+          .zipWithIndex.map { case ((id, s), i) =>
+            (qid, i.toLong + 1L, id, s)
+          }
+    }
+    val got = graft.llm.TextAnalysis.tBm25Topk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    graft.QueryCaches.releaseAll()
+    assert(got === expect)
+    assert(got.map(_._1).distinct.length === 3)
+    // relevance genuinely discriminates: within each query, scores are
+    // non-increasing and not all equal
+    got.groupBy(_._1).values.foreach { g =>
+      val ss = g.sortBy(_._2).map(_._4)
+      assert(ss.sliding(2).forall(p => p.head >= p.last))
+      assert(ss.distinct.length > 1)
+    }
+  }
 }
