@@ -171,6 +171,10 @@ object SparkEntry {
     "g_user_triangles"  -> (EventQueries.gUserTriangles _),
     // per-user transitivity (2T/deg(deg-1)) over the same pipeline
     "g_clustering_coeff" -> (EventQueries.gClusteringCoeff _),
+    // last-touch attribution: windowed argMax within a 7d lookback
+    "g_attribution"      -> ((s, d) => EventQueries.gAttribution(s, d)),
+    // behavior-flow transition matrix (from -> to counts + P)
+    "g_event_transitions" -> (EventQueries.gEventTransitions _),
     "t_split_assign"    -> (TextAnalysis.tSplitAssign _),
     "t_quality_percentiles" -> ((s, d) => TextAnalysis.tQualityPercentiles(s, d)),
     "t_repetition"      -> (TextAnalysis.tRepetition _),
@@ -1893,6 +1897,43 @@ object SparkEntry {
     "t_lm_score" -> lmScoreSql,
     // the streaming twin accumulates to the same model + facts
     "t_stream_lm_score" -> lmScoreSql,
+    // last-touch argmax replayed as ROW_NUMBER over (ts DESC, event_id
+    // DESC) — identical tie-break to Spark's lexicographic struct max
+    "g_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) AS ts, value FROM events),
+        |p AS (SELECT user_id, event_id, ts, value FROM e
+        |  WHERE event_type = 'purchase'),
+        |m AS (SELECT p.event_id AS pe, t.event_type AS ch,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |      ORDER BY t.ts DESC, t.event_id DESC) AS rn
+        |  FROM p JOIN e t ON t.user_id = p.user_id
+        |    AND t.event_type <> 'purchase'
+        |    AND t.ts < p.ts AND t.ts >= p.ts - 604800000000000),
+        |ch AS (SELECT pe, ch FROM m WHERE rn = 1)
+        |SELECT COALESCE(ch.ch, 'direct') AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CAST(p.value AS DECIMAL(28,2))) AS DOUBLE)
+        |    AS attributed_value
+        |FROM p LEFT JOIN ch ON p.event_id = ch.pe
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+    "g_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) AS ts FROM events),
+        |s AS (SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT)
+        |    AS n_steps
+        |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n_steps) AS BIGINT)
+        |    AS from_total FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n_steps, t.from_total,
+        |  CAST(c.n_steps AS DOUBLE) / CAST(t.from_total AS DOUBLE)
+        |    AS p_step
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     "t_inverted_index" ->
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(trim(text), '\s+') AS t FROM documents),

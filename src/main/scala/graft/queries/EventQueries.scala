@@ -1076,4 +1076,71 @@ object EventQueries {
       .select(col("user_id"), col("deg"), col("n_triangles"),
         col("n_wedges"), col("clustering"))
       .orderBy(col("user_id"))
+
+  /** LAST-TOUCH ATTRIBUTION — each purchase is credited to the user's
+    * most recent non-purchase event (the "channel") within a 7-day
+    * lookback; purchases with no touch in the window credit `direct`.
+    * The marketing-attribution aggregate of the event-analytics family
+    * (ClickHouse ships it as windowed argMax over the visit log).
+    *
+    * Determinism under timestamp ties: the "latest" touch is the MAX of
+    * `struct(ts, event_id, type)` — lexicographic, and event_id is
+    * unique, so two touches at the same nanosecond cannot order-flake
+    * (the oracle's `ORDER BY ts DESC, event_id DESC` picks the same
+    * row). Strictness and the lookback ride ONE value-based RANGE
+    * frame `[−7 d, −1 ns]` over Long nanos.
+    *
+    * Scale shape: one hash shuffle on user_id feeding the window, then
+    * a channel-bounded aggregation; revenue sums go DECIMAL → double
+    * at the edge (the dsum discipline). Never a purchases×touches
+    * join. */
+  def gAttribution(spark: SparkSession, dir: String,
+      lookbackNs: Long = 7L * NanosPerDay): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(-lookbackNs, -1)
+    events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("value"),
+        col("event_id"))
+      .withColumn("touch",
+        max(when(col("event_type") =!= "purchase",
+          struct(col("ts"), col("event_id"), col("event_type").as("ch"))))
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel", coalesce(col("touch.ch"), lit("direct")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        dsum(col("value"), 2).as("attributed_value"))
+      .orderBy(col("channel"))
+  }
+
+  /** EVENT-TYPE TRANSITION MATRIX — the behavior-flow report: counts
+    * and probabilities of consecutive (from → to) event-type steps per
+    * user (the Markov/Sankey aggregate). Successor order is
+    * (ts, event_id) — total even under timestamp ties, so `lead` is
+    * deterministic and the oracle's identical window replays it. The
+    * probability row-normalizes each `from` type with ONE double
+    * division of two exact counts.
+    *
+    * Scale shape: one user-keyed window (lag/lead family) over the
+    * event log, then a (types²)-bounded aggregation — the from-type
+    * totals join is broadcast-sized by construction. */
+  def gEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_steps"))
+    val totals = steps.groupBy(col("from_type"))
+      .agg(sum(col("n_steps")).as("from_total"))
+    steps.join(broadcast(totals), Seq("from_type"))
+      .withColumn("p_step",
+        col("n_steps").cast("double") / col("from_total").cast("double"))
+      .select(col("from_type"), col("to_type"), col("n_steps"),
+        col("from_total"), col("p_step"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

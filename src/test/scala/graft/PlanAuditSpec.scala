@@ -68,7 +68,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q22_sales_opportunity" ->
       ((2, Set("avg_bal", "n_nationkey"))), // 1-row scalar + nation(25)
     "v_approx_quantiles" ->
-      ((2, Set("target_rn", "a"))) // 3-row probe sets off a 1-row agg
+      ((2, Set("target_rn", "a"))), // 3-row probe sets off a 1-row agg
+    "g_event_transitions" ->
+      ((1, Set("from_total"))) // per-from-type totals: event-type-bounded
   )
 
   private def hints(df: DataFrame): Seq[ResolvedHint] =

@@ -361,6 +361,60 @@ class SessionWindowSpec extends AnyFunSuite {
     }
   }
 
+  test("last-touch attribution equals a brute-force per-purchase scan " +
+    "and populates both channel and direct buckets") {
+    val look = 7L * 86400L * 1000000000L
+    val evs = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    val byUser = evs.groupBy(_._1)
+    val attributed = evs.filter(_._3 == "purchase").map { p =>
+      val touches = byUser(p._1).filter(t =>
+        t._3 != "purchase" && t._4 < p._4 && t._4 >= p._4 - look)
+      val ch = if (touches.isEmpty) "direct"
+        else touches.maxBy(t => (t._4, t._2))._3
+      (ch, p._5)
+    }
+    val expect = attributed.groupBy(_._1).map { case (ch, ps) =>
+      val dec = ps.map(p => BigDecimal(p._2).setScale(
+        2, BigDecimal.RoundingMode.HALF_UP)).sum
+      (ch, ps.length.toLong, dec.toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = queries.EventQueries.gAttribution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expect)
+    assert(got.exists(_._1 == "direct") && got.length > 1)
+  }
+
+  test("event transitions equal a per-user sequential fold and " +
+    "row-normalize exactly") {
+    val evs = Tables.events(spark, dir)
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+    evs.groupBy(_._1).values.foreach { es =>
+      es.sortBy(e => (e._4, e._2)).sliding(2).foreach {
+        case Array(a, b) =>
+          cnt((a._3, b._3)) = cnt.getOrElse((a._3, b._3), 0L) + 1L
+        case _ => ()
+      }
+    }
+    val fromTotal = cnt.toSeq.groupBy(_._1._1)
+      .map { case (f, es) => (f, es.map(_._2).sum) }
+    val expect = cnt.toSeq.map { case ((f, t), n) =>
+      (f, t, n, fromTotal(f), n.toDouble / fromTotal(f).toDouble)
+    }.sortBy(x => (x._1, x._2))
+    val got = queries.EventQueries.gEventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expect)
+    // each from-row's step counts sum to its total (P row-normalizes)
+    got.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._3).sum === g.head._4)
+    }
+  }
+
   test("approx distinct sketch lands within its declared error bound") {
     val r = graft.queries.EventQueries.vApproxDistinct(spark, dir).collect()
     assert(r.length === 1)
