@@ -173,6 +173,10 @@ object SparkEntry {
     "g_clustering_coeff" -> (EventQueries.gClusteringCoeff _),
     // last-touch attribution: windowed argMax within a 7d lookback
     "g_attribution"      -> ((s, d) => EventQueries.gAttribution(s, d)),
+    // exact DAU/WAU: trailing distinct via bounded 7x fact fan-out
+    "w_active_users"     -> (EventQueries.wActiveUsers _),
+    // two-sample KS drift (train vs holdout lengths), integer-exact
+    "t_ks_drift"         -> (TextAnalysis.tKsDrift _),
     // behavior-flow transition matrix (from -> to counts + P)
     "g_event_transitions" -> (EventQueries.gEventTransitions _),
     "t_split_assign"    -> (TextAnalysis.tSplitAssign _),
@@ -1897,6 +1901,55 @@ object SparkEntry {
     "t_lm_score" -> lmScoreSql,
     // the streaming twin accumulates to the same model + facts
     "t_stream_lm_score" -> lmScoreSql,
+    "w_active_users" ->
+      """WITH f AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS epoch_day FROM events),
+        |b AS (SELECT MIN(epoch_day) AS lo, MAX(epoch_day) AS hi FROM f),
+        |g AS (SELECT unnest(range((SELECT lo FROM b),
+        |    (SELECT hi FROM b) + 1)) AS epoch_day),
+        |dau AS (SELECT epoch_day,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM f GROUP BY 1),
+        |w AS (SELECT epoch_day + k AS epoch_day, user_id
+        |  FROM f, unnest(range(0, 7)) AS u(k)),
+        |wau AS (SELECT epoch_day,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7
+        |  FROM w GROUP BY 1)
+        |SELECT g.epoch_day,
+        |  CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
+        |  CAST(COALESCE(wau.wau7, 0) AS BIGINT) AS wau7
+        |FROM g LEFT JOIN dau USING (epoch_day)
+        |  LEFT JOIN wau USING (epoch_day)
+        |ORDER BY epoch_day""".stripMargin,
+    // the KS gap rides as the cross-multiplied integer |c1*n2 - c2*n1|
+    // so the argmax involves no float comparison in either engine
+    "t_ks_drift" ->
+      """WITH d AS (SELECT
+        |    CASE WHEN (instr('0123456789abcdef', substring(h, 1, 1)) - 1)
+        |        * 16 + instr('0123456789abcdef', substring(h, 2, 1)) - 1
+        |        < 230 THEN 'train' ELSE 'holdout' END AS grp,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS len
+        |  FROM (SELECT text, md5(doc_id::VARCHAR) AS h FROM documents) x),
+        |p AS (SELECT len,
+        |    CAST(SUM(CASE WHEN grp = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d1,
+        |    CAST(SUM(CASE WHEN grp = 'holdout' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d2
+        |  FROM d GROUP BY len),
+        |c AS (SELECT len,
+        |    CAST(SUM(d1) OVER (ORDER BY len
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+        |    CAST(SUM(d2) OVER (ORDER BY len
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2,
+        |    CAST(SUM(d1) OVER () AS BIGINT) AS n1,
+        |    CAST(SUM(d2) OVER () AS BIGINT) AS n2
+        |  FROM p)
+        |SELECT len AS at_len, c1, c2, n1, n2,
+        |  abs(c1 * n2 - c2 * n1) AS gap_scaled,
+        |  CAST(abs(c1 * n2 - c2 * n1) AS DOUBLE) /
+        |    CAST(n1 * n2 AS DOUBLE) AS ks_stat
+        |FROM c ORDER BY gap_scaled DESC, at_len LIMIT 1""".stripMargin,
     // last-touch argmax replayed as ROW_NUMBER over (ts DESC, event_id
     // DESC) — identical tie-break to Spark's lexicographic struct max
     "g_attribution" ->

@@ -1216,6 +1216,51 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** TWO-SAMPLE KS DRIFT — the distribution-shift detector between the
+    * train split and the held-out docs (val + test), over the per-doc
+    * token-length distribution: the Kolmogorov–Smirnov statistic
+    * D = max_v |F_train(v) − F_holdout(v)|, computed EXACTLY — the gap
+    * rides as the cross-multiplied integer |c1·n2 − c2·n1| (c_i =
+    * cumulative doc counts at value v), so the argmax involves no
+    * float comparison, and the reported `ks_stat` is ONE double
+    * division of two exact Longs. Deterministic argmax tie-break:
+    * (gap DESC, value ASC).
+    *
+    * Scale shape: one hash aggregation to the (split-group, length)
+    * grain, then cumulative windows over the DISTINCT-length grid —
+    * value-grid-bounded, never raw docs (the [[tQualityPercentiles]]
+    * histogram discipline). */
+  def tKsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val lens = withSplit(documents(spark, dir))
+      .select(
+        when(col("split") === "train", lit("train"))
+          .otherwise(lit("holdout")).as("grp"),
+        size(tokens(col("text"))).cast("long").as("len"))
+    val perLen = lens.groupBy(col("len"))
+      .agg(
+        sum(when(col("grp") === "train", 1L).otherwise(0L)).as("d1"),
+        sum(when(col("grp") === "holdout", 1L).otherwise(0L)).as("d2"))
+    // cumulative over the distinct-length grid (value-bounded window)
+    val wCum = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    perLen
+      .withColumn("c1", sum(col("d1")).over(wCum))
+      .withColumn("c2", sum(col("d2")).over(wCum))
+      .withColumn("n1", sum(col("d1")).over(wAll))
+      .withColumn("n2", sum(col("d2")).over(wAll))
+      .withColumn("gap_scaled",
+        abs(col("c1") * col("n2") - col("c2") * col("n1")))
+      .orderBy(col("gap_scaled").desc, col("len"))
+      .limit(1)
+      .withColumn("ks_stat",
+        col("gap_scaled").cast("double") /
+          (col("n1") * col("n2")).cast("double"))
+      .select(col("len").as("at_len"), col("c1"), col("c2"),
+        col("n1"), col("n2"), col("gap_scaled"), col("ks_stat"))
+  }
+
   /** The stupid-backoff scoring join + weighted per-doc fold over
     * (docTri = [[lmDocTrigrams]], uni/big/tri model counts, N).
     * Shared by batch and streaming read. */

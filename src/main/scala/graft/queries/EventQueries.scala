@@ -1113,6 +1113,43 @@ object EventQueries {
       .orderBy(col("channel"))
   }
 
+  /** DAU / WAU — daily and trailing-7-day distinct active users, the
+    * product-analytics staple whose trailing window is NOT additive
+    * (distinct users don't sum across days), so the rolling count is
+    * computed EXACTLY by fanning each (user, day) activity fact out to
+    * the ≤7 trailing days it supports and counting distinct users per
+    * target day — a bounded ×7 row multiplication instead of a
+    * per-day re-scan or an approximate sketch. The day grid densifies
+    * [min, max] so quiet days report dau = 0 with their true trailing
+    * wau.
+    *
+    * Scale shape: one distinct-ing aggregation to the (user, day)
+    * grain, the 7× explode, one hash count-distinct per day — every
+    * relation day- or user-day-bounded; the grid is a day-count-sized
+    * `sequence` explode. All integer. */
+  def wActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val facts = QueryCaches.persistTracked(events(spark, dir)
+      .select(col("user_id"), expr(s"ts DIV ${NanosPerDay}L").as("epoch_day"))
+      .distinct())
+    val bounds = facts.agg(min(col("epoch_day")).as("lo"),
+      max(col("epoch_day")).as("hi"))
+    val grid = bounds.select(explode(
+      expr("sequence(lo, hi)")).as("epoch_day"))
+    val dau = facts.groupBy(col("epoch_day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = facts
+      .select(col("user_id"),
+        explode(expr("sequence(epoch_day, epoch_day + 6)")).as("epoch_day"))
+      .groupBy(col("epoch_day"))
+      .agg(countDistinct(col("user_id")).as("wau7"))
+    grid.join(dau, Seq("epoch_day"), "left")
+      .join(wau, Seq("epoch_day"), "left")
+      .select(col("epoch_day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau7"), lit(0L)).as("wau7"))
+      .orderBy(col("epoch_day"))
+  }
+
   /** EVENT-TYPE TRANSITION MATRIX — the behavior-flow report: counts
     * and probabilities of consecutive (from → to) event-type steps per
     * user (the Markov/Sankey aggregate). Successor order is

@@ -415,6 +415,60 @@ class SessionWindowSpec extends AnyFunSuite {
     }
   }
 
+  test("DAU/WAU equal brute-force trailing-window distinct counts") {
+    val facts = Tables.events(spark, dir)
+      .select(col("user_id"),
+        org.apache.spark.sql.functions.expr(
+          s"ts DIV ${86400L * 1000000000L}L").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    QueryCaches.releaseAll()
+    val lo = facts.map(_._2).min
+    val hi = facts.map(_._2).max
+    val expect = (lo to hi).map { day =>
+      val dau = facts.filter(_._2 == day).map(_._1).distinct.length.toLong
+      val wau = facts.filter(f => f._2 >= day - 6 && f._2 <= day)
+        .map(_._1).distinct.length.toLong
+      (day, dau, wau)
+    }
+    val got = queries.EventQueries.wActiveUsers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    QueryCaches.releaseAll()
+    assert(got === expect)
+    // the trailing window genuinely exceeds the daily count somewhere
+    assert(got.exists(t => t._3 > t._2))
+    got.foreach(t => assert(t._3 >= t._2))
+  }
+
+  test("KS drift statistic equals a plain-Scala two-sample model") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def grp(id: Long): String = {
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ("0123456789abcdef".indexOf(h(0)) * 16 +
+        "0123456789abcdef".indexOf(h(1)) < 230) "train" else "holdout"
+    }
+    val lens = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          split(trim(col("text")), "\\s+")).cast("long").as("len"))
+      .collect().map(r => (grp(r.getLong(0)), r.getLong(1)))
+    val n1 = lens.count(_._1 == "train").toLong
+    val n2 = lens.count(_._1 == "holdout").toLong
+    val best = lens.map(_._2).distinct.sorted.map { v =>
+      val c1 = lens.count(l => l._1 == "train" && l._2 <= v).toLong
+      val c2 = lens.count(l => l._1 == "holdout" && l._2 <= v).toLong
+      (v, c1, c2, (c1 * n2 - c2 * n1).abs)
+    }.minBy(t => (-t._4, t._1))
+    val got = graft.llm.TextAnalysis.tKsDrift(spark, dir).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)) ===
+      ((best._1, best._2, best._3, best._4)))
+    assert(r.getLong(3) === n1 && r.getLong(4) === n2)
+    assert(r.getDouble(6) === best._4.toDouble / (n1 * n2).toDouble)
+    assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+  }
+
   test("approx distinct sketch lands within its declared error bound") {
     val r = graft.queries.EventQueries.vApproxDistinct(spark, dir).collect()
     assert(r.length === 1)
