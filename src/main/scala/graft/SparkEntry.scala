@@ -32,7 +32,8 @@ object SparkEntry {
       name == "w_stream_rolling_7d" || name == "t_stream_heavy_hitters" ||
       name == "w_stream_anomaly" || name == "w_stream_range_join" ||
       name == "w_stream_gap_fill" || name == "k_stream_scd2" ||
-      name == "w_stream_interval_coverage" || name == "t_stream_lm_score"
+      name == "w_stream_interval_coverage" || name == "t_stream_lm_score" ||
+      name == "w_stream_active_users"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -175,6 +176,11 @@ object SparkEntry {
     "g_attribution"      -> ((s, d) => EventQueries.gAttribution(s, d)),
     // exact DAU/WAU: trailing distinct via bounded 7x fact fan-out
     "w_active_users"     -> (EventQueries.wActiveUsers _),
+    // streaming twin over the SAME activity MV as g_stream_retention
+    "w_stream_active_users" -> ((s, d) =>
+      graft.streaming.StreamingRetention.wStreamActiveUsers(s, d)),
+    // cohort LTV: cumulative DECIMAL revenue along each cohort's axis
+    "w_cohort_ltv"       -> (EventQueries.wCohortLtv _),
     // two-sample KS drift (train vs holdout lengths), integer-exact
     "t_ks_drift"         -> (TextAnalysis.tKsDrift _),
     // behavior-flow transition matrix (from -> to counts + P)
@@ -397,6 +403,29 @@ object SparkEntry {
       |  cnt FROM w),
       |$steps""".stripMargin
   }
+
+  /** The exact DAU/WAU oracle — shared by the batch query and the
+    * streaming activity-MV twin. */
+  private val activeUsersSql: String =
+    """WITH f AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS epoch_day FROM events),
+        |b AS (SELECT MIN(epoch_day) AS lo, MAX(epoch_day) AS hi FROM f),
+        |g AS (SELECT unnest(range((SELECT lo FROM b),
+        |    (SELECT hi FROM b) + 1)) AS epoch_day),
+        |dau AS (SELECT epoch_day,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM f GROUP BY 1),
+        |w AS (SELECT epoch_day + k AS epoch_day, user_id
+        |  FROM f, unnest(range(0, 7)) AS u(k)),
+        |wau AS (SELECT epoch_day,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7
+        |  FROM w GROUP BY 1)
+        |SELECT g.epoch_day,
+        |  CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
+        |  CAST(COALESCE(wau.wau7, 0) AS BIGINT) AS wau7
+        |FROM g LEFT JOIN dau USING (epoch_day)
+        |  LEFT JOIN wau USING (epoch_day)
+        |ORDER BY epoch_day""".stripMargin
 
   /** Shared CTE chain for the co-occurrence triangle family: occupancy
     * → repeat-co-occurrence edges → id-ordered triangles → per-user
@@ -1901,26 +1930,22 @@ object SparkEntry {
     "t_lm_score" -> lmScoreSql,
     // the streaming twin accumulates to the same model + facts
     "t_stream_lm_score" -> lmScoreSql,
-    "w_active_users" ->
-      """WITH f AS (SELECT DISTINCT user_id,
-        |    epoch_ns(ts) // 86400000000000 AS epoch_day FROM events),
-        |b AS (SELECT MIN(epoch_day) AS lo, MAX(epoch_day) AS hi FROM f),
-        |g AS (SELECT unnest(range((SELECT lo FROM b),
-        |    (SELECT hi FROM b) + 1)) AS epoch_day),
-        |dau AS (SELECT epoch_day,
-        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
-        |  FROM f GROUP BY 1),
-        |w AS (SELECT epoch_day + k AS epoch_day, user_id
-        |  FROM f, unnest(range(0, 7)) AS u(k)),
-        |wau AS (SELECT epoch_day,
-        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7
-        |  FROM w GROUP BY 1)
-        |SELECT g.epoch_day,
-        |  CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
-        |  CAST(COALESCE(wau.wau7, 0) AS BIGINT) AS wau7
-        |FROM g LEFT JOIN dau USING (epoch_day)
-        |  LEFT JOIN wau USING (epoch_day)
-        |ORDER BY epoch_day""".stripMargin,
+    "w_active_users" -> activeUsersSql,
+    // the streamed activity set answers the same DAU/WAU report
+    "w_stream_active_users" -> activeUsersSql,
+    "w_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |    epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |c AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY 1),
+        |r AS (SELECT c.cohort_day, e.d - c.cohort_day AS day_offset,
+        |    SUM(CAST(e.value AS DECIMAL(28,2))) AS rev_dec
+        |  FROM e JOIN c USING (user_id) WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev_dec) OVER (PARTITION BY cohort_day
+        |    ORDER BY day_offset ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    AS cum_revenue
+        |FROM r ORDER BY cohort_day, day_offset""".stripMargin,
     // the KS gap rides as the cross-multiplied integer |c1*n2 - c2*n1|
     // so the argmax involves no float comparison in either engine
     "t_ks_drift" ->

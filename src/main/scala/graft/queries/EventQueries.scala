@@ -1127,10 +1127,16 @@ object EventQueries {
     * grain, the 7× explode, one hash count-distinct per day — every
     * relation day- or user-day-bounded; the grid is a day-count-sized
     * `sequence` explode. All integer. */
-  def wActiveUsers(spark: SparkSession, dir: String): DataFrame = {
-    val facts = QueryCaches.persistTracked(events(spark, dir)
+  def wActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    activeUsersFromFacts(QueryCaches.persistTracked(events(spark, dir)
       .select(col("user_id"), expr(s"ts DIV ${NanosPerDay}L").as("epoch_day"))
-      .distinct())
+      .distinct()))
+
+  /** The DAU/WAU computation over any distinct (user_id, epoch_day)
+    * activity relation — shared by the batch query and the streaming
+    * activity-MV twin (the same fact set
+    * [[graft.streaming.StreamingRetention]] maintains). */
+  private[graft] def activeUsersFromFacts(facts: DataFrame): DataFrame = {
     val bounds = facts.agg(min(col("epoch_day")).as("lo"),
       max(col("epoch_day")).as("hi"))
     val grid = bounds.select(explode(
@@ -1148,6 +1154,40 @@ object EventQueries {
         coalesce(col("dau"), lit(0L)).as("dau"),
         coalesce(col("wau7"), lit(0L)).as("wau7"))
       .orderBy(col("epoch_day"))
+  }
+
+  /** COHORT LTV — cumulative revenue per acquisition cohort: users
+    * group by first-active day, purchase revenue lands at (cohort,
+    * day-offset) cells, and lifetime value accumulates along each
+    * cohort's offset axis — the revenue twin of
+    * [[gRetentionCohorts]]'s count matrix.
+    *
+    * The money path stays DECIMAL through BOTH the cell aggregation
+    * and the cumulative window (decimal addition is order-free where
+    * double summation is not) and casts to double only at the output
+    * edge — the [[wRolling7d]] discipline. Windows partition by
+    * cohort and run over the (cohorts × offsets)-bounded cell grid,
+    * never raw events. */
+  def wCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = QueryCaches.persistTracked(events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr(s"ts DIV ${NanosPerDay}L").as("epoch_day")))
+    val cohort = e.groupBy(col("user_id"))
+      .agg(min(col("epoch_day")).as("cohort_day"))
+    val cells = e.filter(col("event_type") === "purchase")
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("epoch_day") - col("cohort_day")).as("day_offset"))
+      .agg(sum(col("value").cast(DecimalType(28, 2))).as("rev_dec"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_dec", sum(col("rev_dec")).over(w))
+      .select(col("cohort_day"), col("day_offset"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("cum_dec").cast("double").as("cum_revenue"))
+      .orderBy(col("cohort_day"), col("day_offset"))
   }
 
   /** EVENT-TYPE TRANSITION MATRIX — the behavior-flow report: counts

@@ -88,4 +88,34 @@ object StreamingRetention {
       .select(col("user_id"), col("epoch_day"))
     graft.queries.EventQueries.retentionFromActivity(act)
   }
+
+  /** Declared query (`w_stream_active_users`): the SAME activity MV
+    * (distinct (user, day) facts under PK FINAL — append-only,
+    * replay-invisible), answered as the DAU/WAU report through the
+    * shared [[graft.queries.EventQueries.activeUsersFromFacts]]. The
+    * trailing-distinct window is exactly the kind of result a sink
+    * could never maintain incrementally (one late fact shifts seven
+    * days of wau), while the fact set absorbs replays for free — the
+    * retention precedent applied to a second non-additive report.
+    * Same oracle as `w_active_users`. Correctness-only. */
+  def wStreamActiveUsers(spark: SparkSession, dir: String,
+      nChunks: Int = 5): DataFrame = {
+    graft.Tables.tune(spark)
+    val feed = StreamingDedup.freshDir("activeusers_feed")
+    val warehouse = StreamingDedup.freshDir("activeusers_wh")
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("event_id").as("doc_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    StreamingDedup.writeDocChunks(spark, evs, feed, nChunks,
+      takeChunks = 2, schema = eventSchema)
+    runStream(spark, feed, warehouse)
+    ParquetSink.compact(spark, s"$warehouse/retention_activity", pk)
+    StreamingDedup.writeDocChunks(spark, evs, feed, nChunks,
+      schema = eventSchema)
+    runStream(spark, feed, warehouse)
+    val act = ParquetSink.readFinal(
+      spark.read.parquet(s"$warehouse/retention_activity"), pk)
+      .select(col("user_id"), col("epoch_day"))
+    graft.queries.EventQueries.activeUsersFromFacts(act)
+  }
 }

@@ -439,6 +439,41 @@ class SessionWindowSpec extends AnyFunSuite {
     got.foreach(t => assert(t._3 >= t._2))
   }
 
+  test("cohort LTV cells equal a plain fold and cumulate to cohort totals") {
+    val evs = Tables.events(spark, dir)
+      .select("user_id", "event_type", "value",
+        "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3) / (86400L * 1000000000L)))
+    val cohort = evs.groupBy(_._1).map { case (u, es) =>
+      (u, es.map(_._4).min)
+    }
+    val cells = evs.filter(_._2 == "purchase")
+      .map(e => ((cohort(e._1), e._4 - cohort(e._1)), e._3))
+      .groupBy(_._1).map { case (k, vs) =>
+        (k, vs.map(v => BigDecimal(v._2).setScale(
+          2, BigDecimal.RoundingMode.HALF_UP)).sum)
+      }
+    val expect = cells.toSeq.sortBy(_._1).groupBy(_._1._1).toSeq
+      .flatMap { case (_, cs) =>
+        cs.sortBy(_._1._2).scanLeft(
+          ((0L, 0L), BigDecimal(0), BigDecimal(0))) {
+          case ((_, _, cum), (k, rev)) => (k, rev, cum + rev)
+        }.tail
+      }
+      .map { case ((cd, off), rev, cum) =>
+        (cd, off, rev.toDouble, cum.toDouble)
+      }
+      .sortBy(t => (t._1, t._2))
+    val got = queries.EventQueries.wCohortLtv(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    QueryCaches.releaseAll()
+    assert(got === expect)
+    // LTV genuinely accumulates: some cohort has cum > first-cell rev
+    assert(got.groupBy(_._1).values.exists(_.length > 1))
+  }
+
   test("KS drift statistic equals a plain-Scala two-sample model") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def grp(id: Long): String = {

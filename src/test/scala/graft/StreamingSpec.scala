@@ -468,6 +468,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming active users (the retention activity MV, mid-stream " +
+    "restart + compaction) equals the batch DAU/WAU row for row") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingRetention
+      .wStreamActiveUsers(spark, dir)
+      .collect().map(_.toString).toSeq
+    val batch = graft.queries.EventQueries.wActiveUsers(spark, dir)
+      .collect().map(_.toString).toSeq
+    graft.QueryCaches.releaseAll()
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("heavy-hitter and anomaly MV soak: randomized chunk waves with a " +
     "restart per wave and random merges converge to the batch answers", Slow) {
     // the rolling-grid soak discipline applied to this round's two
