@@ -172,6 +172,8 @@ object SparkEntry {
     "g_user_triangles"  -> (EventQueries.gUserTriangles _),
     // per-user transitivity (2T/deg(deg-1)) over the same pipeline
     "g_clustering_coeff" -> (EventQueries.gClusteringCoeff _),
+    // integer-exact damped PageRank (3 unrolled sparse mat-vec steps)
+    "g_pagerank"         -> ((s, d) => EventQueries.gPageRank(s, d)),
     // last-touch attribution: windowed argMax within a 7d lookback
     "g_attribution"      -> ((s, d) => EventQueries.gAttribution(s, d)),
     // exact DAU/WAU: trailing distinct via bounded 7x fact fan-out
@@ -2088,6 +2090,35 @@ object SparkEntry {
     "g_user_triangles" ->
       s"""WITH $triangleCtes
         |SELECT user_id, n_triangles FROM tc ORDER BY user_id""".stripMargin,
+    // 3 damped iterations with contributions floored as (17*pr)//(20*deg)
+    // — the exact rational 0.85*pr/deg, replayed as chained CTEs
+    "g_pagerank" ->
+      s"""WITH $triangleCtes,
+        |de AS (SELECT u AS src, v AS dst FROM ed
+        |  UNION ALL SELECT v, u FROM ed),
+        |du AS (SELECT src AS n, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM de GROUP BY 1),
+        |p0 AS (SELECT n, deg, CAST(1000000000 AS BIGINT) AS pr FROM du),
+        |c1 AS (SELECT de.dst AS n,
+        |    SUM((17 * p.pr) // (20 * p.deg)) AS c
+        |  FROM de JOIN p0 p ON de.src = p.n GROUP BY 1),
+        |p1 AS (SELECT d.n, d.deg,
+        |    CAST(150000000 + COALESCE(c1.c, 0) AS BIGINT) AS pr
+        |  FROM du d LEFT JOIN c1 USING (n)),
+        |c2 AS (SELECT de.dst AS n,
+        |    SUM((17 * p.pr) // (20 * p.deg)) AS c
+        |  FROM de JOIN p1 p ON de.src = p.n GROUP BY 1),
+        |p2 AS (SELECT d.n, d.deg,
+        |    CAST(150000000 + COALESCE(c2.c, 0) AS BIGINT) AS pr
+        |  FROM du d LEFT JOIN c2 USING (n)),
+        |c3 AS (SELECT de.dst AS n,
+        |    SUM((17 * p.pr) // (20 * p.deg)) AS c
+        |  FROM de JOIN p2 p ON de.src = p.n GROUP BY 1),
+        |p3 AS (SELECT d.n, d.deg,
+        |    CAST(150000000 + COALESCE(c3.c, 0) AS BIGINT) AS pr
+        |  FROM du d LEFT JOIN c3 USING (n))
+        |SELECT n AS user_id, deg, pr FROM p3
+        |ORDER BY user_id""".stripMargin,
     // per-user transitivity over the same graph: 2T/deg(deg-1) with
     // the wedge count exact-integer and ONE double division
     "g_clustering_coeff" ->

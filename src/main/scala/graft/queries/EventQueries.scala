@@ -1009,10 +1009,11 @@ object EventQueries {
       .select(col("user_id"), col("n_triangles"))
       .orderBy(col("user_id"))
 
-  /** The shared co-occurrence-graph triangle pipeline: per-user degree
-    * and triangle membership counts ([[gUserTriangles]] projects the
-    * counts; [[gClusteringCoeff]] derives the coefficient). */
-  private def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+  /** The repeat-co-occurrence user graph (u < v, >= 2 shared
+    * (event_type, 10-minute) buckets — the sparsity threshold measured
+    * in [[gUserTriangles]]'s docs), persisted tracked: every graph
+    * operator (triangles, clustering, PageRank) reads it repeatedly. */
+  private def coEdges(spark: SparkSession, dir: String): DataFrame = {
     val bucketNs = 600L * 1000000000L
     // both sides of the projection self-join read the same deduped
     // occupancy relation — persist it once (tracked) instead of scanning
@@ -1021,7 +1022,7 @@ object EventQueries {
       .select(col("event_type"), expr(s"ts div ${bucketNs}L").as("bkt"),
         col("user_id"))
       .distinct())
-    val edges = QueryCaches.persistTracked(
+    QueryCaches.persistTracked(
       occ.as("a").join(occ.as("b"),
           col("a.event_type") === col("b.event_type") &&
             col("a.bkt") === col("b.bkt") &&
@@ -1030,6 +1031,13 @@ object EventQueries {
         .agg(count(lit(1)).as("nco"))
         .filter(col("nco") >= 2)
         .select(col("u"), col("v")))
+  }
+
+  /** The shared co-occurrence-graph triangle pipeline: per-user degree
+    * and triangle membership counts ([[gUserTriangles]] projects the
+    * counts; [[gClusteringCoeff]] derives the coefficient). */
+  private def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coEdges(spark, dir)
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -1076,6 +1084,49 @@ object EventQueries {
       .select(col("user_id"), col("deg"), col("n_triangles"),
         col("n_wedges"), col("clustering"))
       .orderBy(col("user_id"))
+
+  /** PAGERANK — 3 damped power iterations (d = 0.85) over the
+    * undirected repeat-co-occurrence graph, INTEGER-EXACT: ranks ride
+    * floor-scaled (start 10⁹ per node) and each neighbor contribution
+    * is `(17·pr) div (20·deg)` — the exact rational 0.85·pr/deg
+    * floored identically in both engines, so three unrolled iterations
+    * replay bit-for-bit in the oracle's chained CTEs (the same
+    * fixed-iteration discipline as the k-means Lloyd and BPE trainers;
+    * a convergence loop would be driver-controlled the same way).
+    *
+    * Scale shape: each iteration is ONE hash equi-join of the directed
+    * edge list against the rank relation plus one aggregation — the
+    * sparse mat-vec product ([[graft.llm.Dedup.dWalkCounts]]'s shape),
+    * never an adjacency matrix; ranks stay bounded by N·10⁹ so the
+    * int64 headroom holds through ~10⁵-node scaled products (decimal38
+    * past that). */
+  def gPageRank(spark: SparkSession, dir: String,
+      iters: Int = 3): DataFrame = {
+    val edges = coEdges(spark, dir)
+    val directed = QueryCaches.persistTracked(
+      edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(edges.select(col("v").as("src"), col("u").as("dst"))))
+    val deg = directed.groupBy(col("src").as("n"))
+      .agg(count(lit(1)).as("deg"))
+    var pr = QueryCaches.persistTracked(
+      deg.withColumn("pr", lit(1000000000L)))
+    (1 to iters).foreach { _ =>
+      val contrib = directed
+        .join(pr.select(col("n").as("src"), col("deg").as("sdeg"),
+          col("pr").as("spr")), Seq("src"))
+        .select(col("dst").as("n"),
+          expr("(17L * spr) div (20L * sdeg)").as("c"))
+        .groupBy(col("n")).agg(sum(col("c")).as("inflow"))
+      pr = QueryCaches.persistTracked(
+        pr.select(col("n"), col("deg"))
+          .join(contrib, Seq("n"), "left")
+          .withColumn("pr",
+            lit(150000000L) + coalesce(col("inflow"), lit(0L)))
+          .select(col("n"), col("deg"), col("pr")))
+    }
+    pr.select(col("n").as("user_id"), col("deg"), col("pr"))
+      .orderBy(col("user_id"))
+  }
 
   /** LAST-TOUCH ATTRIBUTION — each purchase is credited to the user's
     * most recent non-purchase event (the "channel") within a 7-day

@@ -361,6 +361,46 @@ class SessionWindowSpec extends AnyFunSuite {
     }
   }
 
+  test("PageRank equals a plain-Scala 3-iteration integer power method " +
+    "over the co-occurrence graph") {
+    val d01 = "/root/testdata/sf0.01"
+    val got = queries.EventQueries.gPageRank(spark, d01).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    QueryCaches.releaseAll()
+    // rebuild the same edges locally (the triangle test's recipe)
+    val evs = Tables.events(spark, d01)
+      .select(col("event_type"), expr("ts div 600000000000L").as("b"),
+        col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val co = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    evs.groupBy(e => (e._1, e._2)).values.foreach { g =>
+      val us = g.map(_._3).sorted
+      for (i <- us.indices; j <- (i + 1) until us.length)
+        co((us(i), us(j))) = co.getOrElse((us(i), us(j)), 0) + 1
+    }
+    val edges = co.iterator.collect { case (p, n) if n >= 2 => p }.toSeq
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+    edges.foreach { case (u, v) =>
+      adj(u) = v :: adj.getOrElse(u, Nil)
+      adj(v) = u :: adj.getOrElse(v, Nil)
+    }
+    var pr = adj.keys.map(n => (n, 1000000000L)).toMap
+    (1 to 3).foreach { _ =>
+      pr = adj.keys.map { n =>
+        val inflow = adj(n).map(u =>
+          (17L * pr(u)) / (20L * adj(u).size)).sum
+        (n, 150000000L + inflow)
+      }.toMap
+    }
+    val expect = adj.keys.map(n =>
+      (n, (adj(n).size.toLong, pr(n)))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // rank genuinely differentiates (not all nodes equal)
+    assert(got.values.map(_._2).toSet.size > 1)
+  }
+
   test("last-touch attribution equals a brute-force per-purchase scan " +
     "and populates both channel and direct buckets") {
     val look = 7L * 86400L * 1000000000L
