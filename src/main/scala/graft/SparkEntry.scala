@@ -33,7 +33,8 @@ object SparkEntry {
       name == "w_stream_anomaly" || name == "w_stream_range_join" ||
       name == "w_stream_gap_fill" || name == "k_stream_scd2" ||
       name == "w_stream_interval_coverage" || name == "t_stream_lm_score" ||
-      name == "w_stream_active_users"
+      name == "w_stream_active_users" ||
+      name == "t_stream_sample_priority"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -166,6 +167,22 @@ object SparkEntry {
     "t_inverted_index"  -> (TextAnalysis.tInvertedIndex _),
     // Okapi BM25 phrase retrieval, integer-exact end to end
     "t_bm25_topk"       -> ((s, d) => TextAnalysis.tBm25Topk(s, d)),
+    // weighted priority sampling: exact-k per language, bottom-k by
+    // h60(doc)/n_chars (Duffield-Lund-Thorup), two-phase cut
+    "t_sample_priority" -> ((s, d) => TextAnalysis.tSamplePriority(s, d)),
+    // streaming twin: append-only facts MV under PK FINAL, the shared
+    // bottom-k at read (selection is a pure function of the fact set)
+    "t_stream_sample_priority" -> ((s, d) =>
+      graft.streaming.StreamingSample.tStreamSamplePriority(s, d)),
+    // two-phase skyline: non-dominated docs under (max chars, min tokens)
+    "t_pareto_frontier" -> ((s, d) => TextAnalysis.tParetoFrontier(s, d)),
+    // hybrid retrieval: BM25 + cosine rankings fused by integer RRF
+    "t_rrf_fusion"      -> ((s, d) => TextAnalysis.tRrfFusion(s, d)),
+    // Morton z-order locality report (the OPTIMIZE ZORDER layout math)
+    "v_zorder_layout"   -> (graft.sources.ZOrderLayout.vZorderLayout _),
+    // CSV/JSON round-trip integrity via V7 xor fingerprints
+    "k_format_roundtrip" ->
+      (graft.sources.FormatRoundtrip.kFormatRoundtrip _),
     // ClickHouse sequenceMatch analog: windowed view->click->purchase
     "g_sequence_match"  -> ((s, d) => EventQueries.gSequenceMatch(s, d)),
     // degree-oriented triangle counting over repeat-co-occurrence graph
@@ -824,7 +841,8 @@ object SparkEntry {
     m ++ Map(
       "w_stream_gap_fill" -> m("w_gap_fill"),
       "k_stream_scd2" -> m("k_scd2_history"),
-      "w_stream_interval_coverage" -> m("w_interval_coverage"))
+      "w_stream_interval_coverage" -> m("w_interval_coverage"),
+      "t_stream_sample_priority" -> m("t_sample_priority"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -2064,6 +2082,135 @@ object SparkEntry {
         |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
         |  doc_id, CAST(score AS BIGINT) AS score
         |FROM s QUALIFY rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // Morton interleave spelled with the same shift/mask fold; the day
+    // dimension rebased to the corpus's first day, buckets = 64 equal
+    // slices of the OCCUPIED z-range
+    "v_zorder_layout" ->
+      """WITH k0 AS (SELECT CAST(user_id % 65536 AS BIGINT) AS x,
+        |    epoch_ns(ts) // 86400000000000 AS yd FROM events),
+        |k AS (SELECT x, yd - (SELECT MIN(yd) FROM k0) AS y FROM k0),
+        |z AS (SELECT x, y, CAST(list_sum(list_transform(range(0, 16),
+        |    i -> (((x >> i) & 1) << (2 * i))
+        |      + (((y >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zcode
+        |  FROM k)
+        |SELECT (zcode * 64) // ((SELECT MAX(zcode) FROM z) + 1)
+        |    AS z_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(x) AS min_user, MAX(x) AS max_user,
+        |  MIN(y) AS min_day, MAX(y) AS max_day,
+        |  (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS box_area
+        |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin,
+    // ONE fingerprint from parquet (the only copy DuckDB can see),
+    // cross-joined to the three format labels: every Spark-side format
+    // must hash-match the second engine, not just agree with itself
+    "k_format_roundtrip" ->
+      """WITH e AS (SELECT concat_ws('|',
+        |    coalesce(CAST(event_id AS VARCHAR), ''),
+        |    coalesce(CAST(epoch_us(ts) AS VARCHAR), ''),
+        |    coalesce(CAST(user_id AS VARCHAR), ''),
+        |    coalesce(CAST(event_type AS VARCHAR), ''),
+        |    coalesce(CAST(props AS VARCHAR), '')) AS img, value
+        |  FROM events),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    bit_xor(CAST(list_sum(list_transform(range(1, 16), i ->
+        |      CAST(instr('0123456789abcdef', substring(md5(img), i, 1))
+        |        - 1 AS BIGINT)
+        |      * CAST(pow(16, 15 - i) AS BIGINT))) AS BIGINT)) AS row_fp,
+        |    CAST(SUM(CAST(value AS DECIMAL(28, 2))) AS DOUBLE)
+        |      AS sum_value
+        |  FROM e)
+        |SELECT v.fmt, f.n_rows, f.row_fp, f.sum_value
+        |FROM f, (VALUES ('csv'), ('json'), ('parquet')) v(fmt)
+        |ORDER BY fmt""".stripMargin,
+    // priority sampling: u60 = the portable 60-bit md5 fingerprint
+    // (same nibble sum as the V7 oracles), key = ONE double division
+    "t_sample_priority" ->
+      """WITH u AS (SELECT doc_id, lang, n_chars,
+        |    CAST(list_sum(list_transform(range(1, 16), i ->
+        |      CAST(instr('0123456789abcdef',
+        |        substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+        |      * CAST(pow(16, 15 - i) AS BIGINT))) AS BIGINT) AS u60
+        |  FROM documents WHERE n_chars > 0),
+        |k AS (SELECT lang, doc_id, n_chars,
+        |    CAST(u60 AS DOUBLE) / CAST(n_chars AS DOUBLE) AS pkey FROM u)
+        |SELECT lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY pkey, doc_id) AS BIGINT) AS rn,
+        |  doc_id, n_chars, pkey
+        |FROM k QUALIFY rn <= 25 ORDER BY lang, rn""".stripMargin,
+    // skyline ground truth: the NOT EXISTS dominance anti-join (the
+    // Spark side is the two-phase windowed cut — same set)
+    "t_pareto_frontier" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT p.doc_id, p.n_chars, p.n_tokens FROM d p
+        |WHERE NOT EXISTS (SELECT 1 FROM d q
+        |  WHERE q.n_chars >= p.n_chars AND q.n_tokens <= p.n_tokens
+        |    AND (q.n_chars > p.n_chars OR q.n_tokens < p.n_tokens))
+        |ORDER BY p.doc_id""".stripMargin,
+    // RRF fusion: BM25 CTEs (pool 20) + cosine CTEs (queries 1-3,
+    // pool 20) fused by the floor-scaled reciprocal 10^12 // (60+rank)
+    "t_rrf_fusion" ->
+      """WITH t0 AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |d AS (SELECT doc_id, t, CAST(len(t) - 1 AS BIGINT) AS dl
+        |  FROM t0 WHERE len(t) >= 2),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(dl) AS BIGINT) AS na FROM d),
+        |q(query_id, phrase) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'table hash'), (1, 'hash join'),
+        |  (2, 'stream big'), (2, 'data line'),
+        |  (3, 'slow line'), (3, 'batch batch'), (3, 'small big')),
+        |dp AS (SELECT phrase, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, t[i + 1] || ' ' || t[i + 2] AS phrase
+        |        FROM d, unnest(range(0, len(t) - 1)) AS u(i)) x
+        |  JOIN (SELECT DISTINCT phrase FROM q) qq USING (phrase)
+        |  GROUP BY 1, 2, 3),
+        |f AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM dp GROUP BY 1),
+        |s AS (SELECT q.query_id, dp.doc_id,
+        |    SUM(((1000 * (2 * ((SELECT nd FROM c) - f.df) + 1))
+        |          // (2 * f.df + 1))
+        |      * ((1000000 * 22 * dp.tf * (SELECT na FROM c))
+        |          // (10 * dp.tf * (SELECT na FROM c)
+        |            + 3 * (SELECT na FROM c)
+        |            + 9 * dp.dl * (SELECT nd FROM c)))) AS score
+        |  FROM dp JOIN f USING (phrase) JOIN q USING (phrase)
+        |  GROUP BY 1, 2),
+        |bm AS (SELECT query_id, doc_id, rk FROM (
+        |    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+        |    FROM s) WHERE rk <= 20),
+        |n AS (SELECT vec_id, emb,
+        |    sqrt(list_sum(list_transform(list_zip(emb, emb),
+        |      x -> x[1] * x[2]))) AS nrm
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |        FROM embeddings) e),
+        |p AS (SELECT qv.vec_id AS query_id, x.vec_id AS doc_id,
+        |    list_sum(list_transform(list_zip(qv.emb, x.emb),
+        |      x2 -> x2[1] * x2[2])) / (qv.nrm * x.nrm) AS cosine
+        |  FROM n qv JOIN n x
+        |    ON qv.vec_id IN (1, 2, 3) AND x.vec_id != qv.vec_id),
+        |cm AS (SELECT query_id, doc_id, rk FROM (
+        |    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rk
+        |    FROM p) WHERE rk <= 20),
+        |fused AS (SELECT coalesce(bm.query_id, cm.query_id) AS query_id,
+        |    coalesce(bm.doc_id, cm.doc_id) AS doc_id,
+        |    coalesce(1000000000000 // (60 + bm.rk), 0)
+        |      + coalesce(1000000000000 // (60 + cm.rk), 0) AS rrf_score,
+        |    coalesce(bm.rk, 0) AS bm25_rank,
+        |    coalesce(cm.rk, 0) AS cos_rank
+        |  FROM bm FULL OUTER JOIN cm
+        |    ON bm.query_id = cm.query_id AND bm.doc_id = cm.doc_id)
+        |SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank,
+        |  doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+        |  CAST(bm25_rank AS BIGINT) AS bm25_rank,
+        |  CAST(cos_rank AS BIGINT) AS cos_rank
+        |FROM fused QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
     // EXISTS-over-(v,c,p)-triples ground truth for the windowed
     // sequence match; the Spark side collapses it to running maxima

@@ -1261,6 +1261,156 @@ object TextAnalysis {
         col("n1"), col("n2"), col("gap_scaled"), col("ks_stat"))
   }
 
+  /** WEIGHTED PRIORITY SAMPLING — exactly-k-per-language selection with
+    * inclusion probability increasing in document weight (here n_chars:
+    * longer docs are likelier picks), the weighted counterpart of the
+    * rate-based [[tStratifiedSample]]: that op keeps a RANDOM FRACTION
+    * per stratum; this one returns an exact-size weight-biased panel —
+    * priority sampling (Duffield–Lund–Thorup, JACM 2007; the bottom-k
+    * analog of Efraimidis–Spirakis exponential keys). Each doc draws a
+    * deterministic uniform u = h60(doc_id) (the portable 60-bit md5
+    * fingerprint, [[graft.validate.Validation.h60]]) and is ranked by
+    * priority u/w — smaller is better, and halving a doc's weight
+    * doubles its expected rank, so P(selected) ∝-ish w for w ≪ the
+    * k-th priority threshold. No rand() anywhere: reruns and engines
+    * agree bit-for-bit.
+    *
+    * Cross-engine determinism: the key is ONE IEEE division of two
+    * integer-valued doubles (int64→double rounding and division are
+    * both exactly specified — the repo's single-division discipline);
+    * ties are impossible short of an md5 collision, and (pkey, doc_id)
+    * is total anyway.
+    *
+    * Scale shape: bottom-k per language via the two-phase cut — local
+    * bottom-k inside (lang, u60 mod 32) buckets (windows over corpus/32
+    * slices, parallel), then the global window runs only over the
+    * ≤ 32·k survivors per language — the [[tQualityPercentiles]]
+    * never-a-full-corpus-window discipline. */
+  def tSamplePriority(spark: SparkSession, dir: String, k: Int = 25,
+      buckets: Int = 32): DataFrame =
+    samplePriorityFromFacts(
+      documents(spark, dir).select(col("doc_id"), col("lang"),
+        col("n_chars")), k, buckets)
+
+  /** The priority-sampling computation over any (doc_id, lang, n_chars)
+    * facts relation — shared by the batch query and the streaming
+    * append-only-facts MV twin ([[graft.streaming.StreamingSample]]):
+    * the selection is a pure function of the fact SET, so the streamed
+    * PK-FINAL log answers through the identical read. */
+  private[graft] def samplePriorityFromFacts(facts: DataFrame, k: Int = 25,
+      buckets: Int = 32): DataFrame = {
+    import graft.validate.Validation.h60
+    val keyed = facts
+      .filter(col("n_chars") > 0) // w = 0 is never sampleable; also
+      // keeps the division IEEE-finite in both engines
+      .withColumn("u60", h60(col("doc_id").cast("string")))
+      .withColumn("pkey",
+        col("u60").cast("double") / col("n_chars").cast("double"))
+    val wLocal = Window
+      .partitionBy(col("lang"), pmod(col("u60"), lit(buckets)))
+      .orderBy(col("pkey"), col("doc_id"))
+    // any global bottom-k row is a fortiori in its bucket's bottom-k,
+    // so the local cut is lossless
+    val survivors = keyed
+      .withColumn("lrn", row_number().over(wLocal))
+      .filter(col("lrn") <= k)
+    val wGlobal = Window.partitionBy(col("lang"))
+      .orderBy(col("pkey"), col("doc_id"))
+    survivors
+      .withColumn("rn", row_number().over(wGlobal).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"),
+        col("pkey"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** PARETO-FRONTIER CURATION (skyline) — the non-dominated documents
+    * under (maximize n_chars, minimize n_tokens): a doc is on the
+    * frontier iff no other doc has ≥ content AND ≤ token cost with one
+    * strict — the multi-objective cut a curation pass applies when two
+    * quality axes must not be collapsed into one weighted score. Both
+    * dimensions are exact integers, so dominance is float-free.
+    *
+    * Algorithm: sort-by-one-dimension skyline — order by n_chars DESC
+    * and keep a row iff its n_tokens (a) strictly beats the running min
+    * over all STRICTLY-greater n_chars (a value-range frame, so equal
+    * n_chars peers are excluded) and (b) equals the min within its own
+    * n_chars class (an equal-cost peer with fewer tokens dominates).
+    *
+    * Scale shape: the classic two-phase skyline — phase 1 runs the same
+    * window INSIDE doc_id-mod buckets (local dominance implies global,
+    * so pruning is lossless and each window sees corpus/64); the global
+    * pass runs only over local survivors, which real corpora bound at
+    * ~the frontier size (worst case — a perfectly anti-correlated
+    * corpus — degenerates to the full set, the documented bound; the
+    * oracle's NOT EXISTS anti-join is the semantics, never the plan). */
+  def tParetoFrontier(spark: SparkSession, dir: String,
+      buckets: Int = 64): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    def skyline(df: DataFrame, part: Seq[Column]): DataFrame = {
+      // rangeBetween(…, -1) under DESC = rows with n_chars ≥ cur + 1
+      val wGt = Window.partitionBy(part: _*)
+        .orderBy(col("n_chars").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wEq = Window.partitionBy((part :+ col("n_chars")): _*)
+      df.withColumn("m_gt", min(col("n_tokens")).over(wGt))
+        .withColumn("m_eq", min(col("n_tokens")).over(wEq))
+        .filter(col("n_tokens") === col("m_eq") &&
+          (col("m_gt").isNull || col("m_gt") > col("n_tokens")))
+        .drop("m_gt", "m_eq")
+    }
+    val local = skyline(
+      d.withColumn("bkt", pmod(col("doc_id"), lit(buckets))),
+      Seq(col("bkt"))).drop("bkt")
+    skyline(local, Seq.empty)
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** RECIPROCAL-RANK FUSION — hybrid retrieval: fuse the lexical
+    * ([[tBm25Topk]], bigram BM25) and semantic
+    * ([[Similarity.sCosineTopk]], embedding cosine) rankings of the
+    * same query ids into one list by RRF (Cormack/Clarke/Büttcher,
+    * SIGIR 2009): score(d) = Σ_rankers 1/(60 + rank_r(d)). The fusion
+    * constant 60 and pool depth 20 are the paper's defaults.
+    *
+    * Integer-exact: each reciprocal rides as 10¹² div (60 + rank) — a
+    * floor-scaled exact rational, so fused scores and their ordering
+    * are engine-identical with no float division; a doc missing from
+    * one pool contributes exactly 0 (reported rank 0 = absent).
+    *
+    * Scale shape: both input rankings are (queries × poolK)-bounded
+    * relations — the fusion join and final window are query-set-sized
+    * whatever the corpus; all heavy lifting happens inside the two
+    * rankers, each already scale-shaped. */
+  def tRrfFusion(spark: SparkSession, dir: String, k: Int = 10,
+      poolK: Int = 20): DataFrame = {
+    val lex = tBm25Topk(spark, dir, poolK)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").as("bm25_rank"))
+    // cosine ranker over query ids {1,2,3} (= the BM25 query ids);
+    // sCosineTopk ranks vec_id < nQueries, so compute 0..3, drop 0
+    val sem = Similarity.sCosineTopk(spark, dir, poolK, nQueries = 4)
+      .filter(col("query_id") >= 1)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("cos_rank"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr("1000000000000L div (60L + bm25_rank)"), lit(0L)) +
+          coalesce(expr("1000000000000L div (60L + cos_rank)"), lit(0L)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_score"),
+        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
+        coalesce(col("cos_rank"), lit(0L)).as("cos_rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The stupid-backoff scoring join + weighted per-doc fold over
     * (docTri = [[lmDocTrigrams]], uni/big/tri model counts, N).
     * Shared by batch and streaming read. */

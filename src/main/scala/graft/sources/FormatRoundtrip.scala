@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.validate.Validation.{h60, rowImage}
+
+/** CROSS-FORMAT SOURCE/SINK INTEGRITY — write the event stream out as
+  * CSV and JSON-lines, read each back with the declared schema, and
+  * fingerprint all three relations (parquet original + both round
+  * trips) with the V7 order-independent xor fingerprint. Equal rows ⇒
+  * equal fingerprints, so a single mangled value (quote-escaping, a
+  * double that didn't round-trip shortest-repr, a dropped row) flips
+  * the row_fp of exactly the mangled format. This is the in-sandbox
+  * proof that the ingest layer is FORMAT-AGNOSTIC — the reference's
+  * sources are JSON documents (near-lake) and native tables; a Spark
+  * rebuild must accept the same data from any serialization without
+  * drift.
+  *
+  * ts rides as raw Long nanos inside Spark (exact in both text
+  * formats); the oracle-visible image truncates to µs (`ts DIV 1000`
+  * ↔ DuckDB `epoch_us(ts)`) because DuckDB reads TIMESTAMP(NANOS)
+  * parquet at µs — the repo-wide convention. Full-ns cross-format
+  * equality is pinned by the suite (`SourcesSpec`), which compares the
+  * three fingerprints at ns grain Spark-side.
+  *
+  * Scale shape: two narrow full-scan writes + three scan-and-aggregate
+  * fingerprints — no shuffle anywhere (xor/sum/count are partial
+  * aggregates); the money column folds as DECIMAL (dsum). */
+object FormatRoundtrip {
+
+  private val cols =
+    Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** Write events as CSV + JSON into tmp, read back, fingerprint all
+    * three formats. `usGrain`=true (the gate shape) images ts at µs for
+    * oracle comparability; the spec also runs ns-grain. */
+  def fingerprints(spark: SparkSession, dir: String,
+      usGrain: Boolean): DataFrame = {
+    val base = events(spark, dir).select(cols.map(col): _*)
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_format_roundtrip")
+    graft.sink.ParquetSink.delete(root)
+    val csvPath = new java.io.File(root, "csv").getAbsolutePath
+    val jsonPath = new java.io.File(root, "json").getAbsolutePath
+    base.write.mode("overwrite").option("header", "true").csv(csvPath)
+    base.write.mode("overwrite").json(jsonPath)
+    val csv = spark.read.schema(base.schema)
+      .option("header", "true").csv(csvPath)
+    val json = spark.read.schema(base.schema).json(jsonPath)
+    def fp(df: DataFrame, label: String): DataFrame = {
+      val tsImg =
+        if (usGrain) expr("ts DIV 1000L") else col("ts")
+      val img = rowImage(Seq(col("event_id"), tsImg, col("user_id"),
+        col("event_type"), col("props")))
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        bit_xor(h60(img)).as("row_fp"),
+        dsum(col("value"), 2).as("sum_value"))
+        .withColumn("fmt", lit(label))
+        .select(col("fmt"), col("n_rows"), col("row_fp"), col("sum_value"))
+    }
+    fp(base, "parquet")
+      .unionAll(fp(csv, "csv"))
+      .unionAll(fp(json, "json"))
+      .orderBy(col("fmt"))
+  }
+
+  /** Gate query `k_format_roundtrip`: three identical fingerprint rows
+    * — and the DuckDB oracle computes the same fingerprint once from
+    * parquet, cross-joined to the three format labels, so EVERY format
+    * must match the second engine, not just match each other. */
+  def kFormatRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    fingerprints(spark, dir, usGrain = true)
+}

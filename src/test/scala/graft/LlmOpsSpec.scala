@@ -1371,4 +1371,100 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(ss.distinct.length > 1)
     }
   }
+
+  /** Plain-JVM twin of the portable h60 fingerprint. */
+  private def h60Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("priority sampling equals the independent bottom-k by u/w, " +
+    "exactly k per language, and favors heavier docs") {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(_._3 > 0)
+    val k = 25
+    val expect = docs
+      .map { case (id, lang, w) =>
+        (lang, h60Jvm(id.toString).toDouble / w.toDouble, id, w)
+      }
+      .groupBy(_._1).toSeq
+      .flatMap { case (lang, g) =>
+        g.sortBy(x => (x._2, x._3)).take(k).zipWithIndex
+          .map { case ((_, pk, id, w), i) => (lang, i.toLong + 1, id, w, pk) }
+      }
+      .sortBy(x => (x._1, x._2))
+    val got = graft.llm.TextAnalysis.tSamplePriority(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expect)
+    // exact-k contract per language (every lang has ≥ k docs here)
+    got.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).sorted === (1L to k.toLong))
+    }
+    // weight bias: the mean weight of selected docs beats the corpus
+    // mean (u/w ranking favors large w; 150/500 docs selected, so the
+    // gap is a distribution property, not sampling luck)
+    val meanSel = got.map(_._4).sum.toDouble / got.size
+    val meanAll = docs.map(_._3).sum.toDouble / docs.size
+    assert(meanSel > meanAll,
+      s"selected mean $meanSel should exceed corpus mean $meanAll")
+  }
+
+  test("pareto frontier equals the brute-force dominance anti-join " +
+    "and excluded docs are each dominated by a frontier doc") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(graft.llm.TextAnalysis.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominates(q: (Long, Long, Long), p: (Long, Long, Long)): Boolean =
+      q._2 >= p._2 && q._3 <= p._3 && (q._2 > p._2 || q._3 < p._3)
+    val expect = docs.filter(p => !docs.exists(q => dominates(q, p)))
+      .sortBy(_._1).toSeq
+    val got = graft.llm.TextAnalysis.tParetoFrontier(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+    assert(got.nonEmpty && got.size < docs.length)
+    // completeness of the cut: every excluded doc has a dominator ON
+    // the frontier (dominance is transitive, so the frontier suffices)
+    val gotSet = got.toSet
+    docs.filterNot(gotSet).foreach { p =>
+      assert(got.exists(q => dominates(q, p)), s"no frontier dominator for $p")
+    }
+  }
+
+  test("rrf fusion recomposes exactly from its two input rankings") {
+    val lex = graft.llm.TextAnalysis.tBm25Topk(spark, dir, 20).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1))).toMap
+    val sem = graft.llm.Similarity.sCosineTopk(spark, dir, 20, 4).collect()
+      .filter(_.getLong(0) >= 1)
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1))).toMap
+    graft.QueryCaches.releaseAll()
+    def rrf(r: Option[Long]): Long =
+      r.map(x => 1000000000000L / (60L + x)).getOrElse(0L)
+    val expect = (lex.keySet ++ sem.keySet).toSeq
+      .map { case (q, d) =>
+        (q, d, rrf(lex.get((q, d))) + rrf(sem.get((q, d))),
+          lex.getOrElse((q, d), 0L), sem.getOrElse((q, d), 0L))
+      }
+      .groupBy(_._1).toSeq
+      .flatMap { case (_, g) =>
+        g.sortBy(x => (-x._3, x._2)).take(10).zipWithIndex
+          .map { case ((q, d, s, br, cr), i) => (q, i.toLong + 1, d, s, br, cr) }
+      }
+      .sortBy(x => (x._1, x._2))
+    val got = graft.llm.TextAnalysis.tRrfFusion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    graft.QueryCaches.releaseAll()
+    assert(got === expect)
+    // fusion is genuinely hybrid at sf0.001: some fused rows carry both
+    // ranks, some only one
+    assert(got.exists(r => r._5 > 0 && r._6 > 0))
+    assert(got.exists(r => r._5 == 0 || r._6 == 0))
+  }
 }

@@ -33,6 +33,8 @@ class PlanAuditSpec extends AnyFunSuite {
       ((2, Set("n_nationkey", "r_regionkey"))), // nation(25) + region(5)
     "q9_product_profit" -> ((1, Set("n_nationkey"))), // nation(25)
     "s_cosine_topk" -> ((1, Set("query_id"))), // ≤k query vectors by contract
+    // rrf fusion reuses sCosineTopk's ≤k-query broadcast verbatim
+    "t_rrf_fusion" -> ((1, Set("query_id"))),
     "s_ann_ivf" -> ((1, Set("query_id"))), // ≤k query vectors by contract
     "s_ann_kmeans" -> ((1, Set("query_id"))), // same bounded query set
     "s_ann_lsh" -> ((1, Set("query_id"))), // same bounded query set
@@ -366,7 +368,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipe_stream_clean",
     "t_stream_dataset_card", "s_stream_ann_lsh", "w_stream_rolling_7d",
     "t_stream_heavy_hitters", "w_stream_anomaly", "w_stream_range_join",
-    "j_bucketed_orders")
+    "j_bucketed_orders",
+    // builder writes tmp CSV/JSON copies before fingerprinting
+    "k_format_roundtrip",
+    "t_stream_sample_priority")
 
   test("no declared query plans a CartesianProduct, and forced broadcasts stay on bounded relations") {
     graft.Tables.tune(spark)

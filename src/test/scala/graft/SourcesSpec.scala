@@ -120,4 +120,54 @@ class SourcesSpec extends AnyFunSuite {
     assert(vs === Seq("v2"))
     assert(!new java.io.File(table + ".old").exists())
   }
+
+  test("z-order layout: Morton codes match the JVM interleave and the " +
+    "z-clustered layout prunes a 2-D box to fewer files than 1-D") {
+    import graft.sources.ZOrderLayout
+    val dir = "/root/testdata/sf0.001"
+    val keyed = ZOrderLayout.keyedEvents(spark, dir)
+    // expression vs plain-JVM Morton on every row
+    def mortonJvm(x: Long, y: Long): Long =
+      (0 until 16).map(i =>
+        (((x >> i) & 1L) << (2 * i)) + (((y >> i) & 1L) << (2 * i + 1))).sum
+    keyed.select("x", "y", "zcode").collect().foreach { r =>
+      assert(r.getLong(2) === mortonJvm(r.getLong(0), r.getLong(1)))
+    }
+    // pruning: a box wide in users, narrow in days — the 1-D user sort
+    // cannot prune it, the z-order can
+    val days = keyed.agg(min(col("y")), max(col("y"))).collect()(0)
+    val (d0, d1) = (days.getLong(0), days.getLong(1))
+    assert(d1 - d0 >= 8, "corpus should span >= 8 days for a narrow box")
+    val zPath = tmp("zorder_z")
+    val xPath = tmp("zorder_x")
+    ZOrderLayout.writeZOrdered(keyed, zPath, 16)
+    ZOrderLayout.writeLinear(keyed, xPath, 16)
+    val (zTotal, zTouched) =
+      ZOrderLayout.filesTouched(spark, zPath, 0L, 65535L, d0, d0 + 1)
+    val (xTotal, xTouched) =
+      ZOrderLayout.filesTouched(spark, xPath, 0L, 65535L, d0, d0 + 1)
+    // range partitioning may leave some of the 16 requested partitions
+    // empty on a 1k-row corpus — compare touched FRACTIONS, not counts
+    assert(zTotal >= 8L && xTotal >= 8L,
+      s"expected a real multi-file layout (z=$zTotal, x=$xTotal)")
+    // the 1-D user sort spreads each day across (nearly) every file;
+    // the z-layout must touch at most half the fraction it touches
+    assert(2 * xTouched > xTotal,
+      s"user-sorted layout should touch most files ($xTouched/$xTotal)")
+    assert(zTouched * 2 * xTotal <= xTouched * zTotal,
+      s"z-order should prune the day-narrow box ≥2× " +
+        s"($zTouched/$zTotal vs $xTouched/$xTotal)")
+  }
+
+  test("format roundtrip: CSV and JSON fingerprints equal parquet at " +
+    "FULL nanosecond grain (the gate compares at oracle-visible us)") {
+    val dir = "/root/testdata/sf0.001"
+    val fps = graft.sources.FormatRoundtrip
+      .fingerprints(spark, dir, usGrain = false).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(fps.length === 3)
+    assert(fps.map(x => (x._2, x._3, x._4)).distinct.length === 1,
+      s"fingerprints diverge across formats: ${fps.mkString("; ")}")
+    assert(fps(0)._2 > 0)
+  }
 }

@@ -411,6 +411,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch) // identical rows, order, and doubles
   }
 
+  test("streaming priority sample (restart + mid-sequence compaction) " +
+    "equals the batch bottom-k exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingSample
+      .tStreamSamplePriority(spark, dir)
+      .collect().map(_.toString).toSeq
+    val batch = graft.llm.TextAnalysis.tSamplePriority(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch) // identical rows, order, and doubles
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming heavy hitters (restart + mid-sequence merge) equals " +
     "the batch CMS-pruned query exactly") {
     val dir = "/root/testdata/sf0.001"
