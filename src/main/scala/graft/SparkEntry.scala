@@ -185,6 +185,12 @@ object SparkEntry {
       (graft.sources.FormatRoundtrip.kFormatRoundtrip _),
     // ClickHouse sequenceMatch analog: windowed view->click->purchase
     "g_sequence_match"  -> ((s, d) => EventQueries.gSequenceMatch(s, d)),
+    // ClickHouse windowFunnel analog: per-user deepest chain level,
+    // histogram with reach + step conversion
+    "w_funnel_steps"    -> ((s, d) => EventQueries.wFunnelSteps(s, d)),
+    // ReplacingMergeTree(ver, is_deleted) DELETE path: tombstone wave,
+    // replay, compaction survival, resurrection
+    "k_tombstone_delete" -> (EventQueries.kTombstoneDelete _),
     // degree-oriented triangle counting over repeat-co-occurrence graph
     "g_user_triangles"  -> (EventQueries.gUserTriangles _),
     // per-user transitivity (2T/deg(deg-1)) over the same pipeline
@@ -2212,6 +2218,59 @@ object SparkEntry {
         |  CAST(cos_rank AS BIGINT) AS cos_rank
         |FROM fused QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // literal EXISTS chains per level (the Spark side is cascaded
+    // running maxima); dense 0..3 grid, desc-cumulative reach, guarded
+    // single-division conversions
+    "w_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts
+        |    FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+        |l2 AS (SELECT DISTINCT c.user_id FROM e c JOIN e v
+        |  ON v.user_id = c.user_id AND c.event_type = 'click'
+        |    AND v.event_type = 'view' AND v.ts < c.ts
+        |    AND c.ts - v.ts <= 86400000000000),
+        |l3 AS (SELECT DISTINCT p.user_id FROM e p
+        |  JOIN e c ON c.user_id = p.user_id AND p.event_type = 'purchase'
+        |    AND c.event_type = 'click' AND c.ts < p.ts
+        |  JOIN e v ON v.user_id = c.user_id AND v.event_type = 'view'
+        |    AND v.ts < c.ts AND p.ts - v.ts <= 86400000000000),
+        |lvl AS (SELECT u.user_id,
+        |    CASE WHEN l3.user_id IS NOT NULL THEN 3
+        |         WHEN l2.user_id IS NOT NULL THEN 2
+        |         WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END AS level
+        |  FROM u LEFT JOIN l3 USING (user_id)
+        |    LEFT JOIN l2 USING (user_id) LEFT JOIN l1 USING (user_id)),
+        |h AS (SELECT level, CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM lvl GROUP BY 1),
+        |g AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS level),
+        |d AS (SELECT g.level, coalesce(h.n_users, 0) AS n_users
+        |  FROM g LEFT JOIN h USING (level)),
+        |r AS (SELECT level, n_users,
+        |    CAST(SUM(n_users) OVER (ORDER BY level DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_reached FROM d)
+        |SELECT level, n_users, n_reached,
+        |  CASE WHEN level > 0
+        |      AND lag(n_reached) OVER (ORDER BY level) > 0
+        |    THEN CAST(n_reached AS DOUBLE)
+        |      / CAST(lag(n_reached) OVER (ORDER BY level) AS DOUBLE)
+        |  END AS conv_from_prev
+        |FROM r ORDER BY level""".stripMargin,
+    // closed-form alive set: deleted = id ≡ 0 (mod 7) minus the
+    // resurrected id ≡ 0 (mod 21); the Spark side replays the real
+    // insert/delete/replay/compact/re-insert sequence through the sink
+    "k_tombstone_delete" ->
+      """WITH a AS (SELECT event_id, value FROM events
+        |  WHERE event_id % 21 = 0 OR event_id % 7 <> 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_alive,
+        |  bit_xor(CAST(list_sum(list_transform(range(1, 16), i ->
+        |    CAST(instr('0123456789abcdef',
+        |      substring(md5(CAST(event_id AS VARCHAR)), i, 1)) - 1
+        |      AS BIGINT)
+        |    * CAST(pow(16, 15 - i) AS BIGINT))) AS BIGINT)) AS alive_fp,
+        |  CAST(SUM(CAST(value AS DECIMAL(28, 2))) AS DOUBLE) AS sum_value
+        |FROM a""".stripMargin,
     // EXISTS-over-(v,c,p)-triples ground truth for the windowed
     // sequence match; the Spark side collapses it to running maxima
     "g_sequence_match" ->

@@ -1241,6 +1241,108 @@ object EventQueries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** FUNNEL STEPS — the ClickHouse `windowFunnel` analog: each user's
+    * deepest view → click → purchase chain with the WHOLE chain inside
+    * a 24 h window of its first step (last − first ≤ W), reported as a
+    * per-level histogram with reach and step-conversion rates.
+    *
+    * Chain search without a triple join (the [[gSequenceMatch]]
+    * cascaded-running-maxima discipline): `lv` = latest strictly-prior
+    * view per row, `vmax` = the best chain START reachable through any
+    * strictly-prior click (each click proposes its own latest-prior
+    * view — the latest start is always the best one for any later
+    * purchase, so the running max loses nothing). A click is an L2 end
+    * iff lv ≥ ts − W; a purchase an L3 end iff vmax ≥ ts − W.
+    * Strictness rides on value-based RANGE-to-(−1) frames, so
+    * same-timestamp events can never order-flake, and the oracle is
+    * the literal EXISTS triple join.
+    *
+    * Scale shape: two user-partitioned window passes over the event
+    * log + one per-user aggregate; the histogram analytics (desc
+    * cumulative reach, lag conversion) run on the 4-row dense level
+    * grid — the only unpartitioned windows, level-count-bounded.
+    * Conversions are ONE double division of exact counts, guarded
+    * identically in both engines. */
+  def wFunnelSteps(spark: SparkSession, dir: String,
+      windowNs: Long = NanosPerDay): DataFrame = {
+    val wPrior = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val lvl = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("lv",
+        max(when(col("event_type") === "view", col("ts"))).over(wPrior))
+      .withColumn("vc",
+        when(col("event_type") === "click", col("lv")))
+      .withColumn("vmax", max(col("vc")).over(wPrior))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("f1"),
+        max(when(col("event_type") === "click" &&
+          col("lv") >= col("ts") - windowNs, 1L).otherwise(0L)).as("f2"),
+        max(when(col("event_type") === "purchase" &&
+          col("vmax") >= col("ts") - windowNs, 1L).otherwise(0L)).as("f3"))
+      .withColumn("level",
+        when(col("f3") === 1, 3L).when(col("f2") === 1, 2L)
+          .when(col("f1") === 1, 1L).otherwise(0L))
+    val grid = spark.range(1)
+      .select(explode(expr("sequence(0L, 3L)")).as("level"))
+    val h = lvl.groupBy(col("level")).agg(count(lit(1)).as("n"))
+    val wDesc = Window.orderBy(col("level").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("level"))
+    grid.join(h, Seq("level"), "left")
+      .withColumn("n_users", coalesce(col("n"), lit(0L)))
+      .withColumn("n_reached", sum(col("n_users")).over(wDesc))
+      .withColumn("prev", lag(col("n_reached"), 1).over(wAsc))
+      .withColumn("conv_from_prev",
+        when(col("level") > 0 && col("prev") > 0,
+          col("n_reached").cast("double") / col("prev").cast("double")))
+      .select(col("level"), col("n_users"), col("n_reached"),
+        col("conv_from_prev"))
+      .orderBy(col("level"))
+  }
+
+  /** TOMBSTONE DELETES through the PK-FINAL sink — the ClickHouse
+    * `ReplacingMergeTree(ver, is_deleted)` DELETE path: a delete is an
+    * ordinary INSERT carrying `is_deleted = 1`; FINAL keeps the newest
+    * version per key and the read hides flagged keys
+    * ([[graft.sink.ParquetSink.readFinalWithDeletes]]); a later
+    * re-insert RESURRECTS the key. The scenario stacks the hazards:
+    * full load (seq 1), a delete wave for id ≡ 0 (mod 7) (seq 2),
+    * the delete wave REPLAYED (same seq — at-least-once redelivery),
+    * a background compaction (tombstones must survive the merge as the
+    * latest version), then a resurrection wave for id ≡ 0 (mod 21)
+    * (seq 3). The read must equal the closed-form alive set — the
+    * DuckDB oracle — with every replay invisible. */
+  def kTombstoneDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sink.ParquetSink
+    import graft.validate.Validation.h60
+    val d = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_sink_tombstone")
+    ParquetSink.delete(d)
+    val path = d.getAbsolutePath
+    val e = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .withColumn("block_height", pmod(col("event_id"), lit(100)))
+    val load = e.withColumn("is_deleted", lit(0L))
+    val deletes = e.filter(pmod(col("event_id"), lit(7)) === 0)
+      .withColumn("is_deleted", lit(1L))
+    val resurrect = e.filter(pmod(col("event_id"), lit(21)) === 0)
+      .withColumn("is_deleted", lit(0L))
+    ParquetSink.writeBatch(load, path, 1L, Seq("event_id"))
+    ParquetSink.writeBatch(deletes, path, 2L, Seq("event_id"))
+    ParquetSink.writeBatch(deletes, path, 2L, Seq("event_id")) // replay
+    ParquetSink.compact(spark, path, Seq("event_id"))
+    ParquetSink.writeBatch(resurrect, path, 3L, Seq("event_id"))
+    ParquetSink.readFinalWithDeletes(
+      spark.read.parquet(path), Seq("event_id"))
+      .agg(
+        count(lit(1)).as("n_alive"),
+        bit_xor(h60(col("event_id").cast("string"))).as("alive_fp"),
+        dsum(col("value"), 2).as("sum_value"))
+  }
+
   /** EVENT-TYPE TRANSITION MATRIX — the behavior-flow report: counts
     * and probabilities of consecutive (from → to) event-type steps per
     * user (the Markov/Sankey aggregate). Successor order is

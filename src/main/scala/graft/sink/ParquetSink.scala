@@ -95,6 +95,17 @@ object ParquetSink {
     * duplicates (a retried write that leaked files, a replayed batch
     * reusing its seq) tie-break on a full-row hash, so the survivor is
     * deterministic even when the duplicates differ in non-PK columns. */
+  /** FINAL + tombstones — the `ReplacingMergeTree(ver, is_deleted)`
+    * DELETE semantics (ClickHouse 23.2+): a delete is an ordinary
+    * insert carrying the flag; [[readFinal]] resolves the newest
+    * version per key, then flagged keys are hidden. Re-inserting a
+    * key with the flag clear resurrects it; [[compact]] keeps the
+    * tombstone as the key's surviving version (the CLEANUP merge that
+    * would physically drop it is a separate policy, like CH's). */
+  def readFinalWithDeletes(raw: DataFrame, pkCols: Seq[String],
+      deletedCol: String = "is_deleted"): DataFrame =
+    readFinal(raw, pkCols).filter(col(deletedCol) === 0)
+
   def readFinal(raw: DataFrame, pkCols: Seq[String]): DataFrame = {
     val rowHash = xxhash64(raw.columns.sorted.toIndexedSeq.map(col): _*)
     val w = Window.partitionBy(pkCols.map(col): _*)

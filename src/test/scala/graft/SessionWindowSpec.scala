@@ -283,6 +283,58 @@ class SessionWindowSpec extends AnyFunSuite {
     assert(ns === counts.toSeq)
   }
 
+  test("windowed funnel levels equal brute-force chain search per user " +
+    "and the histogram reconciles") {
+    val w = 86400L * 1000000000L
+    val evs = Tables.events(spark, dir)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val levels = evs.groupBy(_._1).map { case (_, es) =>
+      val vs = es.filter(_._2 == "view").map(_._3)
+      val cs = es.filter(_._2 == "click").map(_._3)
+      val ps = es.filter(_._2 == "purchase").map(_._3)
+      val l3 = ps.exists(p => cs.exists(c => c < p &&
+        vs.exists(v => v < c && p - v <= w)))
+      val l2 = cs.exists(c => vs.exists(v => v < c && c - v <= w))
+      if (l3) 3L else if (l2) 2L else if (vs.nonEmpty) 1L else 0L
+    }.toSeq
+    val hist = (0L to 3L).map(l => (l, levels.count(_ == l).toLong))
+    val reach = (0L to 3L).map(l => levels.count(_ >= l).toLong)
+    val got = queries.EventQueries.wFunnelSteps(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got.map(x => (x._1, x._2)) === hist)
+    assert(got.map(_._3) === reach)
+    // conversions recompute from reach; level 0 has none
+    assert(got.head._4 === None)
+    (1 to 3).foreach { l =>
+      val exp =
+        if (reach(l - 1) > 0) Some(reach(l).toDouble / reach(l - 1).toDouble)
+        else None
+      assert(got(l)._4 === exp)
+    }
+    // non-degenerate: full conversions exist and at least two distinct
+    // levels are populated (sf0.001 concentrates users at 0 and 3)
+    assert(reach(3) > 0 && hist.map(_._2).count(_ > 0) >= 2)
+  }
+
+  test("tombstone deletes: replayed delete wave is invisible, tombstones " +
+    "survive compaction, resurrection restores exactly the mod-21 keys") {
+    val r = queries.EventQueries.kTombstoneDelete(spark, dir).collect()(0)
+    val ids = Tables.events(spark, dir).select("event_id", "value")
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    val alive = ids.filter { case (id, _) => id % 21 == 0 || id % 7 != 0 }
+    assert(r.getLong(0) === alive.length.toLong)
+    // the scenario is non-degenerate: some keys stay deleted, some are
+    // deleted then resurrected
+    assert(ids.exists { case (id, _) => id % 7 == 0 && id % 21 != 0 })
+    assert(ids.exists { case (id, _) => id % 21 == 0 })
+    val sumExp = alive.map { case (_, v) =>
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(math.abs(r.getDouble(2) - sumExp) < 1e-6)
+  }
+
   test("sequence match equals brute-force EXISTS over (view,click,purchase) " +
     "triples") {
     val w = 86400L * 1000000000L
