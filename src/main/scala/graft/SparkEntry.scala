@@ -212,6 +212,9 @@ object SparkEntry {
     "g_event_transitions" -> (EventQueries.gEventTransitions _),
     "t_split_assign"    -> (TextAnalysis.tSplitAssign _),
     "t_quality_percentiles" -> ((s, d) => TextAnalysis.tQualityPercentiles(s, d)),
+    // quantilesExactWeighted analog: token-weighted length quantiles
+    "t_weighted_percentiles" ->
+      ((s, d) => TextAnalysis.tWeightedPercentiles(s, d)),
     "t_repetition"      -> (TextAnalysis.tRepetition _),
     "t_tfidf_topk"      -> ((s, d) => TextAnalysis.tTfidfTopk(s, d)),
     "t_pii_scrub"       -> (TextAnalysis.tPiiScrub _),
@@ -2129,6 +2132,28 @@ object SparkEntry {
         |SELECT v.fmt, f.n_rows, f.row_fp, f.sum_value
         |FROM f, (VALUES ('csv'), ('json'), ('parquet')) v(fmt)
         |ORDER BY fmt""".stripMargin,
+    // token-weighted nearest-rank quantiles over the (lang, value)
+    // weight histogram — cumulative window over DISTINCT values only
+    "t_weighted_percentiles" ->
+      """WITH d AS (SELECT lang, n_chars AS value,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS w
+        |  FROM documents),
+        |h AS (SELECT lang, value, CAST(SUM(w) AS BIGINT) AS wsum
+        |  FROM d GROUP BY 1, 2),
+        |c AS (SELECT lang, value, CAST(SUM(wsum) OVER (
+        |    PARTITION BY lang ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum FROM h),
+        |t AS (SELECT lang, CAST(SUM(wsum) AS BIGINT) AS wtot
+        |  FROM h GROUP BY 1),
+        |tg AS (SELECT lang, p,
+        |    CAST(CEIL(p * CAST(wtot AS DOUBLE)) AS BIGINT) AS target
+        |  FROM (SELECT lang, wtot, unnest([0.25, 0.5, 0.75, 0.9]) AS p
+        |        FROM t) x)
+        |SELECT tg.lang, tg.p, MIN(c.value) AS v_at_p
+        |FROM tg JOIN c ON c.lang = tg.lang AND c.cum >= tg.target
+        |GROUP BY 1, 2 ORDER BY tg.lang, tg.p""".stripMargin,
     // priority sampling: u60 = the portable 60-bit md5 fingerprint
     // (same nibble sum as the V7 oracles), key = ONE double division
     "t_sample_priority" ->

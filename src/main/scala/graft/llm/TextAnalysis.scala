@@ -275,6 +275,43 @@ object TextAnalysis {
       .orderBy(col("lang"), col("p"))
   }
 
+  /** Exact WEIGHTED percentiles — the ClickHouse
+    * `quantilesExactWeighted` analog: the q-quantile of document length
+    * (n_chars) weighted by TOKEN COUNT, i.e. the length a token drawn
+    * at random sits in — the distribution that matters when budgeting
+    * token throughput rather than doc counts (long docs carry most of
+    * the tokens, so the weighted median sits far above the unweighted
+    * one).
+    *
+    * Same nearest-rank + histogram discipline as
+    * [[tQualityPercentiles]]: per-(lang, value) WEIGHT sums build in
+    * parallel with map-side combine, the cumulative window runs over
+    * DISTINCT values only, and the quantile is the smallest value whose
+    * cumulative weight reaches ceil(p·W) — integer targets, engine-
+    * identical. */
+  def tWeightedPercentiles(spark: SparkSession, dir: String,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    val scored = documents(spark, dir)
+      .select(col("lang"), col("n_chars").as("value"),
+        size(tokens(col("text"))).cast("long").as("w"))
+    val hist = QueryCaches.persistTracked(
+      scored.groupBy(col("lang"), col("value"))
+        .agg(sum(col("w")).as("wsum")))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("wsum")).over(wCum))
+    val targets = hist.groupBy(col("lang")).agg(sum(col("wsum")).as("wtot"))
+      .select(col("lang"), col("wtot"),
+        explode(array(ps.map(lit(_)): _*)).as("p"))
+      .withColumn("target",
+        ceil(col("p") * col("wtot").cast("double")).cast("long"))
+    targets.join(cum, Seq("lang"))
+      .filter(col("cum") >= col("target"))
+      .groupBy(col("lang"), col("p"))
+      .agg(min(col("value")).as("v_at_p"))
+      .orderBy(col("lang"), col("p"))
+  }
+
   /** Gopher-style repetition filters per document: the fraction of
     * bigram slots taken by the single most frequent token bigram, and
     * the fraction of 3-token shingles that are duplicates of an earlier

@@ -1437,6 +1437,41 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted percentiles equal a plain-Scala weighted nearest-rank " +
+    "model and sit at or above the unweighted quantile") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"),
+        size(graft.llm.TextAnalysis.tokens(col("text"))).cast("long")
+          .as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ps = Seq(0.25, 0.5, 0.75, 0.9)
+    val expect = docs.groupBy(_._1).toSeq.flatMap { case (lang, g) =>
+      val hist = g.groupBy(_._2).map { case (v, rows) =>
+        (v, rows.map(_._3).sum) }.toSeq.sortBy(_._1)
+      val wtot = hist.map(_._2).sum
+      ps.map { p =>
+        val target = math.ceil(p * wtot.toDouble).toLong
+        var cum = 0L
+        val v = hist.find { case (_, ws) =>
+          cum += ws; cum >= target }.get._1
+        (lang, p, v)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = graft.llm.TextAnalysis.tWeightedPercentiles(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSeq
+    graft.QueryCaches.releaseAll()
+    assert(got === expect)
+    // token weighting shifts mass toward long docs: for each lang the
+    // weighted median is >= the unweighted nearest-rank median
+    docs.groupBy(_._1).foreach { case (lang, g) =>
+      val sorted = g.map(_._2).sorted
+      val unweighted = sorted((math.ceil(0.5 * sorted.size) - 1).toInt)
+      val weighted = got.find(x => x._1 == lang && x._2 == 0.5).get._3
+      assert(weighted >= unweighted, s"$lang: $weighted < $unweighted")
+    }
+  }
+
   test("rrf fusion recomposes exactly from its two input rankings") {
     val lex = graft.llm.TextAnalysis.tBm25Topk(spark, dir, 20).collect()
       .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1))).toMap
