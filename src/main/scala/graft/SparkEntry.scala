@@ -34,7 +34,8 @@ object SparkEntry {
       name == "w_stream_gap_fill" || name == "k_stream_scd2" ||
       name == "w_stream_interval_coverage" || name == "t_stream_lm_score" ||
       name == "w_stream_active_users" ||
-      name == "t_stream_sample_priority"
+      name == "t_stream_sample_priority" ||
+      name == "t_stream_weighted_percentiles"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -215,6 +216,10 @@ object SparkEntry {
     // quantilesExactWeighted analog: token-weighted length quantiles
     "t_weighted_percentiles" ->
       ((s, d) => TextAnalysis.tWeightedPercentiles(s, d)),
+    // streaming twin: the ADDITIVE (lang, value) weight histogram as a
+    // summing MV, the shared nearest-rank lookup at read
+    "t_stream_weighted_percentiles" -> ((s, d) =>
+      graft.streaming.StreamingWeighted.tStreamWeightedPercentiles(s, d)),
     "t_repetition"      -> (TextAnalysis.tRepetition _),
     "t_tfidf_topk"      -> ((s, d) => TextAnalysis.tTfidfTopk(s, d)),
     "t_pii_scrub"       -> (TextAnalysis.tPiiScrub _),
@@ -851,7 +856,8 @@ object SparkEntry {
       "w_stream_gap_fill" -> m("w_gap_fill"),
       "k_stream_scd2" -> m("k_scd2_history"),
       "w_stream_interval_coverage" -> m("w_interval_coverage"),
-      "t_stream_sample_priority" -> m("t_sample_priority"))
+      "t_stream_sample_priority" -> m("t_sample_priority"),
+      "t_stream_weighted_percentiles" -> m("t_weighted_percentiles"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -290,13 +290,23 @@ object TextAnalysis {
     * cumulative weight reaches ceil(p·W) — integer targets, engine-
     * identical. */
   def tWeightedPercentiles(spark: SparkSession, dir: String,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame =
+    weightedPercentilesFromHist(QueryCaches.persistTracked(
+      weightHist(documents(spark, dir))), ps)
+
+  /** The (lang, value, weight-sum) histogram — ADDITIVE, so the
+    * streaming twin maintains exactly this relation as a summing MV. */
+  private[graft] def weightHist(docs: DataFrame): DataFrame = docs
+    .select(col("lang"), col("n_chars").as("value"),
+      size(tokens(col("text"))).cast("long").as("w"))
+    .groupBy(col("lang"), col("value"))
+    .agg(sum(col("w")).as("wsum"))
+
+  /** The nearest-rank lookup over any (lang, value, wsum) histogram —
+    * shared by the batch query and the streaming summing-MV twin
+    * ([[graft.streaming.StreamingWeighted]]). */
+  private[graft] def weightedPercentilesFromHist(hist: DataFrame,
       ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame = {
-    val scored = documents(spark, dir)
-      .select(col("lang"), col("n_chars").as("value"),
-        size(tokens(col("text"))).cast("long").as("w"))
-    val hist = QueryCaches.persistTracked(
-      scored.groupBy(col("lang"), col("value"))
-        .agg(sum(col("w")).as("wsum")))
     val wCum = Window.partitionBy(col("lang")).orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum", sum(col("wsum")).over(wCum))

@@ -423,6 +423,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming weighted percentiles (restart + mid-sequence merge) " +
+    "equals the batch nearest-rank lookup exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingWeighted
+      .tStreamWeightedPercentiles(spark, dir)
+      .collect().map(_.toString).toSeq
+    val batch = graft.llm.TextAnalysis.tWeightedPercentiles(spark, dir)
+      .collect().map(_.toString).toSeq
+    graft.QueryCaches.releaseAll()
+    assert(streamed === batch) // identical rows, order, and values
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming heavy hitters (restart + mid-sequence merge) equals " +
     "the batch CMS-pruned query exactly") {
     val dir = "/root/testdata/sf0.001"
