@@ -1392,10 +1392,17 @@ object TextAnalysis {
     * corpus — degenerates to the full set, the documented bound; the
     * oracle's NOT EXISTS anti-join is the semantics, never the plan). */
   def tParetoFrontier(spark: SparkSession, dir: String,
+      buckets: Int = 64): DataFrame =
+    paretoFromPoints(
+      documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+      buckets)
+
+  /** The two-phase skyline over any (doc_id, n_chars, n_tokens) point
+    * relation — exposed for the randomized property suite. */
+  private[graft] def paretoFromPoints(d: DataFrame,
       buckets: Int = 64): DataFrame = {
-    val d = documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
     def skyline(df: DataFrame, part: Seq[Column]): DataFrame = {
       // rangeBetween(…, -1) under DESC = rows with n_chars ≥ cur + 1
       val wGt = Window.partitionBy(part: _*)

@@ -1264,11 +1264,18 @@ object EventQueries {
     * Conversions are ONE double division of exact counts, guarded
     * identically in both engines. */
   def wFunnelSteps(spark: SparkSession, dir: String,
-      windowNs: Long = NanosPerDay): DataFrame = {
+      windowNs: Long = NanosPerDay): DataFrame =
+    funnelFromEvents(spark,
+      events(spark, dir).select(col("user_id"), col("ts"),
+        col("event_type")), windowNs)
+
+  /** The funnel computation over any (user_id, ts, event_type) event
+    * relation — exposed for the randomized property suite. */
+  private[graft] def funnelFromEvents(spark: SparkSession, e: DataFrame,
+      windowNs: Long): DataFrame = {
     val wPrior = Window.partitionBy(col("user_id")).orderBy(col("ts"))
       .rangeBetween(Window.unboundedPreceding, -1)
-    val lvl = events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_type"))
+    val lvl = e
       .withColumn("lv",
         max(when(col("event_type") === "view", col("ts"))).over(wPrior))
       .withColumn("vc",

@@ -620,4 +620,105 @@ class PropertySpec extends AnyFunSuite {
           s"\n exp=${expected.take(5).mkString(";")}")
     }
   }
+
+  private def h60Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("priority sampling equals the bottom-k model on random facts " +
+    "with zero weights, weight ties, and sub-k language groups") {
+    import spark.implicits._
+    val k = 25
+    val factsGen = Gen.chooseNum(50, 200).flatMap { n =>
+      Gen.listOfN(n, for {
+        lang <- Gen.oneOf("aa", "bb", "cc", "dd", "rare")
+        w <- Gen.chooseNum(0L, 5L) // zeros excluded; heavy ties
+      } yield (lang, w))
+    }
+    (0 until 3).foreach { i =>
+      val rows = sample(factsGen, 9100 + i).zipWithIndex
+        .map { case ((lang, w), id) => (id.toLong, lang, w) }
+      val got = graft.llm.TextAnalysis.samplePriorityFromFacts(
+        rows.toDF("doc_id", "lang", "n_chars")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+      graft.QueryCaches.releaseAll()
+      val expect = rows.filter(_._3 > 0)
+        .map { case (id, lang, w) =>
+          (lang, h60Jvm(id.toString).toDouble / w.toDouble, id, w) }
+        .groupBy(_._1).toSeq
+        .flatMap { case (lang, g) =>
+          g.sortBy(x => (x._2, x._3)).take(k).zipWithIndex.map {
+            case ((_, pk, id, w), j) => (lang, j.toLong + 1, id, w, pk) }
+        }.sortBy(x => (x._1, x._2))
+      assert(got === expect, s"round $i")
+      // sub-k groups return their whole membership, never pad
+      val sizes = rows.filter(_._3 > 0).groupBy(_._2)
+        .view.mapValues(_.size).toMap
+      got.groupBy(_._1).foreach { case (lang, g) =>
+        assert(g.size === math.min(k, sizes(lang)), s"round $i lang $lang")
+      }
+    }
+  }
+
+  test("pareto frontier equals brute-force dominance on random points " +
+    "with duplicate coordinates") {
+    import spark.implicits._
+    val ptsGen = Gen.chooseNum(30, 150).flatMap { n =>
+      Gen.listOfN(n, for {
+        x <- Gen.chooseNum(0L, 20L) // tiny grid -> ties everywhere
+        y <- Gen.chooseNum(0L, 20L)
+      } yield (x, y))
+    }
+    def dominates(q: (Long, Long, Long), p: (Long, Long, Long)) =
+      q._2 >= p._2 && q._3 <= p._3 && (q._2 > p._2 || q._3 < p._3)
+    (0 until 3).foreach { i =>
+      val pts = sample(ptsGen, 9200 + i).zipWithIndex
+        .map { case ((x, y), id) => (id.toLong, x, y) }
+      val got = graft.llm.TextAnalysis.paretoFromPoints(
+        pts.toDF("doc_id", "n_chars", "n_tokens"), buckets = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      val expect = pts.filter(p => !pts.exists(q => dominates(q, p)))
+        .sortBy(_._1)
+      assert(got === expect, s"round $i")
+      // duplicate frontier coordinates all survive (neither dominates)
+      assert(got.groupBy(x => (x._2, x._3)).values.exists(_.size >= 1))
+    }
+  }
+
+  test("windowed funnel levels equal brute-force chain search on random " +
+    "event streams with timestamp ties and boundary-width chains") {
+    import spark.implicits._
+    val w = 10L
+    val evGen = Gen.chooseNum(40, 120).flatMap { n =>
+      Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 8L)
+        ts <- Gen.chooseNum(0L, 60L) // ties + chains landing ON w
+        ty <- Gen.oneOf("view", "click", "purchase", "other")
+      } yield (u, ts, ty))
+    }
+    (0 until 3).foreach { i =>
+      val evs = sample(evGen, 9300 + i)
+      val got = graft.queries.EventQueries.funnelFromEvents(spark,
+        evs.toDF("user_id", "ts", "event_type"), w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val levels = evs.groupBy(_._1).map { case (_, es) =>
+        val vs = es.filter(_._3 == "view").map(_._2)
+        val cs = es.filter(_._3 == "click").map(_._2)
+        val ps = es.filter(_._3 == "purchase").map(_._2)
+        val l3 = ps.exists(p => cs.exists(c => c < p &&
+          vs.exists(v => v < c && p - v <= w)))
+        val l2 = cs.exists(c => vs.exists(v => v < c && c - v <= w))
+        if (l3) 3L else if (l2) 2L else if (vs.nonEmpty) 1L else 0L
+      }.toSeq
+      val hist = (0L to 3L).map(l => (l, levels.count(_ == l).toLong))
+      val reach = (0L to 3L).map(l => levels.count(_ >= l).toLong)
+      assert(got.map(x => (x._1, x._2)) === hist, s"round $i")
+      assert(got.map(_._3) === reach, s"round $i")
+    }
+  }
 }
