@@ -162,6 +162,27 @@ object ParquetSink {
     swapTmpIntoLive(tmp, path)
   }
 
+  /** [[compact]] WITH CLEANUP — the ClickHouse `OPTIMIZE ... FINAL
+    * CLEANUP` analog for tombstoned tables: resolve FINAL, then
+    * physically DROP rows whose `is_deleted` flag is set, so deleted
+    * keys stop occupying storage. Only safe once no replayable batch
+    * below the table's resume point could re-insert a dropped key with
+    * an OLDER seq (same contract CH imposes: cleanup assumes all
+    * replicas converged) — a later legitimate re-insert is simply a
+    * fresh row. Same crash-safe swap as [[compact]]. */
+  def compactWithCleanup(spark: SparkSession, path: String,
+      pkCols: Seq[String], deletedCol: String = "is_deleted",
+      heightBucketSize: Long = 50L): Unit = {
+    recoverSwap(path)
+    val fin = readFinal(spark.read.parquet(path), pkCols)
+      .filter(col(deletedCol) === 0)
+      .drop("height_bucket")
+    val tmp = path + ".compact"
+    delete(new java.io.File(tmp)) // a stale tmp would be APPENDED onto
+    writeRetainingSeq(fin, tmp, pkCols, heightBucketSize)
+    swapTmpIntoLive(tmp, path)
+  }
+
   /** [[compact]] for tables deduped on the FULL row (silver MV tables):
     * same crash-safe swap, `clusterKeys` only orders rows within files
     * for row-group pruning. */

@@ -175,6 +175,41 @@ class NearPipelineSpec extends AnyFunSuite {
     ParquetSink.delete(dir)
   }
 
+  test("tombstone CLEANUP merge drops deleted keys physically; a later " +
+    "re-insert is a fresh row, and live keys keep their versions") {
+    import graft.sink.ParquetSink
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_test_sink_cleanup")
+    ParquetSink.delete(dir)
+    val pk = Seq("k")
+    def batch(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("k", "v", "is_deleted").withColumn("block_height", col("k"))
+    ParquetSink.writeBatch(
+      batch(Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L))),
+      dir.getAbsolutePath, 1L, pk)
+    ParquetSink.writeBatch(batch(Seq((2L, "b", 1L))), // delete k=2
+      dir.getAbsolutePath, 2L, pk)
+    ParquetSink.compactWithCleanup(spark, dir.getAbsolutePath, pk)
+    val afterCleanup = spark.read.parquet(dir.getAbsolutePath)
+    // physically gone — not just hidden at read
+    assert(afterCleanup.filter(col("k") === 2L).count() === 0L)
+    assert(ParquetSink.readFinalWithDeletes(afterCleanup, pk)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    // survivors keep their stamps: an as-of pin at seq 1 still answers
+    assert(ParquetSink.readAsOf(afterCleanup, pk, 1L).count() === 2L)
+    // resurrection after cleanup is an ordinary fresh insert
+    ParquetSink.writeBatch(batch(Seq((2L, "b2", 0L))),
+      dir.getAbsolutePath, 3L, pk)
+    val rows = ParquetSink.readFinalWithDeletes(
+      spark.read.parquet(dir.getAbsolutePath), pk)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    ParquetSink.delete(dir)
+  }
+
   test("readAsOf reproduces the table a past batch saw") {
     import graft.sink.ParquetSink
     import org.apache.spark.sql.functions._
