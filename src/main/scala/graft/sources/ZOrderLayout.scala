@@ -77,13 +77,42 @@ object ZOrderLayout {
       .orderBy(col("z_bucket"))
   }
 
-  /** Write `df` as `nFiles` files clustered by `zcode` (range-partition
-    * + per-file sort — the OPTIMIZE ZORDER write path). Returns the
-    * directory. Used by the pruning spec; at scale this is the
-    * compaction job's output layout. */
+  /** BALANCED z-key for the physical layout: quantize each dimension to
+    * `bits` equal-width cells over its OBSERVED [min, max] before
+    * interleaving. Raw interleave degrades when ranges are asymmetric —
+    * measured at sf1 (users 0..40k = 16 bits, days 0..29 = 5 bits): any
+    * contiguous z-span wide enough to fill a file cycles through EVERY
+    * day value, so per-file day stats stop pruning (64/64 files touched
+    * by a 2-day box). Balancing the bit budget is what production
+    * OPTIMIZE ZORDER does (rank/range quantization per column); after
+    * it, a 64-file layout prunes a day-narrow box again at any SF. The
+    * four bounds are one scalar aggregate (the k-means-constant
+    * discipline); the cell math is exact integer. */
+  def balancedZ(df: DataFrame, bits: Int = 8): DataFrame = {
+    val b = df.agg(min(col("x")), max(col("x")), min(col("y")),
+      max(col("y"))).collect()(0)
+    val (x0, x1, y0, y1) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val n = 1L << bits
+    df.withColumn("xq",
+        expr(s"((x - ${x0}L) * ${n}L) DIV ${x1 - x0 + 1}L"))
+      .withColumn("yq",
+        expr(s"((y - ${y0}L) * ${n}L) DIV ${y1 - y0 + 1}L"))
+      .withColumn("zq", expr(
+        s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) -> acc" +
+          " + shiftleft(shiftright(xq, i) & 1L, 2 * i)" +
+          " + shiftleft(shiftright(yq, i) & 1L, 2 * i + 1))"))
+  }
+
+  /** Write `df` as `nFiles` files clustered by the BALANCED z-key
+    * (range-partition + per-file sort — the OPTIMIZE ZORDER write
+    * path). Returns the directory. Used by the pruning spec and
+    * [[graft.tools.ZorderPrune]]; at scale this is the compaction
+    * job's output layout. */
   def writeZOrdered(df: DataFrame, path: String, nFiles: Int): String = {
-    df.repartitionByRange(nFiles, col("zcode"))
-      .sortWithinPartitions(col("zcode"))
+    balancedZ(df).repartitionByRange(nFiles, col("zq"))
+      .sortWithinPartitions(col("zq"))
+      .drop("xq", "yq", "zq")
       .write.mode("overwrite").parquet(path)
     path
   }
