@@ -721,4 +721,49 @@ class PropertySpec extends AnyFunSuite {
       assert(got.map(_._3) === reach, s"round $i")
     }
   }
+
+  test("tombstone sink soak: randomized insert/delete/resurrect waves " +
+    "with replays and CLEANUP merges equal a last-write-wins model",
+    Slow) {
+    import spark.implicits._
+    import graft.sink.ParquetSink
+    val waveGen = Gen.listOfN(12, for {
+      keys <- Gen.nonEmptyListOf(Gen.chooseNum(1L, 40L)).map(_.distinct)
+      del <- Gen.oneOf(true, false)
+      replay <- Gen.oneOf(true, false)
+      cleanupAfter <- Gen.frequency((4, false), (1, true))
+    } yield (keys, del, replay, cleanupAfter))
+    (0 until 2).foreach { i =>
+      val waves = sample(waveGen, 9400 + i)
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft_prop_tomb$i")
+      ParquetSink.delete(dir)
+      val pk = Seq("k")
+      // model: key -> (is_deleted, payload) under last-write-wins
+      val model = scala.collection.mutable.Map.empty[Long, (Boolean, String)]
+      waves.zipWithIndex.foreach { case ((keys, del, replay, clean), w) =>
+        val seq = w.toLong + 1L
+        val rows = keys.map(k => (k, s"v${w}_$k", if (del) 1L else 0L))
+        val df = rows.toDF("k", "v", "is_deleted")
+          .withColumn("block_height", col("k"))
+        ParquetSink.writeBatch(df, dir.getAbsolutePath, seq, pk)
+        if (replay) ParquetSink.writeBatch(df, dir.getAbsolutePath, seq, pk)
+        keys.foreach(k => model(k) = (del, s"v${w}_$k"))
+        if (clean) {
+          ParquetSink.compactWithCleanup(spark, dir.getAbsolutePath, pk)
+          // cleanup physically drops currently-deleted keys; the model
+          // image is unchanged for live keys, deleted keys disappear
+          model.filterInPlace { case (_, (d, _)) => !d }
+        }
+      }
+      val got = ParquetSink.readFinalWithDeletes(
+        spark.read.parquet(dir.getAbsolutePath), pk)
+        .select("k", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      val expect = model.toSeq.collect {
+        case (k, (false, v)) => (k, v) }.sortBy(_._1)
+      assert(got === expect, s"round $i")
+      ParquetSink.delete(dir)
+    }
+  }
 }
