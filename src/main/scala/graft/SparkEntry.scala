@@ -35,7 +35,8 @@ object SparkEntry {
       name == "w_stream_interval_coverage" || name == "t_stream_lm_score" ||
       name == "w_stream_active_users" ||
       name == "t_stream_sample_priority" ||
-      name == "t_stream_weighted_percentiles"
+      name == "t_stream_weighted_percentiles" ||
+      name == "w_stream_funnel"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -189,6 +190,10 @@ object SparkEntry {
     // ClickHouse windowFunnel analog: per-user deepest chain level,
     // histogram with reach + step conversion
     "w_funnel_steps"    -> ((s, d) => EventQueries.wFunnelSteps(s, d)),
+    // streaming twin: append-only event-log MV under PK FINAL, the
+    // shared funnel read (levels non-additive but log-derived)
+    "w_stream_funnel"   -> ((s, d) =>
+      graft.streaming.StreamingEventLog.wStreamFunnel(s, d)),
     // ReplacingMergeTree(ver, is_deleted) DELETE path: tombstone wave,
     // replay, compaction survival, resurrection
     "k_tombstone_delete" -> (EventQueries.kTombstoneDelete _),
@@ -857,7 +862,8 @@ object SparkEntry {
       "k_stream_scd2" -> m("k_scd2_history"),
       "w_stream_interval_coverage" -> m("w_interval_coverage"),
       "t_stream_sample_priority" -> m("t_sample_priority"),
-      "t_stream_weighted_percentiles" -> m("t_weighted_percentiles"))
+      "t_stream_weighted_percentiles" -> m("t_weighted_percentiles"),
+      "w_stream_funnel" -> m("w_funnel_steps"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -150,6 +150,23 @@ object StreamingEventLog {
         col("doc_id").as("event_id")))
   }
 
+  /** Declared query (`w_stream_funnel`) — equals the batch
+    * [[EventQueries.wFunnelSteps]] and shares its oracle. Funnel levels
+    * are NOT additive (one late event can upgrade a user's deepest
+    * chain), but they derive from the append-only event log — the same
+    * PK-FINAL facts MV the SCD2/coverage twins ride, answered through
+    * the SHARED [[EventQueries.funnelFromEvents]] at read. */
+  def wStreamFunnel(spark: SparkSession, dir: String,
+      nChunks: Int = 5): DataFrame = {
+    val warehouse = streamTwice(spark, dir, "funnel", runLogStream,
+      (s, wh) => ParquetSink.compact(s, s"$wh/events_log", Seq("doc_id")),
+      nChunks)
+    EventQueries.funnelFromEvents(spark,
+      readLog(spark, warehouse)
+        .select(col("user_id"), col("ts"), col("event_type")),
+      86400L * 1000000000L)
+  }
+
   private def readLog(spark: SparkSession, warehouse: String): DataFrame =
     ParquetSink.readFinal(
       spark.read.parquet(s"$warehouse/events_log"), Seq("doc_id"))

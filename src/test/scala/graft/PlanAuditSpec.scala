@@ -371,7 +371,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "j_bucketed_orders",
     // builder writes tmp CSV/JSON copies before fingerprinting
     "k_format_roundtrip",
-    "t_stream_sample_priority", "t_stream_weighted_percentiles")
+    "t_stream_sample_priority", "t_stream_weighted_percentiles",
+    "w_stream_funnel")
 
   test("no declared query plans a CartesianProduct, and forced broadcasts stay on bounded relations") {
     graft.Tables.tune(spark)

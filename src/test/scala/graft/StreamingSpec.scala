@@ -423,6 +423,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming funnel (restart + mid-sequence compaction) equals " +
+    "the batch windowed funnel exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingEventLog
+      .wStreamFunnel(spark, dir)
+      .collect().map(_.toString).toSeq
+    val batch = graft.queries.EventQueries.wFunnelSteps(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch) // identical rows, order, and doubles
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming weighted percentiles (restart + mid-sequence merge) " +
     "equals the batch nearest-rank lookup exactly") {
     val dir = "/root/testdata/sf0.001"
