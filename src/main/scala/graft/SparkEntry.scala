@@ -325,6 +325,8 @@ object SparkEntry {
     "s_ann_pq"          -> ((s, d) => Similarity.sAnnPq(s, d)),
     // per-dimension affine int8 quantization + exact error accounting
     "s_quantize_int8"   -> ((s, d) => Similarity.sQuantizeInt8(s, d)),
+    // MMR diverse re-rank: greedy rel - 0.5*max-sim over a top-20 pool
+    "s_mmr_select"      -> ((s, d) => Similarity.sMmrSelect(s, d)),
     "mm_media_features" -> (Multimodal.mmMediaFeatures _),
     "mm_resize"         -> (Multimodal.mmResize _),
     "mm_frame_sample"   -> (Multimodal.mmFrameSample _),
@@ -826,6 +828,49 @@ object SparkEntry {
       |WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
       |    / CAST(len(b.ss) AS DOUBLE) >= 0.8
       |ORDER BY host_id, piece_id""".stripMargin
+
+  /** MMR unrolled as k chained 1-row CTEs (the PageRank/BPE-merge
+    * oracle discipline): step i excludes s1..s(i−1) and takes the
+    * (mmr DESC, vec_id) argmax with max_sim = GREATEST over pairwise
+    * cosines to the already-selected rows. */
+  private def mmrOracleSql(k: Int = 8, pool: Int = 20,
+      lam: String = "0.5"): String = {
+    def dotq(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x2 -> x2[1] * x2[2]))"
+    val steps = (1 to k).map { i =>
+      if (i == 1)
+        "s1 AS (SELECT vec_id, emb, nrm, rel, CAST(0.0 AS DOUBLE) " +
+          "AS max_sim, rel AS mmr FROM cand ORDER BY rel DESC, vec_id " +
+          "LIMIT 1)"
+      else {
+        val prev = (1 until i).map(j => s"s$j").mkString(", ")
+        val notin = (1 until i).map(j => s"c.vec_id != s$j.vec_id")
+          .mkString(" AND ")
+        val sims = (1 until i).map(j =>
+          s"(${dotq("c.emb", s"s$j.emb")} / (c.nrm * s$j.nrm))")
+        val maxs =
+          if (sims.size == 1) sims.head
+          else s"GREATEST(${sims.mkString(", ")})"
+        s"s$i AS (SELECT c.vec_id, c.emb, c.nrm, c.rel, $maxs AS max_sim, " +
+          s"c.rel - $lam * ($maxs) AS mmr FROM cand c, $prev " +
+          s"WHERE $notin ORDER BY mmr DESC, c.vec_id LIMIT 1)"
+      }
+    }
+    val unions = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, vec_id, rel, max_sim, " +
+        s"mmr AS mmr_score FROM s$i").mkString("\nUNION ALL\n")
+    s"""WITH n AS (SELECT vec_id, emb, sqrt(${dotq("emb", "emb")}) AS nrm
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |        FROM embeddings) e),
+       |q AS (SELECT emb, nrm FROM n WHERE vec_id = 0),
+       |cand AS (SELECT x.vec_id, x.emb, x.nrm,
+       |    ${dotq("x.emb", "q.emb")} / (x.nrm * q.nrm) AS rel
+       |  FROM n x, q WHERE x.vec_id != 0
+       |  ORDER BY rel DESC, x.vec_id LIMIT $pool),
+       |${steps.mkString(",\n")}
+       |$unions
+       |ORDER BY rank""".stripMargin
+  }
 
   private val annLshOracle: String =
     """WITH n AS (SELECT vec_id, emb,
@@ -1878,6 +1923,7 @@ object SparkEntry {
         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
         |FROM blk JOIN df USING (bh)
         |GROUP BY blk.doc_id ORDER BY blk.doc_id""".stripMargin),
+    "s_mmr_select" -> mmrOracleSql(),
     "s_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),

@@ -689,4 +689,79 @@ object Similarity {
         col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** MMR DIVERSE SELECTION — maximal marginal relevance (Carbonell &
+    * Goldstein, SIGIR 1998): greedily pick k results balancing
+    * relevance to the query against redundancy with what's already
+    * picked, score = rel(c) − λ·max_{s∈selected} cos(c, s) — the
+    * de-duplicating re-rank a retrieval-based curation pass applies so
+    * a training batch doesn't fill with near-identical documents.
+    *
+    * Determinism: rel and pairwise cosines are the proven cross-engine
+    * doubles; each step adds ONE multiply and subtract, GREATEST is
+    * exact, and every argmax breaks ties on (score DESC, vec_id) — so
+    * the greedy trajectory is engine-identical and the oracle unrolls
+    * the same k steps as chained 1-row CTEs (the PageRank/BPE-merge
+    * oracle discipline).
+    *
+    * Scale shape: the RELEVANCE scan (corpus-sized) is one distributed
+    * projection + top-pool cut; the greedy loop then runs k bounded
+    * argmax jobs over the pool-sized candidate relation with the
+    * selected vectors riding as `typedLit` constants (the k-means-Lloyd
+    * constant discipline — k and pool are query knobs, not data
+    * sizes). */
+  def sMmrSelect(spark: SparkSession, dir: String, k: Int = 8,
+      pool: Int = 20, lam: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(embeddings(spark, dir))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+    val q = e.filter(col("vec_id") === 0).collect()(0)
+    val (qEmb, qNrm) = (q.getSeq[Double](1).toIndexedSeq, q.getDouble(2))
+    // the corpus-sized pass: relevance projection + top-pool cut
+    val cand = QueryCaches.persistTracked(
+      e.filter(col("vec_id") =!= 0)
+        .withColumn("qv", typedLit(qEmb))
+        .withColumn("rel",
+          expr("dot_product(emb, qv)") / (col("nrm") * lit(qNrm)))
+        .drop("qv")
+        .orderBy(col("rel").desc, col("vec_id"))
+        .limit(pool))
+    // greedy loop: k bounded argmax jobs over the pool; selected
+    // vectors ride as typedLit constants
+    val selected =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, IndexedSeq[Double],
+        Double)]
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double,
+        Double, Double)]
+    (1 to k).foreach { i =>
+      val withSims = selected.toSeq.zipWithIndex
+        .foldLeft(cand.filter(!col("vec_id")
+          .isin(selected.toSeq.map(_._1): _*))) {
+          case (df, ((_, sEmb, sNrm), j)) =>
+            df.withColumn(s"sv$j", typedLit(sEmb))
+              .withColumn(s"sim$j",
+                expr(s"dot_product(emb, sv$j)") / (col("nrm") * lit(sNrm)))
+              .drop(s"sv$j")
+        }
+      val maxSim =
+        if (selected.isEmpty) lit(0.0)
+        else if (selected.size == 1) col("sim0")
+        else greatest(selected.indices.map(j => col(s"sim$j")): _*)
+      val pick = withSims
+        .withColumn("max_sim", maxSim)
+        .withColumn("mmr", col("rel") - lit(lam) * col("max_sim"))
+        .orderBy(col("mmr").desc, col("vec_id"))
+        .limit(1)
+        .select(col("vec_id"), col("emb"), col("nrm"), col("rel"),
+          col("max_sim"), col("mmr"))
+        .collect()(0)
+      selected += ((pick.getLong(0), pick.getSeq[Double](1).toIndexedSeq,
+        pick.getDouble(2)))
+      out += ((i.toLong, pick.getLong(0), pick.getDouble(3),
+        pick.getDouble(4), pick.getDouble(5)))
+    }
+    out.toSeq.toDF("rank", "vec_id", "rel", "max_sim", "mmr_score")
+      .orderBy(col("rank"))
+  }
 }

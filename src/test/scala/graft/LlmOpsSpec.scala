@@ -1472,6 +1472,44 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mmr selection equals the plain-Scala greedy model and genuinely " +
+    "reorders relative to pure relevance") {
+    val emb = Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS emb")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toMap
+    def dot(a: IndexedSeq[Double], b: IndexedSeq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def nrm(a: IndexedSeq[Double]) = math.sqrt(dot(a, a))
+    val q = emb(0L)
+    val cand = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, dot(v, q) / (nrm(v) * nrm(q))) }
+      .sortBy(x => (-x._3, x._1)).take(20)
+    val sel = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, IndexedSeq[Double])]
+    val expect = (1 to 8).map { i =>
+      val scored = cand.filter(c => !sel.exists(_._1 == c._1)).map {
+        case (id, v, rel) =>
+          val ms = if (sel.isEmpty) 0.0
+            else sel.map(s => dot(v, s._2) / (nrm(v) * nrm(s._2))).max
+          (id, v, rel, ms, rel - 0.5 * ms)
+      }
+      val p = scored.minBy(x => (-x._5, x._1))
+      sel += ((p._1, p._2))
+      (i.toLong, p._1, p._3, p._4, p._5)
+    }
+    val got = graft.llm.Similarity.sMmrSelect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    graft.QueryCaches.releaseAll()
+    assert(got === expect)
+    // the diversity term genuinely bites: MMR's pick order differs
+    // from pure-relevance order past rank 1
+    val byRel = cand.map(_._1).take(8)
+    assert(got.map(_._2) !== byRel)
+    assert(got.head._2 === byRel.head) // rank 1 IS the most relevant
+  }
+
   test("rrf fusion recomposes exactly from its two input rankings") {
     val lex = graft.llm.TextAnalysis.tBm25Topk(spark, dir, 20).collect()
       .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1))).toMap
