@@ -36,7 +36,8 @@ object SparkEntry {
       name == "w_stream_active_users" ||
       name == "t_stream_sample_priority" ||
       name == "t_stream_weighted_percentiles" ||
-      name == "w_stream_funnel"
+      name == "w_stream_funnel" ||
+      name == "t_stream_pareto"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -178,6 +179,10 @@ object SparkEntry {
       graft.streaming.StreamingSample.tStreamSamplePriority(s, d)),
     // two-phase skyline: non-dominated docs under (max chars, min tokens)
     "t_pareto_frontier" -> ((s, d) => TextAnalysis.tParetoFrontier(s, d)),
+    // streaming twin: append-only point facts under PK FINAL, the
+    // shared skyline at read (frontier non-additive but log-derived)
+    "t_stream_pareto"   -> ((s, d) =>
+      graft.streaming.StreamingSample.tStreamPareto(s, d)),
     // hybrid retrieval: BM25 + cosine rankings fused by integer RRF
     "t_rrf_fusion"      -> ((s, d) => TextAnalysis.tRrfFusion(s, d)),
     // Morton z-order locality report (the OPTIMIZE ZORDER layout math)
@@ -908,7 +913,8 @@ object SparkEntry {
       "w_stream_interval_coverage" -> m("w_interval_coverage"),
       "t_stream_sample_priority" -> m("t_sample_priority"),
       "t_stream_weighted_percentiles" -> m("t_weighted_percentiles"),
-      "w_stream_funnel" -> m("w_funnel_steps"))
+      "w_stream_funnel" -> m("w_funnel_steps"),
+      "t_stream_pareto" -> m("t_pareto_frontier"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -7,17 +7,19 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField,
   StructType}
 import graft.sink.ParquetSink
 
-/** Streaming twin for priority sampling (`t_stream_sample_priority`).
+/** Streaming twins for priority sampling (`t_stream_sample_priority`)
+  * and the Pareto frontier (`t_stream_pareto`).
   *
-  * A bottom-k-by-priority panel is NOT additive — one newly arrived
-  * heavy doc can evict the current k-th member of its language — but it
-  * IS a pure function of the fact SET (doc_id, lang, n_chars), and
-  * those facts are append-only: a document's weight never changes. So
-  * the MV is the fact log itself under PK FINAL (the
+  * Neither result is additive — one newly arrived heavy doc can evict
+  * the current k-th member of its language, and one new point can
+  * dominate away half the frontier — but BOTH are pure functions of an
+  * append-only fact SET (a document's weight/coordinates never
+  * change). So the MV is the fact log itself under PK FINAL (the
   * [[StreamingEventLog]] / [[StreamingSpans]] read-time-aggregation
-  * contract) and the SHARED two-phase bottom-k
-  * ([[graft.llm.TextAnalysis.samplePriorityFromFacts]]) runs at read —
-  * identical oracle to the batch twin, replay-idempotent by key.
+  * contract) and the SHARED reads
+  * ([[graft.llm.TextAnalysis.samplePriorityFromFacts]] /
+  * [[graft.llm.TextAnalysis.paretoFromPoints]]) run at read —
+  * identical oracles to the batch twins, replay-idempotent by key.
   *
   * Run shape: checkpointed file stream, two chunks, STOP, compaction,
   * then the full feed against the same checkpoint (the mid-stream
@@ -29,12 +31,17 @@ object StreamingSample {
     StructField("doc_id", LongType),
     StructField("lang", StringType),
     StructField("n_chars", LongType)))
+  private val paretoSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_chars", LongType),
+    StructField("n_tokens", LongType)))
 
-  /** Append-only (doc_id, lang, n_chars) fact stream under PK FINAL. */
+  /** Append-only doc-fact stream under PK FINAL (schema per twin). */
   def runFactsStream(spark: SparkSession, feedDir: String,
-      warehouse: String): Unit = {
+      warehouse: String,
+      schema: StructType = feedSchema): Unit = {
     val path = s"$warehouse/sample_facts"
-    val query = StreamingDedup.readDocStream(spark, feedDir, feedSchema)
+    val query = StreamingDedup.readDocStream(spark, feedDir, schema)
       .writeStream
       .option("checkpointLocation", s"$warehouse/_facts_checkpoint")
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -72,5 +79,30 @@ object StreamingSample {
       spark.read.parquet(s"$warehouse/sample_facts"), Seq("doc_id"))
     graft.llm.TextAnalysis.samplePriorityFromFacts(
       log.select(col("doc_id"), col("lang"), col("n_chars")))
+  }
+
+  /** Declared query (`t_stream_pareto`) — equals the batch
+    * [[graft.llm.TextAnalysis.tParetoFrontier]] and shares its oracle.
+    * Correctness-only: its cost is micro-batch orchestration. */
+  def tStreamPareto(spark: SparkSession, dir: String,
+      nChunks: Int = 5): DataFrame = {
+    graft.Tables.tune(spark)
+    val feed = StreamingDedup.freshDir("pareto_feed")
+    val warehouse = StreamingDedup.freshDir("pareto_wh")
+    val facts = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(graft.llm.TextAnalysis.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+    StreamingDedup.writeDocChunks(spark, facts, feed, nChunks,
+      takeChunks = 2, schema = paretoSchema)
+    runFactsStream(spark, feed, warehouse, paretoSchema)
+    ParquetSink.compact(spark, s"$warehouse/sample_facts", Seq("doc_id"))
+    StreamingDedup.writeDocChunks(spark, facts, feed, nChunks,
+      schema = paretoSchema)
+    runFactsStream(spark, feed, warehouse, paretoSchema)
+    val log = ParquetSink.readFinal(
+      spark.read.parquet(s"$warehouse/sample_facts"), Seq("doc_id"))
+    graft.llm.TextAnalysis.paretoFromPoints(
+      log.select(col("doc_id"), col("n_chars"), col("n_tokens")))
   }
 }

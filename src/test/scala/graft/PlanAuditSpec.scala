@@ -372,7 +372,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // builder writes tmp CSV/JSON copies before fingerprinting
     "k_format_roundtrip",
     "t_stream_sample_priority", "t_stream_weighted_percentiles",
-    "w_stream_funnel")
+    "w_stream_funnel", "t_stream_pareto")
 
   test("no declared query plans a CartesianProduct, and forced broadcasts stay on bounded relations") {
     graft.Tables.tune(spark)

@@ -423,6 +423,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming pareto frontier (restart + mid-sequence compaction) " +
+    "equals the batch skyline exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingSample
+      .tStreamPareto(spark, dir)
+      .collect().map(_.toString).toSeq
+    val batch = graft.llm.TextAnalysis.tParetoFrontier(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch) // identical rows and order
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming funnel (restart + mid-sequence compaction) equals " +
     "the batch windowed funnel exactly") {
     val dir = "/root/testdata/sf0.001"
