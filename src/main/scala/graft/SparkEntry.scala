@@ -2183,6 +2183,7 @@ object SparkEntry {
         |    coalesce(CAST(epoch_us(ts) AS VARCHAR), ''),
         |    coalesce(CAST(user_id AS VARCHAR), ''),
         |    coalesce(CAST(event_type AS VARCHAR), ''),
+        |    coalesce(CAST(CAST(value AS DECIMAL(28, 2)) AS VARCHAR), ''),
         |    coalesce(CAST(props AS VARCHAR), '')) AS img, value
         |  FROM events),
         |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

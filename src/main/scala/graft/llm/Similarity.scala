@@ -715,7 +715,9 @@ object Similarity {
     import spark.implicits._
     val e = withNorm(embeddings(spark, dir))
       .select(col("vec_id"), col("emb"), col("nrm"))
-    val q = e.filter(col("vec_id") === 0).collect()(0)
+    val q = e.filter(col("vec_id") === 0).collect().headOption.getOrElse(
+      sys.error("MMR select: query vector (vec_id = 0) not present in " +
+        s"the embeddings table at $dir"))
     val (qEmb, qNrm) = (q.getSeq[Double](1).toIndexedSeq, q.getDouble(2))
     // the corpus-sized pass: relevance projection + top-pool cut
     val cand = QueryCaches.persistTracked(
@@ -755,7 +757,10 @@ object Similarity {
         .limit(1)
         .select(col("vec_id"), col("emb"), col("nrm"), col("rel"),
           col("max_sim"), col("mmr"))
-        .collect()(0)
+        .collect().headOption.getOrElse(sys.error(
+          s"MMR select: candidate pool exhausted at pick $i — " +
+            s"pool ($pool) must be >= k ($k) and the corpus must have " +
+            "at least `pool` non-query vectors"))
       selected += ((pick.getLong(0), pick.getSeq[Double](1).toIndexedSeq,
         pick.getDouble(2)))
       out += ((i.toLong, pick.getLong(0), pick.getDouble(3),

@@ -1324,10 +1324,12 @@ object EventQueries {
   def kTombstoneDelete(spark: SparkSession, dir: String): DataFrame = {
     import graft.sink.ParquetSink
     import graft.validate.Validation.h60
-    val d = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_sink_tombstone")
-    ParquetSink.delete(d)
-    val path = d.getAbsolutePath
+    // Fresh per-invocation tmpdir (ADVICE r11): the builder IS the side
+    // effect (also on PlanAuditSpec's exclusion list) — a fixed path
+    // would race concurrent gate runs and a plan sweep over the
+    // declared-query map would silently re-run the whole sink scenario.
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sink_tombstone_").toAbsolutePath.toString
     val e = events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"))

@@ -10,8 +10,15 @@ import graft.validate.Validation.{h60, rowImage}
   * fingerprint all three relations (parquet original + both round
   * trips) with the V7 order-independent xor fingerprint. Equal rows ⇒
   * equal fingerprints, so a single mangled value (quote-escaping, a
-  * double that didn't round-trip shortest-repr, a dropped row) flips
-  * the row_fp of exactly the mangled format. This is the in-sandbox
+  * dropped row, a shifted column) flips the row_fp of exactly the
+  * mangled format. The money column rides in the row image as its
+  * CANONICAL 2-dp rendering (`CAST(value AS DECIMAL(28,2))` as string,
+  * mirrored in the DuckDB oracle) — so a mangled double IS row-visible,
+  * at cent granularity: a per-row drift below half a cent is seen only
+  * by the exact DECIMAL aggregate `sum_value`, where mutually
+  * cancelling sub-cent drifts would pass (ADVICE r11). Full-bit double
+  * equality across formats is pinned by the suite (`SourcesSpec`),
+  * which images the raw double at ns grain Spark-side. This is the in-sandbox
   * proof that the ingest layer is FORMAT-AGNOSTIC — the reference's
   * sources are JSON documents (near-lake) and native tables; a Spark
   * rebuild must accept the same data from any serialization without
@@ -45,14 +52,31 @@ object FormatRoundtrip {
     val jsonPath = new java.io.File(root, "json").getAbsolutePath
     base.write.mode("overwrite").option("header", "true").csv(csvPath)
     base.write.mode("overwrite").json(jsonPath)
+    // multiLine + pinned quote/escape on the read-back (ADVICE r11):
+    // the writer quotes a props string containing an embedded newline,
+    // and without multiLine the line-splitting reader would shear that
+    // row on re-read even though the data round-tripped correctly.
+    // Quote/escape are pinned to the writer's own defaults so the pair
+    // can't drift apart across Spark versions.
     val csv = spark.read.schema(base.schema)
-      .option("header", "true").csv(csvPath)
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("quote", "\"").option("escape", "\\")
+      .csv(csvPath)
     val json = spark.read.schema(base.schema).json(jsonPath)
     def fp(df: DataFrame, label: String): DataFrame = {
       val tsImg =
         if (usGrain) expr("ts DIV 1000L") else col("ts")
+      // canonical per-row money image: one double→DECIMAL(28,2) cast
+      // (the dsum discipline — proven to round identically in DuckDB)
+      // rendered as a plain string; at ns grain (the suite path) the
+      // raw double itself is imaged instead, so full-bit equality
+      // across formats is still pinned where no oracle is involved.
+      val valImg =
+        if (usGrain) col("value").cast("decimal(28,2)").cast("string")
+        else col("value").cast("string")
       val img = rowImage(Seq(col("event_id"), tsImg, col("user_id"),
-        col("event_type"), col("props")))
+        col("event_type"), valImg, col("props")))
       df.agg(
         count(lit(1)).as("n_rows"),
         bit_xor(h60(img)).as("row_fp"),

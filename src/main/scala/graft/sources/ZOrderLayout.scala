@@ -46,11 +46,22 @@ object ZOrderLayout {
     * curve locality real (production z-order does the same via
     * per-column range indexes). The rebase constant is one scalar
     * aggregate — the k-means-constant discipline. */
+  /** Guarded scalar-constant collect: min/max over an EMPTY relation
+    * aggregates to NULL, and `getLong` on that is an opaque NPE — fail
+    * with the actual cause instead (ADVICE r11). */
+  private def scalarLong(row: org.apache.spark.sql.Row, i: Int,
+      what: String): Long = {
+    require(!row.isNullAt(i),
+      s"z-order layout: $what aggregated to NULL — empty input relation")
+    row.getLong(i)
+  }
+
   private def keyed(spark: SparkSession, dir: String): DataFrame = {
     val base = events(spark, dir)
       .withColumn("x", pmod(col("user_id"), lit(65536)).cast("long"))
       .withColumn("yd", expr(s"ts DIV ${86400L * 1000000000L}L"))
-    val d0 = base.agg(min(col("yd"))).collect()(0).getLong(0)
+    val d0 =
+      scalarLong(base.agg(min(col("yd"))).collect()(0), 0, "min(epoch day)")
     base
       .withColumn("y", col("yd") - lit(d0))
       .withColumn("zcode", zcode16("x", "y"))
@@ -65,7 +76,8 @@ object ZOrderLayout {
     * scaling stays far inside int64). */
   def vZorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val z = graft.QueryCaches.persistTracked(keyed(spark, dir))
-    val zMax = z.agg(max(col("zcode"))).collect()(0).getLong(0)
+    val zMax =
+      scalarLong(z.agg(max(col("zcode"))).collect()(0), 0, "max(zcode)")
     z.withColumn("z_bucket", expr(s"(zcode * 64L) DIV ${zMax + 1}L"))
       .groupBy(col("z_bucket"))
       .agg(count(lit(1)).as("n_rows"),
@@ -92,7 +104,8 @@ object ZOrderLayout {
     val b = df.agg(min(col("x")), max(col("x")), min(col("y")),
       max(col("y"))).collect()(0)
     val (x0, x1, y0, y1) =
-      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      (scalarLong(b, 0, "min(x)"), scalarLong(b, 1, "max(x)"),
+        scalarLong(b, 2, "min(y)"), scalarLong(b, 3, "max(y)"))
     val n = 1L << bits
     df.withColumn("xq",
         expr(s"((x - ${x0}L) * ${n}L) DIV ${x1 - x0 + 1}L"))

@@ -371,6 +371,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "j_bucketed_orders",
     // builder writes tmp CSV/JSON copies before fingerprinting
     "k_format_roundtrip",
+    // builder runs the full delete/replay/compact/resurrect sink
+    // scenario into a fresh tmpdir (ADVICE r11)
+    "k_tombstone_delete",
     "t_stream_sample_priority", "t_stream_weighted_percentiles",
     "w_stream_funnel", "t_stream_pareto")
 
