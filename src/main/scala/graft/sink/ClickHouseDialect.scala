@@ -55,7 +55,8 @@ object ClickHouseDialect {
       renames: Map[String, String] = Map("block_timestamp_ns" -> "block_timestamp"),
       typeOverrides: Map[String, String] =
         Map("block_timestamp" -> "DateTime64(9, 'UTC')"),
-      nullableCols: Set[String] = Set("tx_hash"))
+      nullableCols: Set[String] = Set("tx_hash"),
+      settings: Seq[String] = Seq("index_granularity = 8192"))
 
   /** Spark → ClickHouse column type. */
   def chType(dt: DataType): String = dt match {
@@ -95,8 +96,9 @@ object ClickHouseDialect {
       (cols ++ idx).mkString(",\n") + "\n" +
       s") ENGINE = ${spec.engine}\n" +
       s"PRIMARY KEY ($key)\n" +
-      s"ORDER BY ($key)\n" +
-      "SETTINGS index_granularity = 8192"
+      s"ORDER BY ($key)" +
+      (if (spec.settings.isEmpty) ""
+       else s"\nSETTINGS ${spec.settings.mkString(", ")}")
   }
 
   /** Parameterized batched insert — the JDBC `PreparedStatement`
@@ -186,4 +188,157 @@ object ClickHouseDialect {
     orderBy = Seq("block_height", "execution_outcome_id"),
     indexes = Seq(minmax("block_timestamp"), bloom("executor_id"),
       bloom("parent_transaction_hash")))
+
+  // ------------------------------------------------------------------
+  // Silver layer DDL surface (clickhouse/init/02-silver-tables.sql):
+  // target tables, ingest-time materialized views, and the two union
+  // views. In THIS engine the transform itself executes as the Spark
+  // plan (graft.silver.SilverTransforms — the gate-verified semantics);
+  // a live ClickHouse deployment instead materializes at insert time
+  // via these MVs, so the dialect must be able to stand up that whole
+  // surface over the wire. Table DDLs are generated from the SAME
+  // Spark schemas the silver transforms emit (the core-table
+  // discipline); MV bodies are ASSEMBLED from the structured facts of
+  // each transform (filter predicates, decode/explode mode, JSON
+  // extractions) by the combinators below — the same facts
+  // SilverTransforms implements in Catalyst, rendered in ClickHouse's
+  // dialect (JSON_VALUE / arrayJoin / JSONExtractKeysAndValues).
+  // ------------------------------------------------------------------
+
+  /** The reference's silver skip-index block: minmax on
+    * block_timestamp + blooms on (contract_id, related_receipt_id,
+    * related_receipt_receiver_id), names `<prefix><col>_minmax_idx` /
+    * `<prefix><col>_bloom_index` (02-silver-tables.sql:48-51 et al). */
+  def silverIndexes(prefix: String): Seq[ChIndex] = Seq(
+    ChIndex(s"${prefix}block_timestamp_minmax_idx",
+      "block_timestamp", "minmax"),
+    ChIndex(s"${prefix}contract_id_bloom_index",
+      "contract_id", "bloom_filter()"),
+    ChIndex(s"${prefix}related_receipt_id_bloom_index",
+      "related_receipt_id", "bloom_filter()"),
+    ChIndex(s"${prefix}related_receipt_receiver_id_bloom_index",
+      "related_receipt_receiver_id", "bloom_filter()"))
+
+  private val nullableKeySettings =
+    Seq("allow_nullable_key = true", "index_granularity = 8192")
+  private val transferNullable =
+    Set("memo", "old_owner_id", "new_owner_id", "token_id", "amount")
+
+  /** defuse_assets (02:12-22) — dimension table, no MV (refreshed by
+    * the daily job, [[graft.sources.AssetsRefresher]]); the reference
+    * declares no SETTINGS clause on it. */
+  val defuseAssetsSpec: ChTableSpec = ChTableSpec(
+    "defuse_assets",
+    orderBy = Seq("defuse_asset_id", "price_updated_at"),
+    renames = Map("price_updated_at_ns" -> "price_updated_at"),
+    typeOverrides = Map("price_updated_at" -> "DateTime64(9, 'UTC')"),
+    nullableCols = Set.empty,
+    settings = Nil)
+
+  /** silver_nep_245_events (02:29-55) — NULLABLE dedup key members
+    * (old/new owner, token_id), hence allow_nullable_key. */
+  val silverNep245Spec: ChTableSpec = ChTableSpec(
+    "silver_nep_245_events",
+    orderBy = Seq("block_height", "related_receipt_id", "event",
+      "old_owner_id", "new_owner_id", "token_id"),
+    indexes = silverIndexes("nep_245_"),
+    nullableCols = transferNullable,
+    settings = nullableKeySettings)
+
+  /** silver_dip4_token_diff (02:100-127). */
+  val silverTokenDiffSpec: ChTableSpec = ChTableSpec(
+    "silver_dip4_token_diff",
+    orderBy = Seq("block_height", "related_receipt_id", "intent_hash"),
+    indexes = silverIndexes("dif4_diff_"),
+    nullableCols = Set("referral"))
+
+  /** silver_dip4_public_keys (02:177-199). */
+  val silverPublicKeysSpec: ChTableSpec = ChTableSpec(
+    "silver_dip4_public_keys",
+    orderBy = Seq("block_height", "related_receipt_id", "account_id"),
+    indexes = silverIndexes("dip4_public_keys_"),
+    nullableCols = Set.empty)
+
+  /** silver_dip4_intents_executed (02:230-252). */
+  val silverIntentsExecutedSpec: ChTableSpec = ChTableSpec(
+    "silver_dip4_intents_executed",
+    orderBy = Seq("block_height", "related_receipt_id", "intent_hash"),
+    indexes = silverIndexes("dip4_intents_executed_"),
+    nullableCols = Set.empty)
+
+  /** silver_dip4_fee_changed (02:283-305). */
+  val silverFeeChangedSpec: ChTableSpec = ChTableSpec(
+    "silver_dip4_fee_changed",
+    orderBy = Seq("block_height", "related_receipt_id"),
+    indexes = silverIndexes("dip4_fee_changed_"),
+    nullableCols = Set.empty)
+
+  /** silver_dip4_transfer (02:336-363) — unprefixed index names in the
+    * reference; nullable key members as in nep245. */
+  val silverTransferSpec: ChTableSpec = ChTableSpec(
+    "silver_dip4_transfer",
+    orderBy = Seq("block_height", "related_receipt_id", "event",
+      "old_owner_id", "new_owner_id", "token_id"),
+    indexes = silverIndexes(""),
+    nullableCols = transferNullable,
+    settings = nullableKeySettings)
+
+  /** staging_silver_dip4_transfer (02:442-468) — same shape, staging
+    * contract (the M7 prod/staging CRITICAL split). */
+  val stagingSilverTransferSpec: ChTableSpec =
+    silverTransferSpec.copy(table = "staging_silver_dip4_transfer")
+
+  // ---------------- MV body combinators -----------------------------
+
+  /** `JSON_VALUE(data_row, '$.path')`, optionally '' -coalesced — the
+    * ClickHouse rendering of the transforms' `from_json(...).field`
+    * with tolerant-null semantics (P8). */
+  def jsonValue(path: String, coalesced: Boolean = true): String =
+    if (coalesced) s"coalesce(JSON_VALUE(data_row, '$$.$path'), '')"
+    else s"JSON_VALUE(data_row, '$$.$path')"
+
+  /** The prod-contracts predicate (AccountsConfig.prodContracts). */
+  def contractsIn(contracts: Seq[String]): String =
+    if (contracts.size == 1) s"contract_id = ${escape(contracts.head)}"
+    else s"contract_id IN (${contracts.map(escape).mkString(", ")})"
+
+  /** First CTE: select from `events`, bind `data_row` (either the raw
+    * `data` document or one element of the JSON array via arrayJoin —
+    * the CH twin of the transforms' `explode(from_json(data))`). */
+  def decodedEventsCte(where: Seq[String], explodeArray: Boolean): String = {
+    val dataRow =
+      if (explodeArray) "arrayJoin(JSONExtractArrayRaw(data))" else "data"
+    "WITH decoded_events AS (\n" +
+      s"    SELECT *, $dataRow AS data_row\n    FROM events\n" +
+      s"    WHERE ${where.map(w => s"($w)").mkString(" AND ")}\n)"
+  }
+
+  /** Optional middle CTE of named extractions over decoded_events. */
+  def parsedCte(name: String, from: String,
+      extracts: Seq[(String, String)]): String =
+    s", $name AS (\n    SELECT *,\n" +
+      extracts.map { case (e, as) => s"           $e AS $as" }
+        .mkString(",\n") + s"\n    FROM $from\n)"
+
+  /** MV settings tail — the JSON_VALUE return-type relaxations every
+    * reference MV pins (02:93,170 et al). */
+  def mvSettings(complex: Boolean): String =
+    "SETTINGS function_json_value_return_type_allow_nullable = true" +
+      (if (complex)
+        ", function_json_value_return_type_allow_complex = true"
+      else "")
+
+  /** CREATE MATERIALIZED VIEW ... TO target (typed columns) AS body. */
+  def createMaterializedViewDdl(mvName: String, target: String,
+      columns: Seq[(String, String)], body: String): String =
+    s"CREATE MATERIALIZED VIEW IF NOT EXISTS $mvName TO $target (\n" +
+      columns.map { case (n, t) => s"    $n $t" }.mkString(",\n") +
+      s"\n) AS\n$body"
+
+  /** CREATE VIEW (the plain union views, 02:412-439 / 516-541). */
+  def createViewDdl(name: String, columns: Seq[(String, String)],
+      body: String): String =
+    s"CREATE VIEW IF NOT EXISTS $name (\n" +
+      columns.map { case (n, t) => s"    $n $t" }.mkString(",\n") +
+      s"\n) AS\n$body"
 }
