@@ -37,7 +37,7 @@ object SparkEntry {
       name == "t_stream_sample_priority" ||
       name == "t_stream_weighted_percentiles" ||
       name == "w_stream_funnel" ||
-      name == "t_stream_pareto"
+      name == "t_stream_pareto" || name == "k_stream_tombstone"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -219,6 +219,20 @@ object SparkEntry {
     "w_cohort_ltv"       -> (EventQueries.wCohortLtv _),
     // two-sample KS drift (train vs holdout lengths), integer-exact
     "t_ks_drift"         -> (TextAnalysis.tKsDrift _),
+    // ---- round 12 ----
+    // alternating large-star/small-star connected components — second
+    // published CC algorithm, same oracle as d_dup_groups
+    "d_cc_stars"         -> ((s, d) => Dedup.dCcStars(s, d)),
+    // RFM customer-value segmentation with value-based quartile scores
+    "w_rfm"              -> (EventQueries.wRfm _),
+    // k-NN majority-vote classification eval over the embedding space
+    "s_knn_classify"     -> ((s, d) => Similarity.sKnnClassify(s, d)),
+    // Simpson lexical concentration (exact-rational diversity index)
+    "t_simpson_diversity" -> (TextAnalysis.tSimpsonDiversity _),
+    // tombstone-DELETE path through the real streaming engine
+    // (mid-stream restart + compaction); same oracle as the batch twin
+    "k_stream_tombstone" -> ((s, d) =>
+      graft.streaming.StreamingEventLog.kStreamTombstone(s, d)),
     // behavior-flow transition matrix (from -> to counts + P)
     "g_event_transitions" -> (EventQueries.gEventTransitions _),
     "t_split_assign"    -> (TextAnalysis.tSplitAssign _),
@@ -914,10 +928,108 @@ object SparkEntry {
       "t_stream_sample_priority" -> m("t_sample_priority"),
       "t_stream_weighted_percentiles" -> m("t_weighted_percentiles"),
       "w_stream_funnel" -> m("w_funnel_steps"),
-      "t_stream_pareto" -> m("t_pareto_frontier"))
+      "t_stream_pareto" -> m("t_pareto_frontier"),
+      // round 12: star-contraction CC computes the same component
+      // labels as the pointer-doubling impl; the streaming tombstone
+      // path must equal the batch sink scenario's alive set
+      "d_cc_stars" -> m("d_dup_groups"),
+      "k_stream_tombstone" -> m("k_tombstone_delete"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
+    // RFM segmentation: user-grain purchase aggregates, value-based
+    // nearest-rank quartile boundaries (the deciles discipline), then
+    // the (r, f, m) segment census
+    "w_rfm" ->
+      """WITH p AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS n_purchases,
+        |    SUM(CAST(value AS DECIMAL(28, 2))) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |u AS (SELECT user_id, n_purchases, monetary,
+        |    ((SELECT max(last_us) FROM p) - last_us) // 86400000000
+        |      AS recency_days
+        |  FROM p),
+        |rh AS (SELECT recency_days AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM u GROUP BY 1),
+        |rc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+        |    SUM(c) OVER () AS n FROM rh),
+        |rb AS (SELECT q.p, MIN(v) AS b FROM rc,
+        |    (VALUES (0.25), (0.5), (0.75)) q(p)
+        |  WHERE cum >= CEIL(q.p * n) GROUP BY q.p),
+        |fh AS (SELECT n_purchases AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM u GROUP BY 1),
+        |fc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+        |    SUM(c) OVER () AS n FROM fh),
+        |fb AS (SELECT q.p, MIN(v) AS b FROM fc,
+        |    (VALUES (0.25), (0.5), (0.75)) q(p)
+        |  WHERE cum >= CEIL(q.p * n) GROUP BY q.p),
+        |mh AS (SELECT monetary AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM u GROUP BY 1),
+        |mc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+        |    SUM(c) OVER () AS n FROM mh),
+        |mb AS (SELECT q.p, MIN(v) AS b FROM mc,
+        |    (VALUES (0.25), (0.5), (0.75)) q(p)
+        |  WHERE cum >= CEIL(q.p * n) GROUP BY q.p),
+        |s AS (SELECT monetary,
+        |    1 + (SELECT count(*) FROM rb WHERE rb.b < u.recency_days)
+        |      AS r_score,
+        |    1 + (SELECT count(*) FROM fb WHERE fb.b < u.n_purchases)
+        |      AS f_score,
+        |    1 + (SELECT count(*) FROM mb WHERE mb.b < u.monetary)
+        |      AS m_score
+        |  FROM u)
+        |SELECT CAST(r_score AS BIGINT) AS r_score,
+        |  CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(monetary) AS DOUBLE) AS sum_monetary
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // Simpson lexical concentration: exact integer unigram counts,
+    // ONE division; single-token docs are NULL in both engines
+    "t_simpson_diversity" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(c * (c - 1)) AS BIGINT) AS rep_pairs
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct, rep_pairs,
+        |  CASE WHEN n_tokens > 1 THEN CAST(rep_pairs AS DOUBLE) /
+        |    CAST(n_tokens * (n_tokens - 1) AS DOUBLE) END
+        |    AS simpson_concentration
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // k-NN classification eval: 64 probes, 5 neighbors, every ranking
+    // tie pinned (cosine DESC, neighbor id; votes DESC, label ASC)
+    "s_knn_classify" ->
+      """WITH n AS (SELECT vec_id, label, emb,
+        |    sqrt(list_sum(list_transform(list_zip(emb, emb),
+        |      x -> x[1] * x[2]))) AS nrm
+        |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |        FROM embeddings) e),
+        |p AS (SELECT q.vec_id AS probe_id, q.label AS true_label,
+        |    x.vec_id AS nid, x.label AS vote_label,
+        |    list_sum(list_transform(list_zip(q.emb, x.emb),
+        |      x2 -> x2[1] * x2[2])) / (q.nrm * x.nrm) AS cosine
+        |  FROM n q JOIN n x ON q.vec_id < 64 AND x.vec_id != q.vec_id),
+        |r AS (SELECT probe_id, true_label, vote_label,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY cosine DESC, nid) AS rk FROM p),
+        |v AS (SELECT probe_id, true_label, vote_label,
+        |    CAST(count(*) AS BIGINT) AS n_votes
+        |  FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+        |pr AS (SELECT probe_id, true_label, vote_label,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY n_votes DESC, vote_label) AS vr FROM v)
+        |SELECT CAST(true_label AS BIGINT) AS label,
+        |  CAST(count(*) AS BIGINT) AS n_probes,
+        |  CAST(SUM(CASE WHEN vote_label = true_label THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  CAST(SUM(CASE WHEN vote_label = true_label THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+        |FROM pr WHERE vr = 1 GROUP BY 1 ORDER BY label""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,

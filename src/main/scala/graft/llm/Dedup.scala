@@ -441,6 +441,124 @@ object Dedup {
     minLabelComponents(pairs).orderBy(col("doc_id"))
   }
 
+  /** Near-duplicate groups by ALTERNATING STAR CONTRACTION — the
+    * second published distributed-CC algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) over the
+    * SAME verified near-dup pair graph as [[dDupGroups]], converging to
+    * the SAME min-label-per-component answer — so the two
+    * implementations share one DuckDB oracle, and each is an
+    * independent witness against the other's convergence logic.
+    *
+    * Where [[minLabelComponents]] carries a per-vertex LABEL relation
+    * and doubles pointer distance, star contraction rewrites the EDGE
+    * relation itself: large-star hangs every neighbor larger than u
+    * under u's minimum neighbor; small-star re-hangs the smaller
+    * neighbors; alternating the two provably converges in O(log² n)
+    * rounds (O(log n) in practice) to a star forest whose centers are
+    * the component minima. Each half-round is ONE groupBy-u shuffle +
+    * a re-join — same per-round cost class as the label loop, but
+    * state is edges (the near-dup fraction), never a corpus-wide
+    * vertex table, which is the better shape when components are tiny
+    * and most vertices are isolated (the 100 TB dedup regime).
+    * Convergence detection rides the round's own action via
+    * [[org.apache.spark.sql.Observation]]: the canonical edge set's
+    * (count, DECIMAL(38,0) checksum) pair is a fixed point exactly
+    * when both operators are identities — one extra confirming round,
+    * no separate count() job (the minLabelComponents discipline). */
+  def dCcStars(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val (verified, cached) = lshVerifiedPairsTracked(
+      documents(spark, dir).fanout(col("doc_id")),
+      "token_shingle_hashes(text, 3)", threshold)
+    val pairs = verified.select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    cached.foreach(_.unpersist())
+    starComponents(pairs).orderBy(col("doc_id"))
+  }
+
+  /** Large-star: for every vertex u (seen from BOTH endpoints via the
+    * symmetrized edge list), m = min(N(u) ∪ {u}); emit (v, m) for each
+    * neighbor v > u. Strictly-larger vertices re-hang under the local
+    * minimum; edges between smaller vertices survive via the other
+    * endpoint's view. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val m = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .withColumn("m", least(col("mn"), col("src")))
+      .select(col("src"), col("m"))
+    sym.join(m, Seq("src"))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: orient every edge (u ← v) with v < u; per u,
+    * m = min(N⁻(u)); re-hang u and all of N⁻(u) \ {m} under m. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+        greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val m = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+    oriented.join(m, Seq("u"))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .unionByName(m.select(col("u").as("src"), col("m").as("dst")))
+      .distinct()
+  }
+
+  /** The alternation loop + final labeling. Emits (doc_id, group_id)
+    * for every vertex of the ORIGINAL pair graph, group_id = component
+    * minimum (roots label themselves) — [[dDupGroups]]' exact schema
+    * and semantics. */
+  private[graft] def starComponents(pairs: DataFrame): DataFrame = {
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .localCheckpoint()
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("src"),
+        least(col("doc_a"), col("doc_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var prev: Option[(Long, java.math.BigDecimal)] = None
+    var converged = false
+    while (!converged) {
+      val obs = org.apache.spark.sql.Observation()
+      val next = smallStar(largeStar(edges))
+        .observe(obs,
+          count(lit(1)).as("n_edges"),
+          // canonical-edge checksum, exact in 128-bit decimal — int64
+          // would wrap silently (the minLabelComponents discipline)
+          sum((col("src").cast("decimal(38,0)") * lit(1000003) +
+            col("dst").cast("decimal(38,0)"))).as("edge_sum"))
+        .localCheckpoint()
+      val n = obs.get("n_edges").asInstanceOf[Long]
+      val s = obs.get("edge_sum").asInstanceOf[java.math.BigDecimal]
+      require(s != null || n == 0L,
+        "starComponents: edge checksum overflowed decimal(38,0)")
+      converged = prev.exists { case (pn, ps) =>
+        pn == n && ((ps == null && s == null) ||
+          (ps != null && s != null && ps.compareTo(s) == 0))
+      }
+      prev = Some((n, s))
+      edges = next
+    }
+    // fixed point = star forest: src is a child, dst its component min
+    nodes.join(
+        edges.select(col("src").as("doc_id"), col("dst").as("parent")),
+        Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(min(col("parent")).as("parent"))
+      .withColumn("group_id", coalesce(col("parent"), col("doc_id")))
+      .select(col("doc_id"), col("group_id"))
+  }
+
   /** k-hop WALK COUNTS over the near-dup graph — the iterative numeric
     * graph analytic ([[dDupGroups]] is the iterative LABEL analytic):
     * for every vertex, the number of walks of length 1, 2, and 3

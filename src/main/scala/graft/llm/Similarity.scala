@@ -769,4 +769,56 @@ object Similarity {
     out.toSeq.toDF("rank", "vec_id", "rel", "max_sim", "mmr_score")
       .orderBy(col("rank"))
   }
+
+  /** k-NN CLASSIFICATION EVAL — the label-propagation quality check a
+    * curation pipeline runs on its embedding space: classify a fixed
+    * probe set (vec_id < nProbes) by majority vote of each probe's k
+    * nearest neighbors (cosine, probe excluded), and report the
+    * per-label confusion census: probe count, correct count, accuracy.
+    * A space whose k-NN accuracy is high supports cluster-based
+    * curation (SemDeDup, IVF routing); a label with low accuracy marks
+    * a region where near-duplicate pruning would cut across concepts.
+    *
+    * Every ranking tie is pinned (cosine DESC then neighbor id; vote
+    * count DESC then label ASC), so prediction is deterministic and
+    * the oracle replays it exactly; accuracy is ONE division of two
+    * exactly-derived longs.
+    *
+    * Scale shape: the probe set is FIXED-size (a broadcast query
+    * relation, the [[sCosineTopk]] discipline) against the full corpus
+    * — one corpus scan, nProbes·k window state, then label-bounded
+    * aggregation. Evaluating a corpus-sized probe set would instead go
+    * through the IVF/LSH candidate path ([[sAnnIvf]]); this is the
+    * exact eval harness those are judged against. */
+  def sKnnClassify(spark: SparkSession, dir: String, k: Int = 5,
+      nProbes: Int = 64): DataFrame = {
+    val e = withNorm(embeddings(spark, dir))
+      .select(col("vec_id"), col("label"), col("emb"), col("nrm"))
+    val q = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
+        col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = broadcast(q).crossJoin(e)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        dot("q_emb", "emb") / (col("q_nrm") * col("nrm")))
+    val wNn = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val votes = scored
+      .withColumn("rk", row_number().over(wNn))
+      .filter(col("rk") <= k)
+      .groupBy(col("probe_id"), col("true_label"),
+        col("label").as("vote_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote = Window.partitionBy(col("probe_id"))
+      .orderBy(col("n_votes").desc, col("vote_label"))
+    votes.withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .groupBy(col("true_label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("vote_label") === col("true_label"), lit(1L))
+          .otherwise(lit(0L))).as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n_probes").cast("double"))
+      .orderBy(col("label"))
+  }
 }

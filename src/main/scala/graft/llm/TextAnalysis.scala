@@ -381,6 +381,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** SIMPSON LEXICAL CONCENTRATION per document — the collision
+    * probability of the unigram distribution: the chance two tokens
+    * drawn WITHOUT replacement are the same type,
+    * Σ c·(c−1) / (n·(n−1)). It is the exact-rational diversity index
+    * (1 − concentration = Gini–Simpson diversity): [[tRepetition]]'s
+    * top-bigram fraction sees only the single heaviest n-gram, while
+    * Simpson weighs the WHOLE distribution — a doc that rotates three
+    * spam phrases scores high here and low there. Entropy would need a
+    * log (not correctly rounded across engines); Simpson is integer
+    * arithmetic plus ONE division of exactly-derived longs, so the gate
+    * hash-compares it bit-for-bit.
+    *
+    * Scale shape: explode → hash-partitioned (doc, token) count with
+    * map-side combine → per-doc Σ c·(c−1) — two narrow aggregations,
+    * no window, no broadcast; single-token docs report NULL (the
+    * index is undefined at n=1), spelled identically in the oracle. */
+  def tSimpsonDiversity(spark: SparkSession, dir: String): DataFrame = {
+    documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * (col("c") - 1)).as("rep_pairs"))
+      .withColumn("simpson_concentration",
+        when(col("n_tokens") > 1,
+          col("rep_pairs").cast("double") /
+            (col("n_tokens") * (col("n_tokens") - 1)).cast("double")))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("rep_pairs"), col("simpson_concentration"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Top-k salient terms per document by TF-IDF. The IDF is the plain
     * corpus-size-over-document-frequency RATIO (unsmoothed linear idf),
     * not log-idf: division is IEEE-exact in both engines, whereas ln is

@@ -1382,4 +1382,70 @@ object EventQueries {
         col("from_total"), col("p_step"))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** RFM SEGMENTATION — the classic customer-value grid: per purchasing
+    * user, Recency (days since last purchase, relative to the corpus's
+    * latest purchase), Frequency (purchase count) and Monetary (exact
+    * DECIMAL(28,2) revenue), each scored into quartiles, then the
+    * (r, f, m) segment census. Scores are VALUE-BASED, not NTILE: a
+    * score is 1 + #(quartile boundaries strictly below the value),
+    * boundaries being the nearest-rank p ∈ {.25, .5, .75} values — the
+    * [[wValueDeciles]] discipline, so ties always land in the same
+    * bucket in any engine and the oracle replays it exactly. All three
+    * metrics are ascending (r_score 1 = most recent quartile, f/m_score
+    * 1 = lowest-activity quartile).
+    *
+    * Scale shape: one purchase-filtered groupBy(user) aggregation, then
+    * all quartile machinery runs on the USER-grain relation: each
+    * boundary set is a cumulative window over the metric's DISTINCT
+    * values (grid-bounded), shipped back as one broadcast 3-element
+    * array; the final census is a (4³)-bounded aggregation. The corpus
+    * max-timestamp rides in as a scalar-total broadcast join. */
+  def wRfm(spark: SparkSession, dir: String): DataFrame = {
+    val p = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts DIV 1000L").as("ts_us"),
+        col("value"))
+    val users = QueryCaches.persistTracked(
+      p.groupBy(col("user_id"))
+        .agg(max(col("ts_us")).as("last_us"),
+          count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(28,2)")).as("monetary"))
+        .crossJoin(broadcast(p.agg(max(col("ts_us")).as("max_us"))))
+        .withColumn("recency_days",
+          expr("(max_us - last_us) DIV 86400000000L")))
+    // nearest-rank quartile boundaries of one user-grain metric, as a
+    // single sorted 3-element array row (broadcast back to the users)
+    def bounds(metric: String): DataFrame = {
+      val hist = users.groupBy(col(metric).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("cum", sum(col("c")).over(w))
+        .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+        .withColumn("p",
+          explode(array(lit(0.25), lit(0.5), lit(0.75))))
+        .filter(col("cum") >=
+          ceil(col("p") * col("n").cast("double")).cast("long"))
+        .groupBy(col("p")).agg(min(col("v")).as("b"))
+        .agg(sort_array(collect_list(col("b"))).as(s"${metric}_bs"))
+    }
+    val scored = users
+      .crossJoin(broadcast(bounds("recency_days")))
+      .crossJoin(broadcast(bounds("n_purchases")))
+      .crossJoin(broadcast(bounds("monetary")))
+      .withColumn("r_score", (lit(1) +
+        size(expr("filter(recency_days_bs, x -> x < recency_days)")))
+        .cast("long"))
+      .withColumn("f_score", (lit(1) +
+        size(expr("filter(n_purchases_bs, x -> x < n_purchases)")))
+        .cast("long"))
+      .withColumn("m_score", (lit(1) +
+        size(expr("filter(monetary_bs, x -> x < monetary)")))
+        .cast("long"))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary")).cast("double").as("sum_monetary"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
 }

@@ -170,4 +170,107 @@ object StreamingEventLog {
   private def readLog(spark: SparkSession, warehouse: String): DataFrame =
     ParquetSink.readFinal(
       spark.read.parquet(s"$warehouse/events_log"), Seq("doc_id"))
+
+  // ---------------- streaming tombstone deletes ----------------------
+
+  /** Feed rows for the tombstone scenario: the batch builder's four
+    * waves (load / delete / REPLAYED delete / resurrect —
+    * [[EventQueries.kTombstoneDelete]]) serialized as one ordered feed.
+    * `doc_id` (the feed's chunk/order key) encodes (wave, event_id) so
+    * chunk boundaries never reorder waves; `seq` is each row's WAVE
+    * version — the ReplacingMergeTree `ver` the sink must preserve
+    * regardless of how micro-batches slice the feed. */
+  private val tombstoneFeedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("block_height", LongType),
+    StructField("is_deleted", LongType),
+    StructField("seq", LongType)))
+
+  private def tombstoneWaves(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .withColumn("block_height", pmod(col("event_id"), lit(100)))
+    def wave(df: DataFrame, waveIdx: Long, seq: Long,
+        deleted: Long): DataFrame =
+      df.withColumn("is_deleted", lit(deleted))
+        .withColumn("seq", lit(seq))
+        .withColumn("doc_id",
+          lit(waveIdx * 1000000000L) + col("event_id"))
+    val deletes = e.filter(pmod(col("event_id"), lit(7)) === 0)
+    val resurrect = e.filter(pmod(col("event_id"), lit(21)) === 0)
+    wave(e, 0, 1, 0)
+      .unionByName(wave(deletes, 1, 2, 1))
+      .unionByName(wave(deletes, 2, 2, 1)) // at-least-once redelivery
+      .unionByName(wave(resurrect, 3, 3, 0))
+      .select(tombstoneFeedSchema.fieldNames.map(col): _*)
+  }
+
+  /** PK-FINAL sink stream for the tombstone feed: each micro-batch is
+    * split by the rows' WAVE seq (≤ 4 distinct values by construction
+    * — a bounded collect) and appended per wave, so version semantics
+    * are independent of micro-batch slicing; a replayed wave re-inserts
+    * under its original seq and FINAL's deterministic tie-break absorbs
+    * it. */
+  def runTombstoneStream(spark: SparkSession, feedDir: String,
+      warehouse: String): Unit = {
+    val sinkPath = s"$warehouse/tomb"
+    val query = StreamingDedup.readDocStream(spark, feedDir,
+        tombstoneFeedSchema)
+      .writeStream
+      .option("checkpointLocation", s"$warehouse/_tomb_checkpoint")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val batch = b.localCheckpoint()
+        if (!batch.isEmpty) {
+          val seqs = batch.select(col("seq")).distinct()
+            .collect().map(_.getLong(0)).sorted
+          seqs.foreach { s =>
+            ParquetSink.writeBatch(
+              batch.filter(col("seq") === s)
+                .select(col("event_id"), col("user_id"),
+                  col("event_type"), col("value"), col("block_height"),
+                  col("is_deleted")),
+              sinkPath, s, Seq("event_id"))
+          }
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** Declared query (`k_stream_tombstone`) — the tombstone-DELETE path
+    * through the REAL streaming engine, same oracle as the batch
+    * [[EventQueries.kTombstoneDelete]]: checkpointed file stream over
+    * the four waves, a STOP after 7/8 chunks (past the delete waves,
+    * so tombstones exist at the pause), a compaction the tombstones
+    * must survive, then the full feed against the same checkpoint (the
+    * mid-stream restart). The final read hides flagged keys and must
+    * equal the closed-form alive set. */
+  def kStreamTombstone(spark: SparkSession, dir: String,
+      nChunks: Int = 8): DataFrame = {
+    import graft.validate.Validation.h60
+    import graft.Tables.dsum
+    graft.Tables.tune(spark)
+    val feed = StreamingDedup.freshDir("tomb_feed")
+    val warehouse = StreamingDedup.freshDir("tomb_wh")
+    val waves = tombstoneWaves(spark, dir)
+    StreamingDedup.writeDocChunks(spark, waves, feed, nChunks,
+      takeChunks = nChunks - 1, schema = tombstoneFeedSchema)
+    runTombstoneStream(spark, feed, warehouse)
+    ParquetSink.compact(spark, s"$warehouse/tomb", Seq("event_id"))
+    StreamingDedup.writeDocChunks(spark, waves, feed, nChunks,
+      schema = tombstoneFeedSchema)
+    runTombstoneStream(spark, feed, warehouse)
+    ParquetSink.readFinalWithDeletes(
+      spark.read.parquet(s"$warehouse/tomb"), Seq("event_id"))
+      .agg(
+        count(lit(1)).as("n_alive"),
+        bit_xor(h60(col("event_id").cast("string"))).as("alive_fp"),
+        dsum(col("value"), 2).as("sum_value"))
+  }
 }

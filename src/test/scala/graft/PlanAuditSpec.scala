@@ -72,7 +72,15 @@ class PlanAuditSpec extends AnyFunSuite {
     "v_approx_quantiles" ->
       ((2, Set("target_rn", "a"))), // 3-row probe sets off a 1-row agg
     "g_event_transitions" ->
-      ((1, Set("from_total"))) // per-from-type totals: event-type-bounded
+      ((1, Set("from_total"))), // per-from-type totals: event-type-bounded
+    "s_knn_classify" ->
+      ((1, Set("probe_id"))), // fixed 64-probe query set by contract
+    // RFM: a 1-row max-ts scalar (subtree repeats under each of the 3
+    // boundary computations in the analyzed plan), 3× the 1-row
+    // histogram-total scalar, and 3× a 1-row 3-element boundary array
+    "w_rfm" ->
+      ((13, Set("max_us", "n", "recency_days_bs", "n_purchases_bs",
+        "monetary_bs")))
   )
 
   private def hints(df: DataFrame): Seq[ResolvedHint] =
@@ -373,7 +381,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "k_format_roundtrip",
     // builder runs the full delete/replay/compact/resurrect sink
     // scenario into a fresh tmpdir (ADVICE r11)
-    "k_tombstone_delete",
+    "k_tombstone_delete", "k_stream_tombstone",
     "t_stream_sample_priority", "t_stream_weighted_percentiles",
     "w_stream_funnel", "t_stream_pareto")
 
