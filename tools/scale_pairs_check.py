@@ -284,6 +284,18 @@ def main():
                                 ["doc_id", "group_id"])
         ok &= check("d_dup_groups@" + sfdir + " (full union-find replay)",
                     got_groups, want_groups)
+        # d_cc_stars computes the SAME labels by star contraction —
+        # the same replay verifies it (and transitively its agreement
+        # with d_dup_groups) at any sf
+        if have("d_cc_stars"):
+            got_stars = spark_rows(outdir, "d_cc_stars",
+                                   ["doc_id", "group_id"])
+            ok &= check("d_cc_stars@" + sfdir +
+                        " (full union-find replay)",
+                        got_stars, want_groups)
+    if have("d_cc_stars") and (mh is None or not have("d_dup_groups")):
+        print("SKIP d_cc_stars (needs the d_minhash_pairs + "
+              "d_dup_groups dumps)")
 
     # ---- d_cluster_rep: FULL keeper-policy replay over the groups ----
     if have("d_cluster_rep") and not have("d_dup_groups"):
