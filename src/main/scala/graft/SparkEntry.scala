@@ -37,7 +37,8 @@ object SparkEntry {
       name == "t_stream_sample_priority" ||
       name == "t_stream_weighted_percentiles" ||
       name == "w_stream_funnel" ||
-      name == "t_stream_pareto" || name == "k_stream_tombstone"
+      name == "t_stream_pareto" || name == "k_stream_tombstone" ||
+      name == "w_stream_rfm"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -233,6 +234,11 @@ object SparkEntry {
     // (mid-stream restart + compaction); same oracle as the batch twin
     "k_stream_tombstone" -> ((s, d) =>
       graft.streaming.StreamingEventLog.kStreamTombstone(s, d)),
+    // recall@k of the IVF index vs the brute-force baseline, in-gate
+    "s_ann_recall"       -> ((s, d) => Similarity.sAnnRecall(s, d)),
+    // streaming twin: RFM from the append-only purchase log at read
+    "w_stream_rfm"       -> ((s, d) =>
+      graft.streaming.StreamingEventLog.wStreamRfm(s, d)),
     // behavior-flow transition matrix (from -> to counts + P)
     "g_event_transitions" -> (EventQueries.gEventTransitions _),
     "t_split_assign"    -> (TextAnalysis.tSplitAssign _),
@@ -757,6 +763,26 @@ object SparkEntry {
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
       |  FROM s3) WHERE rk = 1),""".stripMargin
 
+  /** The IVF probe/search tail of the k-means replay — shared by
+    * `s_ann_kmeans` and the recall report `s_ann_recall` so the two
+    * replays cannot drift. */
+  private val kmeansSearchCtes: String =
+    """aq AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
+      |  FROM s3) WHERE rk <= 2),
+      |ax AS (SELECT n.vec_id, n.emb, n.nrm, a3.cell
+      |  FROM n JOIN a3 USING (vec_id)),
+      |qx AS (SELECT n.vec_id, n.emb, n.nrm, aq.cell
+      |  FROM n JOIN aq USING (vec_id) WHERE n.vec_id < 20),
+      |p AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+      |    list_sum(list_transform(list_zip(q.emb, t.emb), x2 -> x2[1] * x2[2]))
+      |      / (q.nrm * t.nrm) AS cosine
+      |  FROM qx q JOIN ax t ON t.cell = q.cell
+      |    AND t.vec_id != q.vec_id),
+      |r AS (SELECT query_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id) AS rk FROM p)""".stripMargin
+
   /** Retention cohort-matrix oracle — shared by `g_retention_cohorts`
     * and its streaming activity-MV twin `g_stream_retention`. */
   private val retentionSql: String =
@@ -933,7 +959,8 @@ object SparkEntry {
       // labels as the pointer-doubling impl; the streaming tombstone
       // path must equal the batch sink scenario's alive set
       "d_cc_stars" -> m("d_dup_groups"),
-      "k_stream_tombstone" -> m("k_tombstone_delete"))
+      "k_stream_tombstone" -> m("k_tombstone_delete"),
+      "w_stream_rfm" -> m("w_rfm"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -2850,24 +2877,29 @@ object SparkEntry {
     // rk <= 2) — same ranking, wider probe (VERDICT r8 #6).
     // Integer update sums are order-independent -> bit-identical to
     // Spark regardless of partitioning.
-    "s_ann_kmeans" -> (kmeansAssignCte + "\n" +
-      """aq AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
-        |  FROM s3) WHERE rk <= 2),
-        |ax AS (SELECT n.vec_id, n.emb, n.nrm, a3.cell
-        |  FROM n JOIN a3 USING (vec_id)),
-        |qx AS (SELECT n.vec_id, n.emb, n.nrm, aq.cell
-        |  FROM n JOIN aq USING (vec_id) WHERE n.vec_id < 20),
-        |p AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
-        |    list_sum(list_transform(list_zip(q.emb, t.emb), x2 -> x2[1] * x2[2]))
-        |      / (q.nrm * t.nrm) AS cosine
-        |  FROM qx q JOIN ax t ON t.cell = q.cell
-        |    AND t.vec_id != q.vec_id),
-        |r AS (SELECT query_id, neighbor_id, cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
-        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cosine
+    "s_ann_kmeans" -> (kmeansAssignCte + "\n" + kmeansSearchCtes + "\n" +
+      """SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cosine
         |FROM r WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin),
+    // recall@k contract of the IVF index, hash-checked: the SAME
+    // k-means search replay vs the SAME brute-force replay, composed
+    "s_ann_recall" -> (kmeansAssignCte + "\n" + kmeansSearchCtes + ",\n" +
+      """ann AS (SELECT query_id, neighbor_id FROM r WHERE rk <= 3),
+        |bp AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.emb, x.emb), x2 -> x2[1] * x2[2]))
+        |      / (q.nrm * x.nrm) AS cosine
+        |  FROM n q JOIN n x ON q.vec_id < 20 AND x.vec_id != q.vec_id),
+        |br AS (SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rk FROM bp),
+        |brute AS (SELECT query_id, neighbor_id FROM br WHERE rk <= 3)
+        |SELECT b.query_id AS query_id, CAST(3 AS BIGINT) AS k,
+        |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / 3.0 AS recall
+        |FROM brute b LEFT JOIN ann a
+        |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+        |GROUP BY b.query_id ORDER BY query_id""".stripMargin),
     // SemDeDup replayed exactly: the SAME k-means replay (shared CTE —
     // the two oracles cannot drift), then pairs WITHIN the final `a3`
     // clusters only, dropping every vector with a smaller-id

@@ -770,6 +770,34 @@ object Similarity {
       .orderBy(col("rank"))
   }
 
+  /** ANN RECALL REPORT — the recall@k contract of the trained-k-means
+    * IVF index ([[sAnnKmeans]]), measured IN the gate rather than only
+    * by the offline tool (`tools/AnnRecall` remains the big-SF
+    * instrument): per probe, how many of the brute-force top-k
+    * ([[sCosineTopk]], the exact baseline) the index returned. Both
+    * sides are the already-oracled queries, so the oracle is their two
+    * replays composed — the recall number itself is cross-engine
+    * hash-checked, not just asserted ≥ a floor.
+    *
+    * Scale shape: both inputs are bounded probe-set queries (one
+    * corpus scan each); the recall join is (probes × k)-sized. recall
+    * = ONE division of exactly-derived longs. */
+  def sAnnRecall(spark: SparkSession, dir: String, k: Int = 3,
+      nQueries: Int = 20): DataFrame = {
+    val ann = sAnnKmeans(spark, dir, k = k, nQueries = nQueries)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val brute = sCosineTopk(spark, dir, k = k, nQueries = nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    brute.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("recall",
+        col("n_hit").cast("double") / lit(k.toDouble))
+      .select(col("query_id"), col("k"), col("n_hit"), col("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** k-NN CLASSIFICATION EVAL — the label-propagation quality check a
     * curation pipeline runs on its embedding space: classify a fixed
     * probe set (vec_id < nProbes) by majority vote of each probe's k

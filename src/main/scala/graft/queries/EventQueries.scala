@@ -1401,11 +1401,18 @@ object EventQueries {
     * values (grid-bounded), shipped back as one broadcast 3-element
     * array; the final census is a (4³)-bounded aggregation. The corpus
     * max-timestamp rides in as a scalar-total broadcast join. */
-  def wRfm(spark: SparkSession, dir: String): DataFrame = {
-    val p = events(spark, dir)
+  def wRfm(spark: SparkSession, dir: String): DataFrame =
+    rfmFromPurchases(events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), expr("ts DIV 1000L").as("ts_us"),
-        col("value"))
+        col("value")))
+
+  /** [[wRfm]] from any (user_id, ts_us, value) purchase relation — the
+    * shared read the streaming twin answers through (quartile scores
+    * are NOT additive: one late purchase can move every boundary, so
+    * the stream maintains only the append-only purchase log and this
+    * derivation runs at read — the SCD2/funnel twin contract). */
+  def rfmFromPurchases(p: DataFrame): DataFrame = {
     val users = QueryCaches.persistTracked(
       p.groupBy(col("user_id"))
         .agg(max(col("ts_us")).as("last_us"),

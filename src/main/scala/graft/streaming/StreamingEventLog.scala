@@ -171,6 +171,23 @@ object StreamingEventLog {
     ParquetSink.readFinal(
       spark.read.parquet(s"$warehouse/events_log"), Seq("doc_id"))
 
+  /** Declared query (`w_stream_rfm`) — equals the batch
+    * [[EventQueries.wRfm]] and shares its oracle. Quartile scores are
+    * non-additive (a late purchase moves boundaries), but they derive
+    * from the append-only purchase log — the same PK-FINAL facts MV as
+    * the SCD2/coverage/funnel twins, answered through the SHARED
+    * [[EventQueries.rfmFromPurchases]] at read. */
+  def wStreamRfm(spark: SparkSession, dir: String,
+      nChunks: Int = 5): DataFrame = {
+    val warehouse = streamTwice(spark, dir, "rfm", runLogStream,
+      (s, wh) => ParquetSink.compact(s, s"$wh/events_log", Seq("doc_id")),
+      nChunks)
+    EventQueries.rfmFromPurchases(readLog(spark, warehouse)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts DIV 1000L").as("ts_us"),
+        col("value")))
+  }
+
   // ---------------- streaming tombstone deletes ----------------------
 
   /** Feed rows for the tombstone scenario: the batch builder's four

@@ -75,6 +75,9 @@ class PlanAuditSpec extends AnyFunSuite {
       ((1, Set("from_total"))), // per-from-type totals: event-type-bounded
     "s_knn_classify" ->
       ((1, Set("probe_id"))), // fixed 64-probe query set by contract
+    // recall report composes the kmeans-IVF and brute-force top-k
+    // queries — one bounded query-set broadcast from each side
+    "s_ann_recall" -> ((2, Set("query_id"))),
     // RFM: a 1-row max-ts scalar (subtree repeats under each of the 3
     // boundary computations in the analyzed plan), 3× the 1-row
     // histogram-total scalar, and 3× a 1-row 3-element boundary array
@@ -381,7 +384,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "k_format_roundtrip",
     // builder runs the full delete/replay/compact/resurrect sink
     // scenario into a fresh tmpdir (ADVICE r11)
-    "k_tombstone_delete", "k_stream_tombstone",
+    "k_tombstone_delete", "k_stream_tombstone", "w_stream_rfm",
     "t_stream_sample_priority", "t_stream_weighted_percentiles",
     "w_stream_funnel", "t_stream_pareto")
 

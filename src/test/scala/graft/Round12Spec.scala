@@ -179,6 +179,40 @@ class Round12Spec extends AnyFunSuite {
     assert(got.flatMap(_._5).forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  // ---------------- ANN recall report ---------------------------------
+
+  test("ANN recall report equals the set intersection of the index and " +
+      "brute-force outputs") {
+    val ann = Similarity.sAnnKmeans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = Similarity.sCosineTopk(spark, dir, k = 3, nQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val expected = brute.groupBy(_._1).map { case (q, ns) =>
+      val hit = ns.count(ann.contains).toLong
+      (q, 3L, hit, hit.toDouble / 3.0)
+    }.toSeq.sorted
+    val got = Similarity.sAnnRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === expected)
+    assert(got.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    // the report is non-degenerate: the index does find neighbors
+    assert(got.map(_._3).sum > 0)
+  }
+
+  // ---------------- streaming RFM twin --------------------------------
+
+  test("streaming RFM twin (PK-FINAL purchase log, mid-stream restart " +
+      "+ compaction) equals the batch segmentation") {
+    val streamed = graft.streaming.StreamingEventLog
+      .wStreamRfm(spark, dir)
+      .collect().map(_.toString).toSeq
+    val batch = EventQueries.wRfm(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   // ---------------- streaming tombstone twin -------------------------
 
   test("streaming tombstone twin (checkpointed mid-stream restart + " +
