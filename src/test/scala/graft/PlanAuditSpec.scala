@@ -78,12 +78,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // recall report composes the kmeans-IVF and brute-force top-k
     // queries — one bounded query-set broadcast from each side
     "s_ann_recall" -> ((2, Set("query_id"))),
-    // RFM: a 1-row max-ts scalar (subtree repeats under each of the 3
-    // boundary computations in the analyzed plan), 3× the 1-row
-    // histogram-total scalar, and 3× a 1-row 3-element boundary array
-    "w_rfm" ->
-      ((13, Set("max_us", "n", "recency_days_bs", "n_purchases_bs",
-        "monetary_bs")))
+    // RFM: the 1-row max-ts scalar off the cached user aggregates
+    // (subtree repeats in the analyzed plan) + the single 1-row
+    // boundary-map relation (metric -> 3-element array)
+    "w_rfm" -> ((13, Set("max_us", "bm")))
   )
 
   private def hints(df: DataFrame): Seq[ResolvedHint] =
