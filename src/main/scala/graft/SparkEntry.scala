@@ -236,6 +236,14 @@ object SparkEntry {
       graft.streaming.StreamingEventLog.kStreamTombstone(s, d)),
     // recall@k of the IVF index vs the brute-force baseline, in-gate
     "s_ann_recall"       -> ((s, d) => Similarity.sAnnRecall(s, d)),
+    // exact Jaccard histogram >= 0.70 with retained-pair curve — the
+    // threshold-calibration report (prefix-filtered: recall 1 at ANY t)
+    "d_threshold_calibration" -> ((s, d) =>
+      Dedup.dThresholdCalibration(s, d)),
+    // robust (median/MAD) daily-volume anomaly days — integer-exact
+    "w_anomaly_mad"      -> (EventQueries.wAnomalyMad _),
+    // multi-source BFS min-hop distances (<=3) from the seed set
+    "g_bfs_distance"     -> ((s, d) => EventQueries.gBfsDistance(s, d)),
     // streaming twin: RFM from the append-only purchase log at read
     "w_stream_rfm"       -> ((s, d) =>
       graft.streaming.StreamingEventLog.wStreamRfm(s, d)),
@@ -1028,6 +1036,76 @@ object SparkEntry {
         |    CAST(n_tokens * (n_tokens - 1) AS DOUBLE) END
         |    AS simpson_concentration
         |FROM d ORDER BY doc_id""".stripMargin,
+    // threshold calibration: exact all-pairs Jaccard >= 0.70 (the
+    // d_minhash_pairs shingle CTE), 0.05 bins, descending-cumulative
+    // retained-pair curve
+    "d_threshold_calibration" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ss
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents) x),
+        |p AS (
+        |  SELECT CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE)
+        |      AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |g AS (SELECT CAST(floor(jaccard * 20) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM p WHERE jaccard >= 0.7 GROUP BY 1)
+        |SELECT bin, n_pairs,
+        |  CAST(SUM(n_pairs) OVER (ORDER BY bin DESC) AS BIGINT)
+        |    AS n_at_or_above
+        |FROM g ORDER BY bin""".stripMargin,
+    // robust anomaly: nearest-rank median + MAD over integer daily
+    // counts, flag |count - median| > 3*MAD — no doubles anywhere
+    "w_anomaly_mad" ->
+      """WITH d AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS epoch_day,
+        |    CAST(count(*) AS BIGINT) AS day_count
+        |  FROM events GROUP BY 1, 2),
+        |h1 AS (SELECT event_type, day_count AS v,
+        |    CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+        |c1 AS (SELECT event_type, v,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n FROM h1),
+        |m1 AS (SELECT event_type, MIN(v) AS med_count FROM c1
+        |  WHERE cum >= CEIL(0.5 * n) GROUP BY 1),
+        |dev AS (SELECT d.event_type, d.epoch_day, d.day_count,
+        |    m1.med_count, abs(d.day_count - m1.med_count) AS abs_dev
+        |  FROM d JOIN m1 USING (event_type)),
+        |h2 AS (SELECT event_type, abs_dev AS v,
+        |    CAST(count(*) AS BIGINT) AS c FROM dev GROUP BY 1, 2),
+        |c2 AS (SELECT event_type, v,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n FROM h2),
+        |m2 AS (SELECT event_type, MIN(v) AS mad FROM c2
+        |  WHERE cum >= CEIL(0.5 * n) GROUP BY 1)
+        |SELECT dev.event_type, dev.epoch_day, dev.day_count,
+        |  dev.med_count, m2.mad, dev.day_count > dev.med_count AS is_high
+        |FROM dev JOIN m2 USING (event_type)
+        |WHERE dev.abs_dev > 3 * m2.mad
+        |ORDER BY dev.event_type, dev.epoch_day""".stripMargin,
+    // multi-source BFS: 3 unrolled neighbor expansions over the
+    // repeat-co-occurrence graph, min-union of the labeled layers
+    "g_bfs_distance" ->
+      s"""WITH $triangleCtes,
+        |de AS (SELECT u AS src, v AS dst FROM ed
+        |  UNION ALL SELECT v, u FROM ed),
+        |seeds AS (SELECT DISTINCT src AS n FROM de WHERE src % 10 = 0),
+        |r1 AS (SELECT DISTINCT de.dst AS n FROM de
+        |  WHERE de.src IN (SELECT n FROM seeds)),
+        |r2 AS (SELECT DISTINCT de.dst AS n FROM de
+        |  WHERE de.src IN (SELECT n FROM r1)),
+        |r3 AS (SELECT DISTINCT de.dst AS n FROM de
+        |  WHERE de.src IN (SELECT n FROM r2)),
+        |lab AS (SELECT n, 0 AS dist FROM seeds
+        |  UNION ALL SELECT n, 1 FROM r1
+        |  UNION ALL SELECT n, 2 FROM r2
+        |  UNION ALL SELECT n, 3 FROM r3)
+        |SELECT n AS user_id, CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM lab GROUP BY 1 ORDER BY user_id""".stripMargin,
     // k-NN classification eval: 64 probes, 5 neighbors, every ranking
     // tie pinned (cosine DESC, neighbor id; votes DESC, label ASC)
     "s_knn_classify" ->

@@ -232,7 +232,17 @@ object Dedup {
     * — the frequent-shingle hot buckets LSH banding can hit never
     * form. */
   def dPrefixPairs(spark: SparkSession, dir: String,
-                   threshold: Double = 0.8): DataFrame = {
+                   threshold: Double = 0.8): DataFrame =
+    prefixVerifiedPairs(spark, dir, threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The prefix-filtered exact pair join of [[dPrefixPairs]], unordered
+    * — shared with [[dThresholdCalibration]], which runs it at a LOWER
+    * floor (recall stays 1 at ANY threshold by the prefix theorem —
+    * the property that makes a threshold sweep trustworthy, where LSH
+    * banding recall would decay below its design point). */
+  private def prefixVerifiedPairs(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
     val docs = documents(spark, dir)
     val sets = QueryCaches.persistTracked(
       docs.select(col("doc_id"),
@@ -275,7 +285,34 @@ object Dedup {
           (size(col("gs_a")) + size(col("gs_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DEDUP THRESHOLD CALIBRATION — the report that answers "what does
+    * moving the near-dup threshold buy": the exact Jaccard histogram
+    * of all pairs ≥ 0.70 in 0.05-wide bins (`bin = floor(j·20)`, exact
+    * in both engines since j is the same IEEE division), with the
+    * descending-cumulative pair count retained at-or-above each bin —
+    * the curve a pipeline owner reads before picking 0.8. Built on the
+    * PREFIX-FILTERED exact join specifically because its recall is 1
+    * at ANY threshold by construction; a sweep over LSH candidates
+    * would silently undercount below the banding design point.
+    *
+    * Scale shape: identical to [[dPrefixPairs]] at t = 0.7 (prefix
+    * fraction grows to ~30% of each set — the honest cost of a lower
+    * floor), then a bin-grid-bounded aggregation; the cumulative
+    * window runs over ≤ 7 bins. */
+  def dThresholdCalibration(spark: SparkSession, dir: String,
+      tMin: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prefixVerifiedPairs(spark, dir, tMin)
+      .withColumn("bin", floor(col("jaccard") * 20).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_at_or_above", sum(col("n_pairs")).over(w))
+      .select(col("bin"), col("n_pairs"), col("n_at_or_above"))
+      .orderBy(col("bin"))
   }
 
   /** CONTAINMENT pairs — the DIRECTED sibling of the symmetric

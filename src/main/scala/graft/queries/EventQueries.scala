@@ -1383,6 +1383,92 @@ object EventQueries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** MULTI-SOURCE BFS DISTANCE — min hop count from a deterministic
+    * seed set (user_id ≡ 0 mod 10) over the repeat-co-occurrence graph,
+    * capped at 3 hops: the "blast radius" report graph curation runs
+    * before seeding label propagation or contamination spread from a
+    * flagged account set. The iterative LABEL analytic's third sibling:
+    * [[graft.llm.Dedup.dWalkCounts]] counts walks, this measures
+    * DISTANCE — per round, the frontier is every reached node, and
+    * min() resolves re-discoveries to the earliest hop, so the result
+    * is exact min-distance (a node found at hop 3 that was already at
+    * hop 1 keeps 1).
+    *
+    * Scale shape: maxHops unrolled sparse frontier expansions — each
+    * one hash equi-join edges ⋈ reached + a distinct + a min-combine;
+    * reached never exceeds the vertex set; all integers. The DuckDB
+    * oracle replays the same 3 unrolled neighbor CTEs and min-unions
+    * the labeled layers. */
+  def gBfsDistance(spark: SparkSession, dir: String,
+      maxHops: Int = 3): DataFrame = {
+    val edges = coEdges(spark, dir)
+    val directed = QueryCaches.persistTracked(
+      edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(edges.select(col("v").as("src"), col("u").as("dst"))))
+    var dist = QueryCaches.persistTracked(
+      directed.select(col("src").as("n")).distinct()
+        .filter(pmod(col("n"), lit(10)) === 0)
+        .withColumn("dist", lit(0L)))
+    (1 to maxHops).foreach { h =>
+      val next = directed
+        .join(dist.select(col("n").as("src")), Seq("src"))
+        .select(col("dst").as("n")).distinct()
+        .withColumn("dist", lit(h.toLong))
+      dist = QueryCaches.persistTracked(
+        dist.unionByName(next)
+          .groupBy(col("n")).agg(min(col("dist")).as("dist")))
+    }
+    dist.select(col("n").as("user_id"), col("dist"))
+      .orderBy(col("user_id"))
+  }
+
+  /** MAD ANOMALY detection — the ROBUST twin of [[wAnomalyZscore]]:
+    * days whose event count deviates from the type's MEDIAN by more
+    * than 3× the median absolute deviation. The z-score test's mean
+    * and variance are themselves dragged by the outliers it hunts; the
+    * median/MAD pair is outlier-resistant (breakdown point 50%) — the
+    * standard robust tripwire. ENTIRELY integer: both medians are
+    * nearest-rank (ceil(n/2)-th smallest) over integer day counts, the
+    * deviations are integer |count − median|, and the 3×MAD comparison
+    * is exact — no doubles anywhere, so cross-engine questions never
+    * arise.
+    *
+    * Scale shape: one hash-partitioned daily aggregation, then both
+    * median extractions run the histogram discipline over DISTINCT
+    * count values per type (value-grid-bounded windows), each joined
+    * back as a type-bounded broadcast. */
+  def wAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val daily = QueryCaches.persistTracked(
+      events(spark, dir)
+        .withColumn("epoch_day", expr(s"ts DIV ${NanosPerDay}L"))
+        .groupBy(col("event_type"), col("epoch_day"))
+        .agg(count(lit(1)).as("day_count")))
+    // nearest-rank median of an integer column per event type
+    def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val hist = df.groupBy(col("event_type"), col(valueCol).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n",
+          sum(col("c")).over(Window.partitionBy(col("event_type"))))
+        .filter(col("cum") >=
+          ceil(lit(0.5) * col("n").cast("double")).cast("long"))
+        .groupBy(col("event_type")).agg(min(col("v")).as(out))
+    }
+    val dev = QueryCaches.persistTracked(
+      daily.join(broadcast(medianOf(daily, "day_count", "med_count")),
+          Seq("event_type"))
+        .withColumn("abs_dev", abs(col("day_count") - col("med_count"))))
+    dev.join(broadcast(medianOf(dev, "abs_dev", "mad")),
+        Seq("event_type"))
+      .filter(col("abs_dev") > lit(3L) * col("mad"))
+      .withColumn("is_high", col("day_count") > col("med_count"))
+      .select(col("event_type"), col("epoch_day"), col("day_count"),
+        col("med_count"), col("mad"), col("is_high"))
+      .orderBy(col("event_type"), col("epoch_day"))
+  }
+
   /** RFM SEGMENTATION — the classic customer-value grid: per purchasing
     * user, Recency (days since last purchase, relative to the corpus's
     * latest purchase), Frequency (purchase count) and Monetary (exact

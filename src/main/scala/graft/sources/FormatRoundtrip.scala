@@ -43,11 +43,21 @@ object FormatRoundtrip {
     * three formats. `usGrain`=true (the gate shape) images ts at µs for
     * oracle comparability; the spec also runs ns-grain. */
   def fingerprints(spark: SparkSession, dir: String,
-      usGrain: Boolean): DataFrame = {
-    val base = events(spark, dir).select(cols.map(col): _*)
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_format_roundtrip")
-    graft.sink.ParquetSink.delete(root)
+      usGrain: Boolean): DataFrame =
+    fingerprintsOf(events(spark, dir).select(cols.map(col): _*), usGrain)
+
+  /** [[fingerprints]] over ANY events-shaped relation — the suite
+    * feeds a corpus with embedded newlines / quotes / backslashes in
+    * `props` through it to prove the multiLine + pinned-quote/escape
+    * read-back survives content the driver corpus happens not to
+    * contain (ADVICE r11). */
+  def fingerprintsOf(relation: DataFrame, usGrain: Boolean): DataFrame = {
+    val spark = relation.sparkSession
+    val base = relation
+    // fresh per-invocation tmpdir — the gate query and the suite's
+    // newline-corpus variant must not race a shared path
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_format_roundtrip_").toFile
     val csvPath = new java.io.File(root, "csv").getAbsolutePath
     val jsonPath = new java.io.File(root, "json").getAbsolutePath
     base.write.mode("overwrite").option("header", "true").csv(csvPath)

@@ -78,6 +78,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // recall report composes the kmeans-IVF and brute-force top-k
     // queries — one bounded query-set broadcast from each side
     "s_ann_recall" -> ((2, Set("query_id"))),
+    // robust anomaly: the two type-bounded median relations (the
+    // med_count subtree repeats in the analyzed plan under the MAD
+    // branch before the cache kicks in)
+    "w_anomaly_mad" -> ((3, Set("med_count", "mad"))),
     // RFM: the 1-row max-ts scalar off the cached user aggregates
     // (subtree repeats in the analyzed plan) + the single 1-row
     // boundary-map relation (metric -> 3-element array)

@@ -179,6 +179,111 @@ class Round12Spec extends AnyFunSuite {
     assert(got.flatMap(_._5).forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  // ---------------- threshold calibration -----------------------------
+
+  test("threshold calibration matches a local exact all-pairs model") {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.split("\\s+").toSeq.sliding(3)
+          .filter(_.size == 3).map(_.mkString(" ")).toSet))
+    val bins = scala.collection.mutable.Map.empty[Long, Long]
+    for (i <- docs.indices; j <- (i + 1) until docs.length) {
+      val (a, b) = (docs(i)._2, docs(j)._2)
+      val inter = (a & b).size
+      val j2 = inter.toDouble / (a.size + b.size - inter).toDouble
+      if (j2 >= 0.7) {
+        val bin = math.floor(j2 * 20).toLong
+        bins(bin) = bins.getOrElse(bin, 0L) + 1L
+      }
+    }
+    val sorted = bins.toSeq.sortBy(-_._1)
+    val cums = sorted.scanLeft(0L)(_ + _._2).tail
+    val expected = sorted.zip(cums)
+      .map { case ((bin, n), cum) => (bin, n, cum) }.sortBy(_._1)
+    val got = Dedup.dThresholdCalibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // the curve is a descending cumulative: retained counts decrease
+    // as the bin (threshold floor) rises
+    assert(got.sliding(2).forall {
+      case Seq(a, b) => a._3 >= b._3; case _ => true })
+  }
+
+  // ---------------- MAD anomaly ---------------------------------------
+
+  test("MAD anomaly days match a local robust-stats model") {
+    val daily = Tables.events(spark, dir)
+      .selectExpr("event_type", s"ts DIV ${86400L * 1000000000L} AS d")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, d), xs) => (t, d, xs.size.toLong) }
+      .toSeq
+    def median(vs: Seq[Long]): Long = {
+      val s = vs.sorted
+      s(math.ceil(0.5 * s.size).toInt - 1)
+    }
+    val expected = daily.groupBy(_._1).flatMap { case (t, rows) =>
+      val med = median(rows.map(_._3))
+      val devs = rows.map(r => (r._2, r._3, math.abs(r._3 - med)))
+      val mad = median(devs.map(_._3))
+      devs.filter(_._3 > 3 * mad).map { case (d, c, _) =>
+        (t, d, c, med, mad, c > med)
+      }
+    }.toSeq.sortBy(x => (x._1, x._2))
+    val got = EventQueries.wAnomalyMad(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got === expected)
+  }
+
+  // ---------------- multi-source BFS ----------------------------------
+
+  test("BFS distances match a local breadth-first model") {
+    import spark.implicits._
+    // a hand-built graph with known distances: seeds are multiples of 10
+    val edges = Seq((10L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), // chain: 4 is 4 hops
+      (20L, 21L), (21L, 22L), // short arm
+      (5L, 6L)) // island, unreachable from seeds
+    // local BFS model
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+    edges.foreach { case (a, b) =>
+      adj(a) = b :: adj.getOrElse(a, Nil); adj(b) = a :: adj.getOrElse(b, Nil)
+    }
+    val nodes = adj.keySet
+    val distExp = scala.collection.mutable.Map.empty[Long, Long]
+    nodes.filter(_ % 10 == 0).foreach(n => distExp(n) = 0L)
+    (1 to 3).foreach { h =>
+      val frontier = distExp.keys.toSeq
+      frontier.flatMap(adj(_)).foreach { n =>
+        if (!distExp.contains(n)) distExp(n) = h.toLong
+      }
+    }
+    // the operator's loop over the same edge relation (the declared
+    // query's coEdges wrapper is exercised by the gate; this pins the
+    // BFS core on a graph with a known answer)
+    val df = edges.toDF("u", "v")
+    val directed = df.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(df.select(col("v").as("src"), col("u").as("dst")))
+    var dist = directed.select(col("src").as("n")).distinct()
+      .filter(pmod(col("n"), lit(10)) === 0)
+      .withColumn("dist", lit(0L))
+    (1 to 3).foreach { h =>
+      val next = directed.join(dist.select(col("n").as("src")), Seq("src"))
+        .select(col("dst").as("n")).distinct()
+        .withColumn("dist", lit(h.toLong))
+      dist = dist.unionByName(next)
+        .groupBy(col("n")).agg(min(col("dist")).as("dist"))
+    }
+    val got = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === distExp.toMap)
+    assert(!got.contains(4L) && !got.contains(5L) && !got.contains(6L))
+    assert(got(22L) === 2L && got(3L) === 3L)
+    // and the declared query runs end-to-end over the real graph
+    val real = EventQueries.gBfsDistance(spark, dir).collect()
+    assert(real.nonEmpty)
+    assert(real.forall(r => r.getLong(1) >= 0L && r.getLong(1) <= 3L))
+  }
+
   // ---------------- ANN recall report ---------------------------------
 
   test("ANN recall report equals the set intersection of the index and " +

@@ -170,4 +170,24 @@ class SourcesSpec extends AnyFunSuite {
       s"fingerprints diverge across formats: ${fps.mkString("; ")}")
     assert(fps(0)._2 > 0)
   }
+
+  test("format roundtrip survives embedded newlines, quotes and " +
+    "backslashes in props (the multiLine/quote/escape pin, ADVICE r11)") {
+    import spark.implicits._
+    val hostile = Seq(
+      (1L, 1000000L, 10L, "click", 1.25, "line1\nline2"),
+      (2L, 2000000L, 11L, "view", 2.50, "say \"hi\"\nthen\r\nbye"),
+      (3L, 3000000L, 12L, "purchase", 3.75, "back\\slash,comma"),
+      (4L, 4000000L, 13L, "error", 4.00, "quote\"and\\both\n|pipe"),
+      (5L, 5000000L, 14L, "signup", 0.99, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val fps = graft.sources.FormatRoundtrip
+      .fingerprintsOf(hostile, usGrain = false).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(fps.length === 3)
+    assert(fps.forall(_._2 === 5L),
+      s"a format sheared rows: ${fps.mkString("; ")}")
+    assert(fps.map(x => (x._2, x._3, x._4)).distinct.length === 1,
+      s"fingerprints diverge across formats: ${fps.mkString("; ")}")
+  }
 }
