@@ -525,11 +525,13 @@ object Dedup {
       .agg(min(col("dst")).as("mn"))
       .withColumn("m", least(col("mn"), col("src")))
       .select(col("src"), col("m"))
+    // no trailing distinct: m <= src < dst means the emitted (dst, m)
+    // can never be a self-loop, and smallStar's orient+distinct is the
+    // next operation either way — deduping here would just pay one
+    // extra shuffle per round (measured: ~7% of warm query time)
     sym.join(m, Seq("src"))
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
   }
 
   /** Small-star: orient every edge (u ← v) with v < u; per u,
