@@ -38,7 +38,7 @@ object SparkEntry {
       name == "t_stream_weighted_percentiles" ||
       name == "w_stream_funnel" ||
       name == "t_stream_pareto" || name == "k_stream_tombstone" ||
-      name == "w_stream_rfm"
+      name == "w_stream_rfm" || name == "w_stream_anomaly_mad"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -242,6 +242,10 @@ object SparkEntry {
       Dedup.dThresholdCalibration(s, d)),
     // robust (median/MAD) daily-volume anomaly days — integer-exact
     "w_anomaly_mad"      -> (EventQueries.wAnomalyMad _),
+    // streaming twin: the same robust read over the incrementally
+    // summed daily grid (shared MV shape with w_stream_anomaly)
+    "w_stream_anomaly_mad" -> ((s, d) =>
+      graft.streaming.StreamingAnomaly.wStreamAnomalyMad(s, d)),
     // multi-source BFS min-hop distances (<=3) from the seed set
     "g_bfs_distance"     -> ((s, d) => EventQueries.gBfsDistance(s, d)),
     // streaming twin: RFM from the append-only purchase log at read
@@ -968,7 +972,8 @@ object SparkEntry {
       // path must equal the batch sink scenario's alive set
       "d_cc_stars" -> m("d_dup_groups"),
       "k_stream_tombstone" -> m("k_tombstone_delete"),
-      "w_stream_rfm" -> m("w_rfm"))
+      "w_stream_rfm" -> m("w_rfm"),
+      "w_stream_anomaly_mad" -> m("w_anomaly_mad"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -1437,12 +1437,18 @@ object EventQueries {
     * median extractions run the histogram discipline over DISTINCT
     * count values per type (value-grid-bounded windows), each joined
     * back as a type-bounded broadcast. */
-  def wAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
-    val daily = QueryCaches.persistTracked(
-      events(spark, dir)
-        .withColumn("epoch_day", expr(s"ts DIV ${NanosPerDay}L"))
-        .groupBy(col("event_type"), col("epoch_day"))
-        .agg(count(lit(1)).as("day_count")))
+  def wAnomalyMad(spark: SparkSession, dir: String): DataFrame =
+    madFromDaily(events(spark, dir)
+      .withColumn("epoch_day", expr(s"ts DIV ${NanosPerDay}L"))
+      .groupBy(col("event_type"), col("epoch_day"))
+      .agg(count(lit(1)).as("day_count")))
+
+  /** The median/MAD detector over any (event_type, epoch_day,
+    * day_count) grid — THE shared read for the batch query and the
+    * streamed summing-MV twin ([[graft.streaming.StreamingAnomaly]]),
+    * mirroring the [[anomalyFromDaily]] sharing contract. */
+  private[graft] def madFromDaily(daily0: DataFrame): DataFrame = {
+    val daily = QueryCaches.persistTracked(daily0)
     // nearest-rank median of an integer column per event type
     def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
       val hist = df.groupBy(col("event_type"), col(valueCol).as("v"))

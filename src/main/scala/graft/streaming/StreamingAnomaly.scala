@@ -69,10 +69,31 @@ object StreamingAnomaly {
     * oracle. Correctness-only: its cost is micro-batch orchestration,
     * not data volume. */
   def wStreamAnomaly(spark: SparkSession, dir: String,
-      nChunks: Int = 5): DataFrame = {
+      nChunks: Int = 5): DataFrame =
+    graft.queries.EventQueries.anomalyFromDaily(
+      streamedGrid(spark, dir, "anomaly", nChunks))
+
+  /** Declared query (`w_stream_anomaly_mad`): the ROBUST detector over
+    * the SAME incrementally-summed daily grid — the median/MAD read is
+    * not additive (a new day can move both medians), but its input
+    * grid is, so the MV is shared-shape with the z-score twin and the
+    * detection runs at read through THE shared
+    * [[graft.queries.EventQueries.madFromDaily]]. Equals the batch
+    * `w_anomaly_mad` and shares its oracle. */
+  def wStreamAnomalyMad(spark: SparkSession, dir: String,
+      nChunks: Int = 5): DataFrame =
+    graft.queries.EventQueries.madFromDaily(
+      streamedGrid(spark, dir, "anomaly_mad", nChunks))
+
+  /** Stream the events table into the daily-count summing MV (two
+    * chunks, mid-stream restart from the same checkpoint, a compaction
+    * MERGE between runs) and return the accumulated grid — shared by
+    * both anomaly twins. */
+  private def streamedGrid(spark: SparkSession, dir: String, tag: String,
+      nChunks: Int): DataFrame = {
     graft.Tables.tune(spark)
-    val feed = StreamingDedup.freshDir("anomaly_feed")
-    val warehouse = StreamingDedup.freshDir("anomaly_wh")
+    val feed = StreamingDedup.freshDir(s"${tag}_feed")
+    val warehouse = StreamingDedup.freshDir(s"${tag}_wh")
     val evs = graft.Tables.events(spark, dir)
       .select(col("event_id").as("doc_id"), col("ts"), col("event_type"),
         col("value"))
@@ -83,7 +104,9 @@ object StreamingAnomaly {
     StreamingDedup.writeDocChunks(spark, evs, feed, nChunks,
       schema = eventSchema)
     runStream(spark, feed, warehouse)
-    readAnomalies(spark, warehouse)
+    ParquetSink.readSummed(
+      spark.read.parquet(s"$warehouse/anomaly_summed"), keys, sums)
+      .select(col("event_type"), col("epoch_day"), col("day_count"))
   }
 
   /** The shared-detector read over the accumulated summed grid —

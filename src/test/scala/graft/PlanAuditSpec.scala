@@ -387,6 +387,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // builder runs the full delete/replay/compact/resurrect sink
     // scenario into a fresh tmpdir (ADVICE r11)
     "k_tombstone_delete", "k_stream_tombstone", "w_stream_rfm",
+    "w_stream_anomaly_mad",
     "t_stream_sample_priority", "t_stream_weighted_percentiles",
     "w_stream_funnel", "t_stream_pareto")
 

@@ -236,6 +236,16 @@ class Round12Spec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("streaming MAD anomaly twin (summed daily grid MV, mid-stream " +
+      "restart + compaction) equals the batch robust detector") {
+    val streamed = graft.streaming.StreamingAnomaly
+      .wStreamAnomalyMad(spark, dir)
+      .collect().map(_.toString).toSeq
+    val batch = EventQueries.wAnomalyMad(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+  }
+
   // ---------------- multi-source BFS ----------------------------------
 
   test("BFS distances match a local breadth-first model") {
