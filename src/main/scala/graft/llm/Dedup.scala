@@ -565,9 +565,24 @@ object Dedup {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
-    var prev: Option[(Long, java.math.BigDecimal)] = None
+    // Round cap (ADVICE r12): star contraction converges in O(log² n)
+    // rounds (Kiveris et al. SoCC'14); a run exceeding ~2·log₂(n)² + C
+    // half-round pairs means either a checksum-collision early exit was
+    // narrowly dodged or a pathological oscillation — fail loudly
+    // instead of looping forever. n here is the vertex count of the
+    // pair graph (nodes is already materialized — one cheap count).
+    val nVerts = math.max(nodes.count(), 2L)
+    val log2n = 64 - java.lang.Long.numberOfLeadingZeros(nVerts - 1L)
+    val maxRounds = 2 * log2n * log2n + 8
+    var rounds = 0
+    var prev: Option[(Long, java.math.BigDecimal, Long)] = None
     var converged = false
     while (!converged) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"starComponents: no fixed point after $rounds rounds " +
+          s"(cap $maxRounds for $nVerts vertices) — oscillation or " +
+          "checksum-collision guard tripped")
       val obs = org.apache.spark.sql.Observation()
       val next = smallStar(largeStar(edges))
         .observe(obs,
@@ -575,17 +590,23 @@ object Dedup {
           // canonical-edge checksum, exact in 128-bit decimal — int64
           // would wrap silently (the minLabelComponents discipline)
           sum((col("src").cast("decimal(38,0)") * lit(1000003) +
-            col("dst").cast("decimal(38,0)"))).as("edge_sum"))
+            col("dst").cast("decimal(38,0)"))).as("edge_sum"),
+          // second INDEPENDENT checksum (ADVICE r12): order-independent
+          // xor of per-edge hashes — a decimal-sum collision between
+          // two different consecutive edge sets would need to collide
+          // here too for a wrong early exit
+          bit_xor(xxhash64(col("src"), col("dst"))).as("edge_xor"))
         .localCheckpoint()
       val n = obs.get("n_edges").asInstanceOf[Long]
       val s = obs.get("edge_sum").asInstanceOf[java.math.BigDecimal]
+      val x = Option(obs.get("edge_xor")).fold(0L)(_.asInstanceOf[Long])
       require(s != null || n == 0L,
         "starComponents: edge checksum overflowed decimal(38,0)")
-      converged = prev.exists { case (pn, ps) =>
-        pn == n && ((ps == null && s == null) ||
+      converged = prev.exists { case (pn, ps, px) =>
+        pn == n && px == x && ((ps == null && s == null) ||
           (ps != null && s != null && ps.compareTo(s) == 0))
       }
-      prev = Some((n, s))
+      prev = Some((n, s, x))
       edges = next
     }
     // fixed point = star forest: src is a child, dst its component min

@@ -1344,12 +1344,20 @@ object EventQueries {
     ParquetSink.writeBatch(deletes, path, 2L, Seq("event_id")) // replay
     ParquetSink.compact(spark, path, Seq("event_id"))
     ParquetSink.writeBatch(resurrect, path, 3L, Seq("event_id"))
-    ParquetSink.readFinalWithDeletes(
+    // Materialize the 1-row aggregate eagerly (localCheckpoint), then
+    // delete the scenario directory: without this, repeated gate/bench
+    // runs accumulate a full sink copy per invocation in tmp forever
+    // (ADVICE r12). The caller gets a frame backed by checkpoint
+    // blocks, not the deleted files.
+    val out = ParquetSink.readFinalWithDeletes(
       spark.read.parquet(path), Seq("event_id"))
       .agg(
         count(lit(1)).as("n_alive"),
         bit_xor(h60(col("event_id").cast("string"))).as("alive_fp"),
         dsum(col("value"), 2).as("sum_value"))
+      .localCheckpoint()
+    ParquetSink.delete(new java.io.File(path))
+    out
   }
 
   /** EVENT-TYPE TRANSITION MATRIX — the behavior-flow report: counts

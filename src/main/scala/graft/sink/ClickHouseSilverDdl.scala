@@ -134,9 +134,14 @@ object ClickHouseSilverDdl {
         jsonValue("diff") -> "diff",
         jsonValue("intent_hash") -> "intent_hash",
         jsonValue("referral") -> "referral")) +
-      (", diff_kvs AS (\n    SELECT *, arrayJoin(" +
+      // clause order matches the reference byte-for-byte
+      // (02-silver-tables.sql:160 leads with `diff,` before the
+      // arrayJoin and trails the `*` — semantically identical, pinned
+      // so textual diffing against the init file stays clean;
+      // ADVICE r12)
+      (", diff_kvs AS (\n    SELECT diff, arrayJoin(" +
         "JSONExtractKeysAndValues(assumeNotNull(diff), 'Float64'))" +
-        " AS diff_kv\n    FROM parsed_json\n)\n") +
+        " AS diff_kv, *\n    FROM parsed_json\n)\n") +
       finalSelect("diff_kvs",
         names(passCols(receiverFirst = false)) ++ Seq(
           "account_id",

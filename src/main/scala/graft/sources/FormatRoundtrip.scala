@@ -94,10 +94,17 @@ object FormatRoundtrip {
         .withColumn("fmt", lit(label))
         .select(col("fmt"), col("n_rows"), col("row_fp"), col("sum_value"))
     }
-    fp(base, "parquet")
+    // Materialize the 3 fingerprint rows eagerly, then delete the
+    // round-trip files: a lazily-returned frame would still scan them,
+    // but repeated gate/bench runs would otherwise accumulate a full
+    // CSV+JSON copy of the corpus per invocation in tmp (ADVICE r12).
+    val out = fp(base, "parquet")
       .unionAll(fp(csv, "csv"))
       .unionAll(fp(json, "json"))
       .orderBy(col("fmt"))
+      .localCheckpoint()
+    graft.sink.ParquetSink.delete(root)
+    out
   }
 
   /** Gate query `k_format_roundtrip`: three identical fingerprint rows

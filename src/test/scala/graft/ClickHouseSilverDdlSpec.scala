@@ -145,8 +145,10 @@ class ClickHouseSilverDdlSpec extends AnyFunSuite {
       "(contract_id IN ('defuse-alpha.near', 'intents.near'))"))
     assert(ddl.contains("(event = 'token_diff')"))
     assert(ddl.contains(s"(block_timestamp >= '$tokenDiffMinTs')"))
-    assert(ddl.contains("arrayJoin(JSONExtractKeysAndValues(" +
-      "assumeNotNull(diff), 'Float64')) AS diff_kv"))
+    // reference clause order pinned byte-for-byte: leading `diff,`,
+    // trailing `*` (02:160; ADVICE r12)
+    assert(ddl.contains("SELECT diff, arrayJoin(JSONExtractKeysAndValues(" +
+      "assumeNotNull(diff), 'Float64')) AS diff_kv, *"))
     assert(ddl.contains(
       "if((diff_kv.2) >= 0, diff_kv.1, '') AS diff_positive_token"))
     assert(ddl.contains(
