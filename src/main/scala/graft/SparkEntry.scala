@@ -38,7 +38,8 @@ object SparkEntry {
       name == "t_stream_weighted_percentiles" ||
       name == "w_stream_funnel" ||
       name == "t_stream_pareto" || name == "k_stream_tombstone" ||
-      name == "w_stream_rfm" || name == "w_stream_anomaly_mad"
+      name == "w_stream_rfm" || name == "w_stream_anomaly_mad" ||
+      name == "g_stream_pagerank"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -253,6 +254,12 @@ object SparkEntry {
       graft.streaming.StreamingEventLog.wStreamRfm(s, d)),
     // behavior-flow transition matrix (from -> to counts + P)
     "g_event_transitions" -> (EventQueries.gEventTransitions _),
+    // ---- round 13 ----
+    // PageRank over the INCREMENTALLY-maintained co-occurrence edge MV
+    // (facts PK-FINAL + pair-count summing cells, mid-stream restart +
+    // compaction of both state tables); same oracle as batch g_pagerank
+    "g_stream_pagerank"  -> ((s, d) =>
+      graft.streaming.StreamingGraph.gStreamPagerank(s, d)),
     "t_split_assign"    -> (TextAnalysis.tSplitAssign _),
     "t_quality_percentiles" -> ((s, d) => TextAnalysis.tQualityPercentiles(s, d)),
     // quantilesExactWeighted analog: token-weighted length quantiles
@@ -973,7 +980,10 @@ object SparkEntry {
       "d_cc_stars" -> m("d_dup_groups"),
       "k_stream_tombstone" -> m("k_tombstone_delete"),
       "w_stream_rfm" -> m("w_rfm"),
-      "w_stream_anomaly_mad" -> m("w_anomaly_mad"))
+      "w_stream_anomaly_mad" -> m("w_anomaly_mad"),
+      // round 13: the incrementally-maintained edge MV feeds the SAME
+      // from-edges PageRank body as the batch query
+      "g_stream_pagerank" -> m("g_pagerank"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

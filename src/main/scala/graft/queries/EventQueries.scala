@@ -1009,35 +1009,23 @@ object EventQueries {
       .select(col("user_id"), col("n_triangles"))
       .orderBy(col("user_id"))
 
-  /** The repeat-co-occurrence user graph (u < v, >= 2 shared
-    * (event_type, 10-minute) buckets — the sparsity threshold measured
-    * in [[gUserTriangles]]'s docs), persisted tracked: every graph
-    * operator (triangles, clustering, PageRank) reads it repeatedly. */
-  private def coEdges(spark: SparkSession, dir: String): DataFrame = {
-    val bucketNs = 600L * 1000000000L
-    // both sides of the projection self-join read the same deduped
-    // occupancy relation — persist it once (tracked) instead of scanning
-    // + distinct-ing events twice
-    val occ = QueryCaches.persistTracked(events(spark, dir)
-      .select(col("event_type"), expr(s"ts div ${bucketNs}L").as("bkt"),
-        col("user_id"))
-      .distinct())
-    QueryCaches.persistTracked(
-      occ.as("a").join(occ.as("b"),
-          col("a.event_type") === col("b.event_type") &&
-            col("a.bkt") === col("b.bkt") &&
-            col("a.user_id") < col("b.user_id"))
-        .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
-        .agg(count(lit(1)).as("nco"))
-        .filter(col("nco") >= 2)
-        .select(col("u"), col("v")))
-  }
+  /** The repeat-co-occurrence user graph, read from the MAINTAINED
+    * edge MV ([[CoOccurrenceMv]]; VERDICT r11/r12 #2): built once per
+    * session+dir, then every graph operator (triangles, clustering,
+    * PageRank, BFS) is a read over the O(edges) table instead of its
+    * own full event-log shuffle. */
+  private def coEdges(spark: SparkSession, dir: String): DataFrame =
+    CoOccurrenceMv.edges(spark, dir)
 
   /** The shared co-occurrence-graph triangle pipeline: per-user degree
     * and triangle membership counts ([[gUserTriangles]] projects the
     * counts; [[gClusteringCoeff]] derives the coefficient). */
-  private def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
-    val edges = coEdges(spark, dir)
+  private def triangleCounts(spark: SparkSession, dir: String): DataFrame =
+    triangleCountsFromEdges(coEdges(spark, dir))
+
+  /** [[triangleCounts]] over ANY (u, v) edge relation — shared with the
+    * streamed edge MV's read path. */
+  private[graft] def triangleCountsFromEdges(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -1101,8 +1089,14 @@ object EventQueries {
     * int64 headroom holds through ~10⁵-node scaled products (decimal38
     * past that). */
   def gPageRank(spark: SparkSession, dir: String,
+      iters: Int = 3): DataFrame =
+    pageRankFromEdges(coEdges(spark, dir), iters)
+
+  /** [[gPageRank]] over ANY (u, v) edge relation — shared with the
+    * streamed edge MV ([[graft.streaming.StreamingGraph]]), so the
+    * batch query and the streaming twin run ONE iteration body. */
+  private[graft] def pageRankFromEdges(edges: DataFrame,
       iters: Int = 3): DataFrame = {
-    val edges = coEdges(spark, dir)
     val directed = QueryCaches.persistTracked(
       edges.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(edges.select(col("v").as("src"), col("u").as("dst"))))
@@ -1408,8 +1402,13 @@ object EventQueries {
     * oracle replays the same 3 unrolled neighbor CTEs and min-unions
     * the labeled layers. */
   def gBfsDistance(spark: SparkSession, dir: String,
+      maxHops: Int = 3): DataFrame =
+    bfsFromEdges(coEdges(spark, dir), maxHops)
+
+  /** [[gBfsDistance]] over ANY (u, v) edge relation — shared with the
+    * streamed edge MV ([[graft.streaming.StreamingGraph]]). */
+  private[graft] def bfsFromEdges(edges: DataFrame,
       maxHops: Int = 3): DataFrame = {
-    val edges = coEdges(spark, dir)
     val directed = QueryCaches.persistTracked(
       edges.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(edges.select(col("v").as("src"), col("u").as("dst"))))

@@ -389,7 +389,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "k_tombstone_delete", "k_stream_tombstone", "w_stream_rfm",
     "w_stream_anomaly_mad",
     "t_stream_sample_priority", "t_stream_weighted_percentiles",
-    "w_stream_funnel", "t_stream_pareto")
+    "w_stream_funnel", "t_stream_pareto",
+    // builder streams the event log into the maintained graph MV
+    "g_stream_pagerank")
 
   test("no declared query plans a CartesianProduct, and forced broadcasts stay on bounded relations") {
     graft.Tables.tune(spark)
