@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries._
-import graft.llm.{TextAnalysis, Dedup, Similarity, Multimodal, CorpusPipeline}
+import graft.llm.{TextAnalysis, Dedup, Similarity, Multimodal,
+  CorpusPipeline, StoredModels}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,7 +40,12 @@ object SparkEntry {
       name == "w_stream_funnel" ||
       name == "t_stream_pareto" || name == "k_stream_tombstone" ||
       name == "w_stream_rfm" || name == "w_stream_anomaly_mad" ||
-      name == "g_stream_pagerank"
+      name == "g_stream_pagerank" ||
+      // model-store twins: their wall time is dominated by the train
+      // pass they deliberately re-run to produce the stored versions —
+      // the benched train-inline queries already time that work
+      name == "s_ann_kmeans_stored" || name == "s_ann_pq_stored" ||
+      name == "t_bpe_encode_stored" || name == "t_lm_score_stored"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -260,6 +266,15 @@ object SparkEntry {
     // compaction of both state tables); same oracle as batch g_pagerank
     "g_stream_pagerank"  -> ((s, d) =>
       graft.streaming.StreamingGraph.gStreamPagerank(s, d)),
+    // model-store apply twins: train -> save stale v1 -> save real v2
+    // -> load latest (PK-FINAL) -> apply via the SHARED search/encode/
+    // score bodies; same oracles as the train-inline queries
+    "s_ann_kmeans_stored" -> ((s, d) =>
+      StoredModels.sAnnKmeansStored(s, d)),
+    "s_ann_pq_stored"    -> ((s, d) => StoredModels.sAnnPqStored(s, d)),
+    "t_bpe_encode_stored" -> ((s, d) =>
+      StoredModels.tBpeEncodeStored(s, d)),
+    "t_lm_score_stored"  -> (StoredModels.tLmScoreStored _),
     "t_split_assign"    -> (TextAnalysis.tSplitAssign _),
     "t_quality_percentiles" -> ((s, d) => TextAnalysis.tQualityPercentiles(s, d)),
     // quantilesExactWeighted analog: token-weighted length quantiles
@@ -982,8 +997,14 @@ object SparkEntry {
       "w_stream_rfm" -> m("w_rfm"),
       "w_stream_anomaly_mad" -> m("w_anomaly_mad"),
       // round 13: the incrementally-maintained edge MV feeds the SAME
-      // from-edges PageRank body as the batch query
-      "g_stream_pagerank" -> m("g_pagerank"))
+      // from-edges PageRank body as the batch query; the model-store
+      // apply twins read the stored latest version into the SAME
+      // search/encode/score bodies as the train-inline queries
+      "g_stream_pagerank" -> m("g_pagerank"),
+      "s_ann_kmeans_stored" -> m("s_ann_kmeans"),
+      "s_ann_pq_stored" -> m("s_ann_pq"),
+      "t_bpe_encode_stored" -> m("t_bpe_encode"),
+      "t_lm_score_stored" -> m("t_lm_score"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -41,7 +41,7 @@ object Similarity {
   /** Cast to double once, precompute the L2 norm once per vector.
     * `dot_product` is the codegen'd [[graft.functions.DotProduct]] —
     * bit-identical to the `aggregate(zip_with(...))` fold but native. */
-  private def withNorm(df: DataFrame): DataFrame =
+  private[llm] def withNorm(df: DataFrame): DataFrame =
     df.withColumn("emb", col("embedding").cast("array<double>"))
       .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
 
@@ -291,7 +291,18 @@ object Similarity {
     val e = withNorm(embeddings(spark, dir))
       .select(col("vec_id"), col("emb"), col("nrm"))
       .localCheckpoint() // trainer + assignment + search all read it
-    val centroids = kmeansCentroids(e, nCells, iters)
+    kmeansSearch(e, kmeansCentroids(e, nCells, iters), k, nQueries, nprobe)
+  }
+
+  /** The APPLY half of [[sAnnKmeans]] — multi-probe IVF search against
+    * a GIVEN centroid set: the constant-cost production path once the
+    * (rare) train pass has run. Shared verbatim by the train-inline
+    * query and the model-store apply twin
+    * ([[graft.llm.StoredModels.sAnnKmeansStored]]), so stored-model
+    * search cannot drift from freshly-trained search. */
+  private[llm] def kmeansSearch(e: DataFrame,
+      centroids: Array[Array[Double]], k: Int, nQueries: Int,
+      nprobe: Int): DataFrame = {
     val assigned = withCell(e, centroids)
     val q = withProbeCells(e.filter(col("vec_id") < nQueries),
         centroids, nprobe)
@@ -501,7 +512,17 @@ object Similarity {
     val e = withNorm(embeddings(spark, dir))
       .select(col("vec_id"), col("emb"), col("nrm"))
       .localCheckpoint() // trainer + encode + lut + rerank all read it
-    val books = pqCodebooks(e, m, dsub, ksub, iters)
+    pqSearch(e, pqCodebooks(e, m, dsub, ksub, iters), k, nQueries, m,
+      dsub, ksub, nCand)
+  }
+
+  /** The APPLY half of [[sAnnPq]] — encode + ADC scan + exact rerank
+    * against GIVEN codebooks (the production path over a stored PQ
+    * model). Shared verbatim with the model-store apply twin
+    * ([[graft.llm.StoredModels.sAnnPqStored]]). */
+  private[llm] def pqSearch(e: DataFrame,
+      books: Array[Array[Array[Double]]], k: Int, nQueries: Int, m: Int,
+      dsub: Int, ksub: Int, nCand: Int): DataFrame = {
     val coded = withPqCodes(e, books, dsub)
       .select(col("vec_id"),
         array((0 until m).map(j => col(s"code_$j")): _*).as("codes"))

@@ -1015,15 +1015,37 @@ object TextAnalysis {
     * the final merged word-type vocabulary (the state [[tBpeEncode]]
     * segments against). See [[tBpeMerges]] for semantics and scale
     * notes. */
+  /** The char-split initial symbol vocabulary over the corpus word
+    * types — the state both the trainer and the stored-merges APPLY
+    * path start from. */
+  private[graft] def bpeInitVocab(spark: SparkSession,
+      dir: String): DataFrame = documents(spark, dir)
+    .select(explode(tokens(col("text"))).as("w"))
+    .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    .withColumn("syms",
+      concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
+    .select(col("syms"), col("cnt"))
+
+  /** ONE merge-rule application to a delimited symbol string — shared
+    * verbatim by the trainer's in-loop rewrite and the stored-model
+    * apply ([[bpeApplyMerges]]), so the two folds cannot drift. */
+  private[graft] def bpeMergeCol(syms: Column, l: String,
+      r: String): Column =
+    replace(syms, lit(s" $l $r "), lit(s" $l$r "))
+
+  /** Tokenizer APPLY: fold an ORDERED merge-rule list (the shipped
+    * model — [[graft.sink.ModelStore.loadBpe]]) over a symbol
+    * vocabulary. No pair counting — the constant-cost path a stored
+    * tokenizer runs on any corpus. */
+  private[graft] def bpeApplyMerges(vocab: DataFrame,
+      merges: Seq[(Long, String, String, Long)]): DataFrame =
+    merges.foldLeft(vocab) { case (v, (_, l, r, _)) =>
+      v.withColumn("syms", bpeMergeCol(col("syms"), l, r))
+    }
+
   private[graft] def bpeTrain(spark: SparkSession, dir: String,
       nMerges: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
-    var vocab = documents(spark, dir)
-      .select(explode(tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .withColumn("syms",
-        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
-      .select(col("syms"), col("cnt"))
-      .localCheckpoint()
+    var vocab = bpeInitVocab(spark, dir).localCheckpoint()
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var step = 1
@@ -1045,8 +1067,7 @@ object TextAnalysis {
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((step.toLong, l, r, pc))
         val old = vocab
-        vocab = vocab.withColumn("syms",
-          replace(col("syms"), lit(s" $l $r "), lit(s" $l$r ")))
+        vocab = vocab.withColumn("syms", bpeMergeCol(col("syms"), l, r))
           .localCheckpoint()
         old.unpersist()
         step += 1
@@ -1079,6 +1100,14 @@ object TextAnalysis {
   def tBpeEncode(spark: SparkSession, dir: String,
       nMerges: Int = 8): DataFrame = {
     val (_, vocab) = bpeTrain(spark, dir, nMerges)
+    bpeEncodeFromVocab(spark, dir, vocab)
+  }
+
+  /** The encode half of [[tBpeEncode]] — per-doc token accounting from
+    * a SEGMENTED vocabulary, shared with the model-store apply twin
+    * ([[graft.llm.StoredModels.tBpeEncodeStored]]). */
+  private[graft] def bpeEncodeFromVocab(spark: SparkSession, dir: String,
+      vocab: DataFrame): DataFrame = {
     val enc = vocab.select(
       replace(col("syms"), lit(" "), lit("")).as("word"),
       size(split(trim(col("syms")), " ")).cast("long").as("n_sym"))

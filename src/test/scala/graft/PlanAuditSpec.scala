@@ -39,6 +39,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "s_ann_kmeans" -> ((1, Set("query_id"))), // same bounded query set
     "s_ann_lsh" -> ((1, Set("query_id"))), // same bounded query set
     "s_ann_pq" -> ((1, Set("query_id"))), // same bounded query set (LUT side)
+    // the model-store apply twins run the SAME shared search bodies
+    "s_ann_kmeans_stored" -> ((1, Set("query_id"))),
+    "s_ann_pq_stored" -> ((1, Set("query_id"))),
     "near_gold_metrics" -> ((1, Set("defuse_asset_id"))), // bounded assets dim
     "near_sql_gold" -> ((1, Set("defuse_asset_id"))), // same view via spark.sql
     "t_tfidf_topk" -> ((1, Set("df"))), // document-frequency dim: vocab-bounded

@@ -41,6 +41,43 @@ class Round13Spec extends AnyFunSuite {
     QueryCaches.releaseAll()
   }
 
+  test("model store: versioned save/load round-trips bit-exact, " +
+      "latest wins, as-of pins an old version, missing model fails") {
+    import graft.sink.ModelStore
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_model_store_spec_").toAbsolutePath.toString
+    try {
+      val v1 = Array(Array(1.0, 2.5), Array(-3.25, 1e-17))
+      val v2 = Array(Array(0.1, 0.2), Array(0.3, 0.4))
+      ModelStore.saveKmeans(spark, root, "m", 1L, v1)
+      ModelStore.saveKmeans(spark, root, "m", 2L, v2)
+      // doubles round-trip parquet bit-for-bit; latest version wins
+      assert(ModelStore.loadKmeans(spark, root, "m")
+        .map(_.toSeq).toSeq === v2.map(_.toSeq).toSeq)
+      // the time-travel pin reproduces v1 exactly
+      assert(ModelStore.loadKmeans(spark, root, "m", Some(1L))
+        .map(_.toSeq).toSeq === v1.map(_.toSeq).toSeq)
+      // a second model id in the same table resolves independently
+      ModelStore.saveKmeans(spark, root, "other", 1L, v1)
+      assert(ModelStore.loadKmeans(spark, root, "other")
+        .map(_.toSeq).toSeq === v1.map(_.toSeq).toSeq)
+      val pq = Array(
+        Array(Array(1.0, 2.0), Array(3.0, 4.0)),
+        Array(Array(5.0, 6.0), Array(7.0, 8.0)))
+      ModelStore.savePq(spark, root, "p", 1L, pq)
+      assert(ModelStore.loadPq(spark, root, "p")
+        .map(_.map(_.toSeq).toSeq).toSeq === pq.map(_.map(_.toSeq).toSeq).toSeq)
+      val rules = Seq((1L, "a", "b", 10L), (2L, "ab", "c", 5L))
+      ModelStore.saveBpe(spark, root, "b", 1L, rules.take(1))
+      ModelStore.saveBpe(spark, root, "b", 2L, rules)
+      assert(ModelStore.loadBpe(spark, root, "b") === rules)
+      assert(ModelStore.loadBpe(spark, root, "b", Some(1L)) === rules.take(1))
+      intercept[IllegalArgumentException] {
+        ModelStore.loadKmeans(spark, root, "absent")
+      }
+    } finally graft.sink.ParquetSink.delete(new java.io.File(root))
+  }
+
   test("MV memoization: second consumer reads the same snapshot; " +
       "refresh() forces a rebuild") {
     graft.Tables.tune(spark)
