@@ -421,6 +421,9 @@ object SparkEntry {
     "near_m9_staging_transfers" -> (NearQueries.m9StagingTransfers _),
     "near_m10_referral"        -> (NearQueries.m10Referral _),
     "near_gold_metrics"        -> (NearQueries.goldMetrics _),
+    // hot-key corpus: one receipt carries 80% of events + all diffs —
+    // the gold join's natural intents.near skew, evidenced (r13)
+    "near_skew_gold"           -> (NearQueries.nearSkewGold _),
     // Sink layer (K1-K4) + resume (S3) round trips
     "near_sink_roundtrip"      -> (NearQueries.sinkRoundtrip _),
     "near_sink_resume"         -> (NearQueries.sinkResume _),
@@ -3348,6 +3351,7 @@ object SparkEntry {
     "near_m9_staging_transfers" -> graft.fixtures.NearOracles.m9Sql,
     "near_m10_referral"        -> graft.fixtures.NearOracles.m10Sql,
     "near_gold_metrics"        -> graft.fixtures.NearOracles.goldSql,
+    "near_skew_gold"           -> graft.fixtures.NearOracles.skewGoldSql,
     // After a duplicate re-insert, FINAL-read restores exactly the
     // original rows; resume sees the max height, raw sees 2x rows.
     "near_sink_roundtrip"      -> graft.fixtures.NearFixtures.eventsSql,

@@ -150,4 +150,81 @@ object BlockGen {
         Seq(Shard(chunk, outsAt(h).sortBy(_.receipt.receipt_id))))
     }
   }
+
+  /** HOT-KEY corpus for the gold receipt join (VERDICT r11 #4 / r12 #3):
+    * SURVEY §7.2 flags the join as naturally skewed toward
+    * `intents.near`, but every other corpus is uniform, so hot-key
+    * behavior was asserted, never evidenced. Here ONE receipt carries
+    * `hotLogs · hotPerLog` nep245 events (default 1600 — 80% of the
+    * corpus) AND the corpus's only dip4 token_diff rows (3 referrals),
+    * so the gold `related_receipt_id` left join fans the hot key out
+    * 3× while `nCold` single-event receipts populate the tail.
+    *
+    * Everything is CLOSED-FORM so the DuckDB oracle regenerates the
+    * gold result from `range()` while Spark runs the REAL pipeline
+    * (extraction → resolution → silver → gold):
+    *  - cold origin k: tx at `baseHeight + 2k`, its receipt's outcome
+    *    one block later with one mt_transfer of amount
+    *    `15625·(10000+k)`, memo `m{k}`, owners `a{k}`/`b{k}`;
+    *  - hot receipt `hr0` (tx at `baseHeight + 2·nCold`): event j
+    *    (log j/hotPerLog, item j%hotPerLog) moves `15625·(j+1)` with
+    *    memo `hm{j}`, plus one token_diff log with referrals
+    *    alpha/beta/gamma.
+    *
+    * AMOUNTS ARE DYADIC BY DESIGN: usd = amount/10⁶·price with
+    * amount = 15625·n makes every usd value n/64 — exactly
+    * representable, and all group sums stay < 2⁵³/64 — so the gold
+    * SUM(double) is EXACT and therefore aggregation-order-independent
+    * across partitionings AND engines (a float-noise corpus would make
+    * the hot group's 4800-addend sum order-sensitive and the hash
+    * compare meaningless). */
+  def genSkewBlocks(nCold: Int = 400, hotLogs: Int = 40,
+      hotPerLog: Int = 40, baseHeight: Long = 2000L): Seq[Block] = {
+    val t0 = NearFixtures.T0
+    def ej(standard: String, event: String, data: String): String =
+      NearModel.EventJsonPrefix +
+        s"""{"standard":"$standard","version":"1.0.0","event":"$event","data":$data}"""
+    def item(memo: String, oo: String, no: String, amount: Long): String =
+      s"""{"memo":"$memo","old_owner_id":"$oo.near","new_owner_id":"$no.near","token_ids":["nep141:usdc.near"],"amounts":["$amount"]}"""
+    def tx(hash: String, rid: String) = TxWithOutcome(
+      TransactionView(hash, "alice.near", "intents.near",
+        Seq(ActionView("FunctionCall", """{"method_name":"execute"}"""))),
+      s"oc_$hash",
+      OutcomeView("alice.near", Seq(rid), "SuccessReceiptId", Nil, "0", 1L))
+    def receiptOutcome(rid: String, logs: Seq[String]) = OutcomeWithReceipt(
+      ReceiptView(rid, "intents.near", "alice.near", "Action", Nil, None),
+      s"o_$rid",
+      OutcomeView("intents.near", Nil, "SuccessValue", logs, "0", 2L))
+    val txsAt = scala.collection.mutable.Map
+      .empty[Long, Vector[TxWithOutcome]].withDefaultValue(Vector.empty)
+    val outsAt = scala.collection.mutable.Map
+      .empty[Long, Vector[OutcomeWithReceipt]].withDefaultValue(Vector.empty)
+    for (k <- 0 until nCold) {
+      val h0 = baseHeight + 2L * k
+      txsAt(h0) = txsAt(h0) :+ tx(s"ctx$k", s"cr$k")
+      outsAt(h0 + 1) = outsAt(h0 + 1) :+ receiptOutcome(s"cr$k",
+        Seq(ej("nep245", "mt_transfer",
+          s"[${item(s"m$k", s"a$k", s"b$k", 15625L * (10000L + k))}]")))
+    }
+    val hH = baseHeight + 2L * nCold
+    txsAt(hH) = txsAt(hH) :+ tx("htx", "hr0")
+    val hotNep = (0 until hotLogs).map { li =>
+      ej("nep245", "mt_transfer",
+        (0 until hotPerLog).map { di =>
+          val j = li * hotPerLog + di
+          item(s"hm$j", "ha", "hb", 15625L * (j + 1L))
+        }.mkString("[", ",", "]"))
+    }
+    val hotDiff = ej("dip4", "token_diff",
+      Seq("alpha", "beta", "gamma").zipWithIndex.map { case (r, i) =>
+        s"""{"account_id":"ha.near","diff":{"nep141:usdc.near":${i + 1}},"intent_hash":"ih$i","referral":"$r"}"""
+      }.mkString("[", ",", "]"))
+    outsAt(hH + 1) = outsAt(hH + 1) :+
+      receiptOutcome("hr0", hotNep :+ hotDiff)
+    (baseHeight to (hH + 1)).map { h =>
+      val chunk = if (txsAt(h).isEmpty) None else Some(Chunk(txsAt(h)))
+      Block(BlockHeader(h, t0 + (h - baseHeight) * 1000000000L, s"G$h"),
+        Seq(Shard(chunk, outsAt(h))))
+    }
+  }
 }

@@ -364,6 +364,34 @@ object NearOracles {
       |WHERE d <= d_max
       |ORDER BY receipt_id""".stripMargin
 
+  /** Gold over the hot-key skew corpus (BlockGen.genSkewBlocks):
+    * closed-form — every cold event lands in `Others`, every hot event
+    * survives the DISTINCT (unique dyadic usd values) and fans out
+    * across the 3 hot referrals; sums are exact (n/64 addends), so
+    * SUM order cannot flake the hash. Replays the G5 formula
+    * (amount / 10^decimals · price) verbatim. */
+  val skewGoldSql: String =
+    """WITH cold AS (SELECT unnest(range(0, 400)) AS k),
+      |hot AS (SELECT unnest(range(0, 1600)) AS j),
+      |refs AS (SELECT unnest(['alpha','beta','gamma']) AS referral),
+      |rows_ AS (
+      |  SELECT (CAST(15625 * (10000 + k) AS DOUBLE) / pow(10, 6)) * 1.0
+      |      AS usd, 'Others' AS referral
+      |  FROM cold
+      |  UNION ALL
+      |  SELECT (CAST(15625 * (j + 1) AS DOUBLE) / pow(10, 6)) * 1.0
+      |      AS usd, referral
+      |  FROM hot CROSS JOIN refs)
+      |SELECT CAST(1700000000000000000 // 86400000000000 AS BIGINT) AS day,
+      |  'USDC' AS symbol, referral, 'near' AS blockchain,
+      |  SUM(usd) AS transfer_volume,
+      |  CAST(NULL AS DOUBLE) AS deposits,
+      |  CAST(NULL AS DOUBLE) AS withdraws,
+      |  CAST(NULL AS DOUBLE) AS netflow
+      |FROM rows_
+      |GROUP BY referral
+      |ORDER BY day, symbol, referral""".stripMargin
+
   val scaleEventsSql: String =
     s"""$deepChainCte
       |SELECT h0 + d_max*g AS block_height,

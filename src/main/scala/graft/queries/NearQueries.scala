@@ -598,4 +598,41 @@ object NearQueries {
         col("token_id"), col("amount"), col("memo"))
       .orderBy(col("related_receipt_id"))
   }
+
+  // ------------------------------------------------ hot-key skew corpus
+
+  /** Gold view over the HOT-KEY corpus
+    * ([[graft.fixtures.BlockGen.genSkewBlocks]]): one receipt carries
+    * 80% of the corpus's events AND all token_diff rows, so the gold
+    * `related_receipt_id` left join sees one hot key fanning out 3×
+    * (SURVEY §7.2's natural `intents.near` skew, previously asserted
+    * but never evidenced — VERDICT r12 #3). The full REAL pipeline
+    * runs: extraction → single-hop resolution → silver nep245 +
+    * token_diff → G1–G8; the DuckDB oracle regenerates the gold rows
+    * closed-form from `range()`. Amounts are dyadic by construction
+    * (usd = n/64) so the gold SUM(double) is exact and aggregation-
+    * order-independent — see the generator's scaladoc.
+    *
+    * Plan under skew: the assets dim stays broadcast; the fact-scale
+    * referral side carries no hint, so AQE owns the join — at gate
+    * scale it broadcasts the 3-row diff side (hot key never shuffles),
+    * and at 100× a shuffle join with AQE skew-split handles the hot
+    * partition (`spark.sql.adaptive.skewJoin`); the salted-join
+    * operator ([[graft.operators.SkewJoin]]) is the manual fallback.
+    * Evidence in SCALE_CHECK_r13. */
+  def nearSkewGold(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.tune(spark)
+    val b = spark.createDataset(graft.fixtures.BlockGen.genSkewBlocks()).toDF()
+    val resolved = ReceiptTxResolver.resolve(
+      BronzeExtractors.transactions(b, acc),
+      BronzeExtractors.outcomes(b))
+    val ev = BronzeExtractors.eventRows(BronzeExtractors.outcomes(b), acc)
+    val withTx = ReceiptTxResolver.attachTxHash(ev, resolved)
+    GoldViews.intentsMetrics(
+      SilverTransforms.nep245Events(withTx),
+      SilverTransforms.dip4TokenDiff(withTx, acc),
+      assetsDf(spark))
+      .orderBy(col("day"), col("symbol"), col("referral"))
+  }
 }

@@ -44,6 +44,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "s_ann_pq_stored" -> ((1, Set("query_id"))),
     "near_gold_metrics" -> ((1, Set("defuse_asset_id"))), // bounded assets dim
     "near_sql_gold" -> ((1, Set("defuse_asset_id"))), // same view via spark.sql
+    "near_skew_gold" -> ((1, Set("defuse_asset_id"))), // same gold view, hot-key corpus
     "t_tfidf_topk" -> ((1, Set("df"))), // document-frequency dim: vocab-bounded
     "t_decontaminate" -> ((1, Set("shingle"))), // eval-set shingles: benchmark-bounded
     "t_stratified_sample" -> ((1, Set("n_l"))), // per-language counts: language-bounded
