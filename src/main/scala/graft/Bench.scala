@@ -26,8 +26,24 @@ object Bench {
       Thread.sleep(30000)
     }
     val loadStart = loadAvg
-    val loadContaminated = loadStart > maxLoad
-    if (loadContaminated) System.err.println(
+    // Per-PHASE load stamps + run max (VERDICT r11 #3 / r12 #4): a
+    // start/end pair cannot attribute drift to a phase — r12's builder
+    // run started at 0.34 and ended at 2.90 and nine query deltas were
+    // unexplainable from the artifact alone. Each phase records the
+    // 1-min load at ITS start; `load_max` tracks the highest sample
+    // seen at any query/phase boundary; `load_contaminated` is true if
+    // ANY phase starts above the gate (not just the run).
+    var loadMax = loadStart
+    def sampleLoad(): Double = {
+      val l = loadAvg; if (l > loadMax) loadMax = l; l
+    }
+    var loadContaminated = loadStart > maxLoad
+    def phaseLoad(): Double = {
+      val l = sampleLoad()
+      if (l > maxLoad) loadContaminated = true
+      l
+    }
+    if (loadStart > maxLoad) System.err.println(
       f"[bench] WARNING: starting at load ${loadStart}%.2f > gate " +
         f"$maxLoad%.1f after ${waitBudgetMs / 1000}%d s wait — artifact " +
         "will carry load_contaminated:true")
@@ -63,6 +79,7 @@ object Bench {
     // ±20% order-dependent variance band; the warm column is the one to
     // read before calling something a regression (VERDICT r5 #8).
     var failures = List.empty[String]
+    val loadPhaseQueries = phaseLoad()
     // Deterministic execution order: SparkEntry.queries is a HashMap, so
     // iteration order reshuffles whenever a key is added — which makes
     // round-over-round per-query deltas noise-limited (VERDICT r8 #1:
@@ -87,6 +104,7 @@ object Bench {
         }
         val cold = once()
         val warm = if (cold >= 0) once() else -1.0
+        sampleLoad(): Unit // feed load_max at every query boundary
         name -> (cold, warm)
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
@@ -100,6 +118,7 @@ object Bench {
     // receipt->tx resolution + event emission + nep245 silver decode
     // over synthetic chained blocks.
     val nBlocks = sys.env.getOrElse("SPARK_GRAFT_BENCH_BLOCKS", "2000").toInt
+    val loadPhaseIngest = phaseLoad()
     val blocksPerSec = try {
       import spark.implicits._
       val blocks = spark.createDataset(
@@ -140,6 +159,7 @@ object Bench {
     val cascadeBlocks =
       sys.env.getOrElse("SPARK_GRAFT_CASCADE_BLOCKS", "2000").toInt
     val perFile = sys.env.getOrElse("SPARK_GRAFT_CASCADE_PER_FILE", "100").toInt
+    val loadPhaseCascade = phaseLoad()
     val cascadeBps = try {
       val base = java.nio.file.Files
         .createTempDirectory("graft_cascade").toString
@@ -176,9 +196,10 @@ object Bench {
       "execution order is sorted query name (deterministic since r9; r1-r8 were HashMap order); " +
       "ingest is a warm rerun after an untimed full-pipeline warm-up (since r5; r1-r4 were cold); " +
       "since r11 the run waits (<=10 min) for 1-min load <= load_gate before timing and stamps load_contaminated if it never drops; " +
+      "since r13 each phase (queries/ingest/cascade) stamps the 1-min load at ITS start, load_max is the highest sample at any query/phase boundary, and load_contaminated is true if ANY phase started above the gate - a drifted run shows low early phase stamps and a high load_max/late stamp, so per-phase numbers can be trusted or discarded individually; " +
       "s_ann_kmeans contract number is the full-bench warm column (codegen cache shared across the session) - an isolated single-query session measures ~1.3s vs ~0.8s here and both are healthy"
-    val loadEnd = loadAvg
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"queries":$qs,"queries_warm":$qsWarm,"failed":$failed,"ingest_blocks_per_sec":$blocksPerSec,"ingest_blocks_n":$nBlocks,"ingest_cascade_blocks_per_sec":$cascadeBps,"ingest_cascade_blocks_n":$cascadeBlocks,"ingest_cascade_per_file":$perFile,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_gate":$maxLoad,"load_contaminated":$loadContaminated,"sf":"$sfDir","note":"$note"}""")
+    val loadEnd = sampleLoad()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"queries":$qs,"queries_warm":$qsWarm,"failed":$failed,"ingest_blocks_per_sec":$blocksPerSec,"ingest_blocks_n":$nBlocks,"ingest_cascade_blocks_per_sec":$cascadeBps,"ingest_cascade_blocks_n":$cascadeBlocks,"ingest_cascade_per_file":$perFile,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_phase_queries":$loadPhaseQueries,"load_phase_ingest":$loadPhaseIngest,"load_phase_cascade":$loadPhaseCascade,"load_max":$loadMax,"load_gate":$maxLoad,"load_contaminated":$loadContaminated,"sf":"$sfDir","note":"$note"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

@@ -486,9 +486,11 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |best$k AS MATERIALIZED (SELECT l, r, pc FROM p$k
         |  ORDER BY pc DESC, l, r LIMIT 1),
-        |v$k AS MATERIALIZED (SELECT replace(syms,
-        |    ' ' || (SELECT l FROM best$k) || ' ' || (SELECT r FROM best$k) || ' ',
-        |    ' ' || (SELECT l FROM best$k) || (SELECT r FROM best$k) || ' ')
+        |v$k AS MATERIALIZED (SELECT replace(replace(replace(syms,
+        |    ' ', '  '),
+        |    ' ' || (SELECT l FROM best$k) || '  ' || (SELECT r FROM best$k) || ' ',
+        |    ' ' || (SELECT l FROM best$k) || (SELECT r FROM best$k) || ' '),
+        |    '  ', ' ')
         |    AS syms, cnt FROM v${k - 1})""".stripMargin
     }.mkString(",\n")
     // MATERIALIZED is load-bearing: each v_k is referenced twice

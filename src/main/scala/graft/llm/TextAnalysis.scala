@@ -987,12 +987,14 @@ object TextAnalysis {
     * — on the (word type, count) vocabulary, not on corpus positions.
     *
     * Symbol sequences ride as space-separated strings padded with one
-    * leading/trailing blank, and a merge is a literal
-    * `replace(' l r ', ' lr ')` — left-to-right non-overlapping in
-    * BOTH engines, which is exactly BPE's greedy left-fold, so the
-    * DuckDB oracle (the same 8 steps unrolled as chained CTEs) replays
-    * the training bit-for-bit. Argmax tie-break is total:
-    * (count DESC, left, right) over binary string order.
+    * leading/trailing blank; a merge is the CANONICAL non-overlapping
+    * left-to-right pass via the double-delimiter rescan
+    * ([[bpeMergeCol]] — `a a a a` → `aa aa`, matching what reference
+    * trainers produce on symbol runs; r12's single-replace under-merged
+    * those). The DuckDB oracle (the same 8 steps unrolled as chained
+    * CTEs) replays the identical 3-replace chain bit-for-bit. Argmax
+    * tie-break is total: (count DESC, left, right) over binary string
+    * order.
     *
     * Scale shape: the corpus is touched ONCE (the word-count shuffle,
     * hash-partitioned with map-side combine); every iteration after
@@ -1028,10 +1030,28 @@ object TextAnalysis {
 
   /** ONE merge-rule application to a delimited symbol string — shared
     * verbatim by the trainer's in-loop rewrite and the stored-model
-    * apply ([[bpeApplyMerges]]), so the two folds cannot drift. */
+    * apply ([[bpeApplyMerges]]), so the two folds cannot drift.
+    *
+    * CANONICAL NON-OVERLAPPING LEFT-TO-RIGHT merge (VERDICT r11 #6 /
+    * r12 #5): the naive `replace(' l r ', ' lr ')` consumes the
+    * delimiter between matches, so a symbol RUN under-merges
+    * (`a a a a` → `aa a a` instead of the canonical `aa aa`). The fix
+    * is the double-delimiter rescan: double every space (making each
+    * boundary two spaces), replace `' l  r '` with `' lr '` — the
+    * single flanking spaces are each HALF of a boundary, so
+    * consecutive matches stay visible to the continuing scan — then
+    * collapse the surviving double spaces. Plain-text replace-all
+    * scans left-to-right and never rescans its own output in BOTH
+    * Spark (`UTF8String.replace`) and DuckDB, so this is exactly the
+    * greedy non-overlapping pass canonical BPE trainers run, replayed
+    * bit-for-bit by the oracle's identical 3-replace chain. */
   private[graft] def bpeMergeCol(syms: Column, l: String,
       r: String): Column =
-    replace(syms, lit(s" $l $r "), lit(s" $l$r "))
+    replace(
+      replace(
+        replace(syms, lit(" "), lit("  ")),
+        lit(s" $l  $r "), lit(s" $l$r ")),
+      lit("  "), lit(" "))
 
   /** Tokenizer APPLY: fold an ORDERED merge-rule list (the shipped
     * model — [[graft.sink.ModelStore.loadBpe]]) over a symbol

@@ -78,6 +78,30 @@ class Round13Spec extends AnyFunSuite {
     } finally graft.sink.ParquetSink.delete(new java.io.File(root))
   }
 
+  test("BPE merge application is canonical non-overlapping " +
+      "left-to-right on symbol runs (r12 #5)") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val v = Seq(
+      (" a a a a ", 1L), // even run: all pairs merge -> aa aa
+      (" a a a ", 1L), // odd run: trailing symbol survives -> aa a
+      (" b a a b ", 1L), // interior pair
+      (" a b a ", 1L), // non-adjacent: unchanged
+      (" a ", 1L) // single symbol: unchanged
+    ).toDF("syms", "cnt")
+    val out = TextAnalysis
+      .bpeApplyMerges(v, Seq((1L, "a", "a", 0L)))
+      .select("syms").as[String].collect().toSet
+    assert(out === Set(" aa aa ", " aa a ", " b aa b ", " a b a ", " a "))
+    // two-rule fold: (a,a) then (aa,aa) — the second rule sees the
+    // first pass's output, so " a a a a " -> " aa aa " -> " aaaa "
+    val out2 = TextAnalysis
+      .bpeApplyMerges(Seq((" a a a a ", 1L)).toDF("syms", "cnt"),
+        Seq((1L, "a", "a", 0L), (2L, "aa", "aa", 0L)))
+      .select("syms").as[String].collect().toSeq
+    assert(out2 === Seq(" aaaa "))
+  }
+
   test("MV memoization: second consumer reads the same snapshot; " +
       "refresh() forces a rebuild") {
     graft.Tables.tune(spark)
