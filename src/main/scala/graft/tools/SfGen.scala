@@ -86,7 +86,32 @@ object SfGen {
       "l_suppkey" -> oSup)
     replicate("events", "event_id" -> oEvt, "user_id" -> oUsr)
     replicate("documents", "doc_id" -> oDoc)
-    replicate("embeddings", "vec_id" -> oVec)
+    // SPARK_GRAFT_SF_PERTURB=1 (VERDICT r12 #6): exact-copy embedding
+    // twins SATURATE small-k ANN recall by construction (each query's
+    // 9 twins are cosine-1 neighbors, so every index finds them and
+    // recall reads 1.0 — a degenerate benchmark). Perturbed mode adds
+    // DETERMINISTIC per-(copy, vector, dimension) noise to copies > 0:
+    // component delta = (xxhash64(vec_id, i, copy) mod 1000 − 500)·1e-4
+    // (≤ ±0.05 per dim — copies become near-dups at cosine ≈ 0.998,
+    // near the top of the ranking but no longer tied), leaving copy 0
+    // bit-identical so the original corpus stays embedded. Hash noise,
+    // not rand(): reruns regenerate the same corpus bit-for-bit.
+    val perturb = sys.env.getOrElse("SPARK_GRAFT_SF_PERTURB", "0") == "1"
+    if (!perturb) replicate("embeddings", "vec_id" -> oVec)
+    else {
+      val df = load("embeddings")
+      val out = (0 until copies).map { i =>
+        val shifted = df.withColumn("vec_id",
+          (col("vec_id") + lit(i * oVec)).cast(df.schema("vec_id").dataType))
+        if (i == 0) shifted
+        else shifted.withColumn("embedding", expr(
+          s"""transform(embedding, (x, i) ->
+             |  CAST(x + (pmod(xxhash64(vec_id, i, $i), 1000) - 500)
+             |    * CAST(1e-4 AS DOUBLE) AS FLOAT))""".stripMargin))
+      }.reduce(_ unionByName _)
+      writeSingleFile(out, "embeddings")
+      println(s"embeddings: perturbed x$copies (copy 0 exact)")
+    }
     spark.stop()
   }
 }
