@@ -30,15 +30,20 @@ object Bench {
     // start/end pair cannot attribute drift to a phase — r12's builder
     // run started at 0.34 and ended at 2.90 and nine query deltas were
     // unexplainable from the artifact alone. Each phase records the
-    // 1-min load at ITS start; `load_max` tracks the highest sample
-    // seen at any query/phase boundary; `load_contaminated` is true if
-    // ANY phase starts above the gate (not just the run).
+    // 1-min load at ITS start and `load_max` the highest sample at any
+    // query/phase boundary. CONTAMINATION trips only on PRE-WORK
+    // samples (run start + queries-phase start): once the bench's own
+    // 32-thread work is running, the 1-min average reflects SELF-load
+    // (measured 6-9 right after the queries loop on an otherwise idle
+    // box), so gating mid-run stamps would false-positive every run —
+    // the ingest/cascade stamps are ATTRIBUTION data, comparable
+    // against the same stamp in other rounds' artifacts, not a gate.
     var loadMax = loadStart
     def sampleLoad(): Double = {
       val l = loadAvg; if (l > loadMax) loadMax = l; l
     }
     var loadContaminated = loadStart > maxLoad
-    def phaseLoad(): Double = {
+    def preWorkLoad(): Double = {
       val l = sampleLoad()
       if (l > maxLoad) loadContaminated = true
       l
@@ -79,7 +84,7 @@ object Bench {
     // ±20% order-dependent variance band; the warm column is the one to
     // read before calling something a regression (VERDICT r5 #8).
     var failures = List.empty[String]
-    val loadPhaseQueries = phaseLoad()
+    val loadPhaseQueries = preWorkLoad()
     // Deterministic execution order: SparkEntry.queries is a HashMap, so
     // iteration order reshuffles whenever a key is added — which makes
     // round-over-round per-query deltas noise-limited (VERDICT r8 #1:
@@ -118,7 +123,7 @@ object Bench {
     // receipt->tx resolution + event emission + nep245 silver decode
     // over synthetic chained blocks.
     val nBlocks = sys.env.getOrElse("SPARK_GRAFT_BENCH_BLOCKS", "2000").toInt
-    val loadPhaseIngest = phaseLoad()
+    val loadPhaseIngest = sampleLoad() // attribution only (self-load)
     val blocksPerSec = try {
       import spark.implicits._
       val blocks = spark.createDataset(
@@ -159,7 +164,7 @@ object Bench {
     val cascadeBlocks =
       sys.env.getOrElse("SPARK_GRAFT_CASCADE_BLOCKS", "2000").toInt
     val perFile = sys.env.getOrElse("SPARK_GRAFT_CASCADE_PER_FILE", "100").toInt
-    val loadPhaseCascade = phaseLoad()
+    val loadPhaseCascade = sampleLoad() // attribution only (self-load)
     val cascadeBps = try {
       val base = java.nio.file.Files
         .createTempDirectory("graft_cascade").toString
@@ -196,7 +201,7 @@ object Bench {
       "execution order is sorted query name (deterministic since r9; r1-r8 were HashMap order); " +
       "ingest is a warm rerun after an untimed full-pipeline warm-up (since r5; r1-r4 were cold); " +
       "since r11 the run waits (<=10 min) for 1-min load <= load_gate before timing and stamps load_contaminated if it never drops; " +
-      "since r13 each phase (queries/ingest/cascade) stamps the 1-min load at ITS start, load_max is the highest sample at any query/phase boundary, and load_contaminated is true if ANY phase started above the gate - a drifted run shows low early phase stamps and a high load_max/late stamp, so per-phase numbers can be trusted or discarded individually; " +
+      "since r13 each phase (queries/ingest/cascade) stamps the 1-min load at ITS start and load_max the highest sample at any query/phase boundary; contamination trips only on PRE-WORK samples (run start + queries start) because mid-run 1-min averages include the bench's own 32-thread load (6-9 on an idle box) - read the ingest/cascade stamps COMPARATIVELY against other rounds' same stamp to attribute drift, not against the gate; " +
       "s_ann_kmeans contract number is the full-bench warm column (codegen cache shared across the session) - an isolated single-query session measures ~1.3s vs ~0.8s here and both are healthy"
     val loadEnd = sampleLoad()
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"queries":$qs,"queries_warm":$qsWarm,"failed":$failed,"ingest_blocks_per_sec":$blocksPerSec,"ingest_blocks_n":$nBlocks,"ingest_cascade_blocks_per_sec":$cascadeBps,"ingest_cascade_blocks_n":$cascadeBlocks,"ingest_cascade_per_file":$perFile,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_phase_queries":$loadPhaseQueries,"load_phase_ingest":$loadPhaseIngest,"load_phase_cascade":$loadPhaseCascade,"load_max":$loadMax,"load_gate":$maxLoad,"load_contaminated":$loadContaminated,"sf":"$sfDir","note":"$note"}""")

@@ -40,7 +40,7 @@ object SparkEntry {
       name == "w_stream_funnel" ||
       name == "t_stream_pareto" || name == "k_stream_tombstone" ||
       name == "w_stream_rfm" || name == "w_stream_anomaly_mad" ||
-      name == "g_stream_pagerank" ||
+      name == "g_stream_pagerank" || name == "g_stream_bfs" ||
       // model-store twins: their wall time is dominated by the train
       // pass they deliberately re-run to produce the stored versions —
       // the benched train-inline queries already time that work
@@ -266,6 +266,10 @@ object SparkEntry {
     // compaction of both state tables); same oracle as batch g_pagerank
     "g_stream_pagerank"  -> ((s, d) =>
       graft.streaming.StreamingGraph.gStreamPagerank(s, d)),
+    // BFS over the same incrementally-maintained edge MV; same oracle
+    // as batch g_bfs_distance
+    "g_stream_bfs"       -> ((s, d) =>
+      graft.streaming.StreamingGraph.gStreamBfs(s, d)),
     // model-store apply twins: train -> save stale v1 -> save real v2
     // -> load latest (PK-FINAL) -> apply via the SHARED search/encode/
     // score bodies; same oracles as the train-inline queries
@@ -1006,6 +1010,7 @@ object SparkEntry {
       // apply twins read the stored latest version into the SAME
       // search/encode/score bodies as the train-inline queries
       "g_stream_pagerank" -> m("g_pagerank"),
+      "g_stream_bfs" -> m("g_bfs_distance"),
       "s_ann_kmeans_stored" -> m("s_ann_kmeans"),
       "s_ann_pq_stored" -> m("s_ann_pq"),
       "t_bpe_encode_stored" -> m("t_bpe_encode"),

@@ -157,4 +157,13 @@ object StreamingGraph {
       nChunks: Int = 5): DataFrame =
     graft.queries.EventQueries.pageRankFromEdges(
       streamedEdges(spark, dir, nChunks).localCheckpoint())
+
+  /** Declared query (`g_stream_bfs`): multi-source BFS over the same
+    * incrementally-maintained edge MV, through the SAME from-edges body
+    * as the batch query. Equals the batch `g_bfs_distance` and shares
+    * its oracle. Correctness-only (micro-batch orchestration cost). */
+  def gStreamBfs(spark: SparkSession, dir: String,
+      nChunks: Int = 5): DataFrame =
+    graft.queries.EventQueries.bfsFromEdges(
+      streamedEdges(spark, dir, nChunks).localCheckpoint())
 }

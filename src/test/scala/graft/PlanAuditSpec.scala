@@ -394,8 +394,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "w_stream_anomaly_mad",
     "t_stream_sample_priority", "t_stream_weighted_percentiles",
     "w_stream_funnel", "t_stream_pareto",
-    // builder streams the event log into the maintained graph MV
-    "g_stream_pagerank")
+    // builders stream the event log into the maintained graph MV
+    "g_stream_pagerank", "g_stream_bfs")
 
   test("no declared query plans a CartesianProduct, and forced broadcasts stay on bounded relations") {
     graft.Tables.tune(spark)
