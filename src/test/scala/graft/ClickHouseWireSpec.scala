@@ -12,7 +12,7 @@ import graft.sink.{ClickHouseDialect, ClickHouseSilverDdl}
   * enables it with ONE flag:
   *
   * {{{
-  *   SPARK_GRAFT_CH_URL=http://host:8123 \
+  *   SPARK_GRAFT_CH_URL=http://localhost:8123 \
   *   SPARK_GRAFT_CH_USER=default SPARK_GRAFT_CH_PASSWORD=... \
   *   SPARK_GRAFT_CH_DATABASE=default sbt "testOnly graft.ClickHouseWireSpec"
   * }}}
