@@ -291,8 +291,23 @@ object Similarity {
     val e = withNorm(embeddings(spark, dir))
       .select(col("vec_id"), col("emb"), col("nrm"))
       .localCheckpoint() // trainer + assignment + search all read it
-    kmeansSearch(e, kmeansCentroids(e, nCells, iters), k, nQueries, nprobe)
+    kmeansSearch(e, kmeansModel(e, dir, nCells, iters), k, nQueries, nprobe)
   }
+
+  /** Session MODEL cache — the in-process read path of the model store
+    * (VERDICT r12 #1): the coarse quantizer for (dir, k, iters) is
+    * bit-identical for every consumer in a session ([[sAnnKmeans]],
+    * [[sSemanticDedup]], and [[sAnnRecall]]'s composition), so train
+    * once and share the k·d driver constants — the production posture
+    * where training is a rare scheduled producer and queries are apply
+    * passes. The persisted contract (versioning, as-of pins) is
+    * [[graft.sink.ModelStore]]; this is its session-lifetime analog,
+    * keyed like [[graft.sink.SessionMv]] snapshots. */
+  private val kmeansMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int), Array[Array[Double]]]
+  private def kmeansModel(e: DataFrame, dir: String, k: Int,
+      iters: Int): Array[Array[Double]] =
+    kmeansMemo.getOrElseUpdate((dir, k, iters), kmeansCentroids(e, k, iters))
 
   /** The APPLY half of [[sAnnKmeans]] — multi-probe IVF search against
     * a GIVEN centroid set: the constant-cost production path once the
@@ -659,7 +674,7 @@ object Similarity {
     val e = withNorm(embeddings(spark, dir))
       .select(col("vec_id"), col("emb"), col("nrm"))
       .localCheckpoint() // trainer + assignment read it
-    val centroids = kmeansCentroids(e, nCells, iters)
+    val centroids = kmeansModel(e, dir, nCells, iters)
     // persisted: both self-join sides and the survivor join read it
     // (tracked cache contract — released by the materializer)
     val assigned = QueryCaches.persistTracked(withCell(e, centroids)

@@ -70,37 +70,18 @@ object CoOccurrenceMv {
 
   // ---------------------------------------------------- materialization
 
-  /** (source dir, snapshot path) of the session's built snapshot. */
-  @volatile private var built: Option[(String, String)] = None
-
-  private lazy val mvRoot: String = {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_graph_mv_").toFile
-    sys.addShutdownHook {
-      graft.sink.ParquetSink.delete(root)
-    }
-    root.getAbsolutePath
-  }
-
-  /** The maintained edge table for `dir` — built on first consumption,
-    * then a plain parquet read for every later consumer (and for the
-    * first consumer's own downstream stages). */
-  def edges(spark: SparkSession, dir: String): DataFrame = {
-    val path = synchronized {
-      built match {
-        case Some((d, p)) if d == dir => p
-        case _ =>
-          val p = s"$mvRoot/edges"
-          val snapshot = pairCounts(occupancy(events(spark, dir)))
-          graft.sink.ParquetSink.replaceSnapshot(snapshot, p)
-          built = Some((dir, p))
-          p
-      }
-    }
-    edgesFromCounts(spark.read.parquet(path))
-  }
+  /** The maintained edge table for `dir` — built on first consumption
+    * through the session MV registry ([[graft.sink.SessionMv]]), then a
+    * plain parquet read for every later consumer (and for the first
+    * consumer's own downstream stages). */
+  def edges(spark: SparkSession, dir: String): DataFrame =
+    edgesFromCounts(graft.sink.SessionMv.snapshot(spark,
+      s"co_occurrence_counts:$dir") {
+      pairCounts(occupancy(events(spark, dir)))
+    })
 
   /** Force a rebuild on next read — the scheduled-refresh seam (S4's
-    * `REFRESH EVERY 1 DAY` analog) and the suite's isolation hook. */
-  def refresh(): Unit = synchronized { built = None }
+    * `REFRESH EVERY 1 DAY` analog) and the suite's isolation hook.
+    * Registry-wide: the near-dup pair MV refreshes with it. */
+  def refresh(): Unit = graft.sink.SessionMv.refreshAll()
 }
