@@ -41,6 +41,7 @@ object SparkEntry {
       name == "t_stream_pareto" || name == "k_stream_tombstone" ||
       name == "w_stream_rfm" || name == "w_stream_anomaly_mad" ||
       name == "g_stream_pagerank" || name == "g_stream_bfs" ||
+      name == "d_stream_dup_groups" ||
       // model-store twins: their wall time is dominated by the train
       // pass they deliberately re-run to produce the stored versions —
       // the benched train-inline queries already time that work
@@ -332,6 +333,10 @@ object SparkEntry {
     // mid-stream restart); same oracle as the batch twin
     "d_stream_minhash"  -> ((s, d) =>
       graft.streaming.StreamingDedup.dStreamMinhash(s, d)),
+    // components derived AT READ from the incrementally-maintained
+    // pair MV; same oracle as the batch d_dup_groups (r13)
+    "d_stream_dup_groups" -> ((s, d) =>
+      graft.streaming.StreamingDedup.dStreamDupGroups(s, d)),
     // incremental EXACT prefix join (one-sided prefix theorem — recall
     // 1 under evolving document frequencies); same oracle as the batch
     // prefix twin
@@ -1011,6 +1016,7 @@ object SparkEntry {
       // search/encode/score bodies as the train-inline queries
       "g_stream_pagerank" -> m("g_pagerank"),
       "g_stream_bfs" -> m("g_bfs_distance"),
+      "d_stream_dup_groups" -> m("d_dup_groups"),
       "s_ann_kmeans_stored" -> m("s_ann_kmeans"),
       "s_ann_pq_stored" -> m("s_ann_pq"),
       "t_bpe_encode_stored" -> m("t_bpe_encode"),

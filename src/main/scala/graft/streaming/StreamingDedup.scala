@@ -258,7 +258,13 @@ object StreamingDedup {
     * from Bench): its cost is micro-batch orchestration, not data
     * volume; the batch twin is the benched operator. */
   def dStreamMinhash(spark: SparkSession, dir: String,
-      nChunks: Int = 5, threshold: Double = 0.8): DataFrame = {
+      nChunks: Int = 5, threshold: Double = 0.8): DataFrame =
+    streamedPairs(spark, dir, nChunks, threshold)
+
+  /** The streamed pair MV build shared by [[dStreamMinhash]] and the
+    * derived-at-read components twin ([[dStreamDupGroups]]). */
+  private def streamedPairs(spark: SparkSession, dir: String,
+      nChunks: Int, threshold: Double): DataFrame = {
     graft.Tables.tune(spark)
     val feed = freshDir("dedup_feed")
     val warehouse = freshDir("dedup_wh")
@@ -272,4 +278,20 @@ object StreamingDedup {
     runStream(spark, feed, warehouse, threshold = threshold)
     pairsTable(spark, warehouse)
   }
+
+  /** Declared query (`d_stream_dup_groups`): connected components
+    * derived AT READ from the incrementally-maintained pair MV — the
+    * component labeling is non-additive (one late pair can merge two
+    * groups), but its input pair relation is the append-only PK-FINAL
+    * MV this stream maintains, so the read runs THE shared
+    * [[graft.llm.Dedup.minLabelComponents]] over the accumulated table
+    * (the RFM/MAD derive-at-read discipline). Equals the batch
+    * `d_dup_groups` and shares its oracle. Correctness-only. */
+  def dStreamDupGroups(spark: SparkSession, dir: String,
+      nChunks: Int = 5, threshold: Double = 0.8): DataFrame =
+    graft.llm.Dedup.minLabelComponents(
+      streamedPairs(spark, dir, nChunks, threshold)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint())
+      .orderBy(col("doc_id"))
 }

@@ -395,7 +395,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_stream_sample_priority", "t_stream_weighted_percentiles",
     "w_stream_funnel", "t_stream_pareto",
     // builders stream the event log into the maintained graph MV
-    "g_stream_pagerank", "g_stream_bfs")
+    "g_stream_pagerank", "g_stream_bfs",
+    // builder streams documents into the maintained pair MV
+    "d_stream_dup_groups")
 
   test("no declared query plans a CartesianProduct, and forced broadcasts stay on bounded relations") {
     graft.Tables.tune(spark)
