@@ -30,6 +30,7 @@ object SparkEntry {
       name == "d_stream_spans" || name == "g_stream_retention" ||
       name == "pipe_stream_clean" ||
       name == "t_stream_dataset_card" || name == "s_stream_ann_lsh" ||
+      name == "s_stream_ann_kmeans" ||
       name == "w_stream_rolling_7d" || name == "t_stream_heavy_hitters" ||
       name == "w_stream_anomaly" || name == "w_stream_range_join" ||
       name == "w_stream_gap_fill" || name == "k_stream_scd2" ||
@@ -386,6 +387,11 @@ object SparkEntry {
     // mid-stream restart); same probe set, same oracle as the batch
     "s_stream_ann_lsh"  -> ((s, d) =>
       graft.streaming.StreamingAnnIndex.sStreamAnnLsh(s, d)),
+    // the FULL production ANN topology: stored quantizer (versioned
+    // model store) + corpus streamed through the fixed model into an
+    // index MV + the shared multi-probe search; same oracle as batch
+    "s_stream_ann_kmeans" -> ((s, d) =>
+      graft.streaming.StreamingAnnIndex.sStreamAnnKmeans(s, d)),
     // trained k-means quantizer: deterministic fixed-seed Lloyd with a
     // quantized (order-independent) update -> the oracle replays both
     // iterations as CTEs and hash-matches exactly
@@ -1017,6 +1023,7 @@ object SparkEntry {
       "g_stream_pagerank" -> m("g_pagerank"),
       "g_stream_bfs" -> m("g_bfs_distance"),
       "d_stream_dup_groups" -> m("d_dup_groups"),
+      "s_stream_ann_kmeans" -> m("s_ann_kmeans"),
       "s_ann_kmeans_stored" -> m("s_ann_kmeans"),
       "s_ann_pq_stored" -> m("s_ann_pq"),
       "t_bpe_encode_stored" -> m("t_bpe_encode"),

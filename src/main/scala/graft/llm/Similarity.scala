@@ -317,9 +317,28 @@ object Similarity {
     * search cannot drift from freshly-trained search. */
   private[llm] def kmeansSearch(e: DataFrame,
       centroids: Array[Array[Double]], k: Int, nQueries: Int,
+      nprobe: Int): DataFrame =
+    kmeansSearchIndexed(withCell(e, centroids), centroids, k, nQueries,
+      nprobe)
+
+  /** Cell assignment for an external index builder (the streaming
+    * index MV) — THE same argmax expression the batch build uses, so
+    * the two index builds cannot drift. `df` needs (vec_id, emb, nrm). */
+  private[graft] def assignCells(df: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = withCell(df, centroids)
+
+  /** Multi-probe search over an ASSIGNED (vec_id, emb, nrm, cell)
+    * index relation — shared by the batch query (which assigns inline)
+    * and the streamed index MV
+    * ([[graft.streaming.StreamingAnnIndex.sStreamAnnKmeans]]), the
+    * [[annLshSearch]] discipline: one search implementation over two
+    * index builds. */
+  private[graft] def kmeansSearchIndexed(assigned: DataFrame,
+      centroids: Array[Array[Double]], k: Int, nQueries: Int,
       nprobe: Int): DataFrame = {
-    val assigned = withCell(e, centroids)
-    val q = withProbeCells(e.filter(col("vec_id") < nQueries),
+    val q = withProbeCells(
+        assigned.select(col("vec_id"), col("emb"), col("nrm"))
+          .filter(col("vec_id") < nQueries),
         centroids, nprobe)
       .select(col("vec_id").as("query_id"), col("cell").as("q_cell"),
         col("emb").as("q_emb"), col("nrm").as("q_nrm"))

@@ -92,6 +92,81 @@ object StreamingAnnIndex {
     * over two index builds must be one result). Correctness-only:
     * its cost is micro-batch orchestration, the batch twin is the
     * benched operator. */
+  /** Stream every unconsumed chunk into the IVF index table: per
+    * micro-batch, one narrow map assigning each vector to its coarse
+    * cell with the FIXED stored quantizer
+    * ([[graft.llm.Similarity.assignCells]] — the same argmax
+    * expression as the batch build), appended through the
+    * ReplacingMergeTree-analog sink keyed on vec_id. */
+  def runKmeansStream(spark: SparkSession, feedDir: String,
+      warehouse: String, centroids: Array[Array[Double]]): Unit = {
+    val path = s"$warehouse/ivf_vectors"
+    val query = StreamingDedup.readDocStream(spark, feedDir, vecSchema)
+      .writeStream
+      .option("checkpointLocation", s"$warehouse/_ivf_checkpoint")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val batch = b.localCheckpoint()
+        if (!batch.isEmpty) {
+          val maxId = batch.agg(max(col("doc_id"))).collect()(0).getLong(0)
+          val assigned = graft.llm.Similarity.assignCells(
+            batch.select(col("doc_id").as("vec_id"),
+                col("embedding").as("emb"))
+              .withColumn("nrm", sqrt(expr("dot_product(emb, emb)"))),
+            centroids)
+            .withColumn("block_height", col("vec_id"))
+          ParquetSink.writeBatch(assigned, path, maxId, Seq("vec_id"))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** Declared query (`s_stream_ann_kmeans`): the FULL production ANN
+    * topology in one scenario — the trained coarse quantizer persists
+    * through the versioned model store (the rare producer pass,
+    * VERDICT r12 #1), the corpus STREAMS through the fixed stored
+    * model into an incrementally-absorbed index MV (checkpointed, two
+    * chunks, a mid-stream restart), and the search runs the SAME
+    * multi-probe implementation as the batch query over the
+    * accumulated index. Equals batch `s_ann_kmeans` and shares its
+    * oracle: the model is bit-identical (trained on the full corpus,
+    * stored, loaded), assignment is the same expression, search is
+    * the same body. Correctness-only. */
+  def sStreamAnnKmeans(spark: SparkSession, dir: String, k: Int = 3,
+      nQueries: Int = 20, nCells: Int = 8, iters: Int = 2,
+      nprobe: Int = 2, nChunks: Int = 5): DataFrame = {
+    graft.Tables.tune(spark)
+    val feed = StreamingDedup.freshDir("ivf_feed")
+    val warehouse = StreamingDedup.freshDir("ivf_wh")
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    // PRODUCER: train on the full corpus, persist versioned, load back
+    val eTrain = vecs
+      .select(col("doc_id").as("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+      .localCheckpoint()
+    val modelRoot = StreamingDedup.freshDir("ivf_model_store")
+    graft.sink.ModelStore.saveKmeans(spark, modelRoot, "ivf_stream", 1L,
+      graft.llm.Similarity.kmeansCentroids(eTrain, nCells, iters))
+    val centroids =
+      graft.sink.ModelStore.loadKmeans(spark, modelRoot, "ivf_stream")
+    ParquetSink.delete(new java.io.File(modelRoot))
+    // CONSUMER: stream the corpus through the fixed stored model
+    StreamingDedup.writeDocChunks(spark, vecs, feed, nChunks,
+      takeChunks = 2, schema = vecSchema)
+    runKmeansStream(spark, feed, warehouse, centroids)
+    StreamingDedup.writeDocChunks(spark, vecs, feed, nChunks,
+      schema = vecSchema)
+    runKmeansStream(spark, feed, warehouse, centroids)
+    val index = ParquetSink.readFinal(
+      spark.read.parquet(s"$warehouse/ivf_vectors"), Seq("vec_id"))
+      .select("vec_id", "emb", "nrm", "cell")
+    graft.llm.Similarity.kmeansSearchIndexed(index, centroids, k,
+      nQueries, nprobe)
+  }
+
   def sStreamAnnLsh(spark: SparkSession, dir: String, k: Int = 3,
       nQueries: Int = 20, nPlanes: Int = 4, nChunks: Int = 5): DataFrame = {
     graft.Tables.tune(spark)

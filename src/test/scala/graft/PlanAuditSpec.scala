@@ -397,7 +397,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // builders stream the event log into the maintained graph MV
     "g_stream_pagerank", "g_stream_bfs",
     // builder streams documents into the maintained pair MV
-    "d_stream_dup_groups")
+    "d_stream_dup_groups",
+    // builder trains+stores the quantizer and streams the index MV
+    "s_stream_ann_kmeans")
 
   test("no declared query plans a CartesianProduct, and forced broadcasts stay on bounded relations") {
     graft.Tables.tune(spark)
