@@ -30,7 +30,12 @@ object ExplainAudit {
         // at plan construction — small driver jobs, like the k-means
         // entries above)
         "t_heavy_hitters", "d_walk_counts", "w_interval_coverage",
-        "s_quantize_int8")
+        "s_quantize_int8",
+        // round 13: the session-MV consumers — their plans should show
+        // a plain parquet scan of the maintained snapshot feeding the
+        // analytic, not the full re-derivation (first call builds the
+        // snapshot as a side effect, like the k-means entries above)
+        "g_pagerank", "d_dup_groups", "near_skew_gold")
     names.foreach { n =>
       println(s"===== $n =====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
