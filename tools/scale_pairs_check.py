@@ -293,8 +293,20 @@ def main():
             ok &= check("d_cc_stars@" + sfdir +
                         " (full union-find replay)",
                         got_stars, want_groups)
+        # the streamed twin derives the SAME labels at read from the
+        # incrementally-maintained pair MV — same replay verifies it
+        if have("d_stream_dup_groups"):
+            got_stream = spark_rows(outdir, "d_stream_dup_groups",
+                                    ["doc_id", "group_id"])
+            ok &= check("d_stream_dup_groups@" + sfdir +
+                        " (full union-find replay)",
+                        got_stream, want_groups)
     if have("d_cc_stars") and (mh is None or not have("d_dup_groups")):
         print("SKIP d_cc_stars (needs the d_minhash_pairs + "
+              "d_dup_groups dumps)")
+    if have("d_stream_dup_groups") and (mh is None
+                                        or not have("d_dup_groups")):
+        print("SKIP d_stream_dup_groups (needs the d_minhash_pairs + "
               "d_dup_groups dumps)")
 
     # ---- d_cluster_rep: FULL keeper-policy replay over the groups ----
