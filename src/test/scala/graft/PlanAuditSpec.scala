@@ -427,6 +427,10 @@ class PlanAuditSpec extends AnyFunSuite {
           failures += s"$name: a broadcast hint sits on a relation exposing " +
             s"none of ${markers.mkString("{", ",", "}")} — not a whitelisted bounded dim"
       }
+      // honor the cache CONTRACT, not just the cache: releaseAll also
+      // runs onRelease cleanups (the lazy model-store/bucketed-table
+      // deletions) — clearCache alone leaked one store dir per sweep
+      QueryCaches.releaseAll()
       spark.catalog.clearCache()
     }
     assert(failures.isEmpty, failures.mkString("\n"))
