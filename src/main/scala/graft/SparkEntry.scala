@@ -380,6 +380,10 @@ object SparkEntry {
     "pipe_stream_clean" -> ((s, d) =>
       graft.streaming.StreamingCorpusClean.pipeStreamClean(s, d)),
     "s_cosine_topk"     -> ((s, d) => Similarity.sCosineTopk(s, d)),
+    // embedding-cosine eval-set leakage report (the n-gram
+    // decontamination's semantic twin): per probe, leak count at the
+    // 0.4 near-dup line + worst offender; zero-leak probes keep a row
+    "s_decontaminate"   -> ((s, d) => Similarity.sDecontaminate(s, d)),
     "s_cosine_pairs"    -> ((s, d) => Similarity.sCosinePairs(s, d)),
     "s_ann_ivf"         -> ((s, d) => Similarity.sAnnIvf(s, d)),
     "s_ann_lsh"         -> ((s, d) => Similarity.sAnnLsh(s, d)),
@@ -2987,6 +2991,29 @@ object SparkEntry {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cosine FROM p
         |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    // per-probe leak census at the same 0.4 line; worst offender =
+    // the (cosine DESC, vec_id) rank-1 row; zero-leak probes keep a
+    // 0-count row via the left join back to the probe set
+    "s_decontaminate" ->
+      """WITH n AS (SELECT vec_id, emb,
+        |    sqrt(list_sum(list_transform(list_zip(emb, emb), x -> x[1] * x[2]))) AS nrm
+        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e),
+        |h AS (SELECT q.vec_id AS probe_id, x.vec_id AS vec_id,
+        |    list_sum(list_transform(list_zip(q.emb, x.emb), x2 -> x2[1] * x2[2]))
+        |      / (q.nrm * x.nrm) AS cosine
+        |  FROM n q JOIN n x ON q.vec_id < 32 AND x.vec_id != q.vec_id),
+        |f AS (SELECT * FROM h WHERE cosine >= 0.4),
+        |r AS (SELECT probe_id, vec_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY cosine DESC, vec_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY probe_id) AS nl
+        |  FROM f)
+        |SELECT q.probe_id,
+        |  CAST(COALESCE(r.nl, 0) AS BIGINT) AS n_leaked,
+        |  r.vec_id AS top_vec_id, r.cosine AS top_cosine
+        |FROM (SELECT vec_id AS probe_id FROM n WHERE vec_id < 32) q
+        |LEFT JOIN (SELECT * FROM r WHERE rk = 1) r USING (probe_id)
+        |ORDER BY probe_id""".stripMargin,
     "s_ann_ivf" ->
       """WITH n AS (SELECT vec_id, label, emb,
         |    sqrt(list_sum(list_transform(list_zip(emb, emb), x -> x[1] * x[2]))) AS nrm

@@ -69,6 +69,53 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SEMANTIC DECONTAMINATION — embedding-cosine leakage of an eval
+    * probe set into the training corpus: per probe, how many corpus
+    * vectors sit at cosine ≥ threshold, and the worst offender. The
+    * embedding-modality twin of the n-gram
+    * [[graft.llm.TextAnalysis.tDecontaminate]] — paraphrased or
+    * lightly-reworded benchmark items share no 8-gram with the eval
+    * text but DO sit close in embedding space, which is exactly the
+    * leakage the SemDeDup-style curation literature screens for before
+    * training.
+    *
+    * Shape at 100 TB: the eval set is bounded by definition (it is a
+    * benchmark), so it broadcasts; the corpus is scanned ONCE with a
+    * codegen'd fold per (probe, vector); the only shuffle is the
+    * nProbes-key aggregation. Worst-offender attribution is the house
+    * argMax discipline (`max(struct(cosine, −vec_id))` — ties resolve
+    * to the smallest vec_id, the oracle's `ORDER BY cosine DESC,
+    * vec_id` rank-1 row). Probes with NO leak keep a 0-count row (left
+    * join back to the probe set), so the report is always
+    * nProbes-long and a clean corpus is visible, not vacuous. The
+    * threshold sits at the corpus's measured 0.4 near-dup line
+    * ([[sCosinePairs]]); fold and division are bit-identical
+    * cross-engine, so the ≥ cut cannot flake. */
+  def sDecontaminate(spark: SparkSession, dir: String,
+      nProbes: Int = 32, threshold: Double = 0.4): DataFrame = {
+    val e = withNorm(embeddings(spark, dir)).select("vec_id", "emb", "nrm")
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val hits = broadcast(probes).crossJoin(e)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        dot("q_emb", "emb") / (col("q_nrm") * col("nrm")))
+      .filter(col("cosine") >= threshold)
+    val perProbe = hits.groupBy(col("probe_id"))
+      .agg(
+        count(lit(1)).as("n_leaked"),
+        max(struct(col("cosine"), (-col("vec_id")).as("nid"))).as("top"))
+    probes.select(col("probe_id"))
+      .join(perProbe, Seq("probe_id"), "left")
+      .select(
+        col("probe_id"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        (-col("top.nid")).as("top_vec_id"),
+        col("top.cosine").as("top_cosine"))
+      .orderBy(col("probe_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
     * cosine ≥ threshold — EXACT (recall 1 by construction, any input
     * distribution).

@@ -33,6 +33,7 @@ class PlanAuditSpec extends AnyFunSuite {
       ((2, Set("n_nationkey", "r_regionkey"))), // nation(25) + region(5)
     "q9_product_profit" -> ((1, Set("n_nationkey"))), // nation(25)
     "s_cosine_topk" -> ((1, Set("query_id"))), // ≤k query vectors by contract
+    "s_decontaminate" -> ((1, Set("probe_id"))), // bounded eval-probe set
     // rrf fusion reuses sCosineTopk's ≤k-query broadcast verbatim
     "t_rrf_fusion" -> ((1, Set("query_id"))),
     "s_ann_ivf" -> ((1, Set("query_id"))), // ≤k query vectors by contract

@@ -78,6 +78,50 @@ class Round13Spec extends AnyFunSuite {
     } finally graft.sink.ParquetSink.delete(new java.io.File(root))
   }
 
+  test("semantic decontamination equals a plain-Scala leak census " +
+      "(counts, worst offender, zero-leak probes kept)") {
+    graft.Tables.tune(spark)
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as emb")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (a.indices).foreach { i =>
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val model = vecs.keys.filter(_ < 32).toSeq.sorted.map { p =>
+      val hits = vecs.toSeq.filter(_._1 != p)
+        .map { case (v, e) => (v, cos(vecs(p), e)) }
+        .filter(_._2 >= 0.4)
+      if (hits.isEmpty) (p, 0L, None, None)
+      else {
+        val (tv, tc) = hits.minBy { case (v, c) => (-c, v) }
+        (p, hits.size.toLong, Some(tv), Some(tc))
+      }
+    }
+    val got = graft.llm.Similarity.sDecontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toSeq
+    // the local fold sums in a different order than the codegen'd
+    // sequential fold, so compare cosines at 1e-12, exact elsewhere
+    assert(got.size === model.size)
+    got.zip(model).foreach { case ((gp, gn, gv, gc), (mp, mn, mv, mc)) =>
+      assert(gp === mp); assert(gn === mn); assert(gv === mv)
+      (gc, mc) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-12)
+        case (a, b) => assert(a === b)
+      }
+    }
+    // non-degenerate both ways: some probe leaks, the census is bounded
+    assert(got.exists(_._2 > 0))
+    QueryCaches.releaseAll()
+  }
+
   test("BPE merge application is canonical non-overlapping " +
       "left-to-right on symbol runs (r12 #5)") {
     import spark.implicits._
