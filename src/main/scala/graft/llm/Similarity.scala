@@ -352,6 +352,9 @@ object Similarity {
     * keyed like [[graft.sink.SessionMv]] snapshots. */
   private val kmeansMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Int, Int), Array[Array[Double]]]
+  // the refresh seam covers this memo too (ADVICE r13 #1): a corpus
+  // regenerated in-process refreshes the MVs AND retrains the quantizer
+  graft.sink.SessionMv.onRefresh("kmeans_memo")(() => kmeansMemo.clear())
   private def kmeansModel(e: DataFrame, dir: String, k: Int,
       iters: Int): Array[Array[Double]] =
     kmeansMemo.getOrElseUpdate((dir, k, iters), kmeansCentroids(e, k, iters))

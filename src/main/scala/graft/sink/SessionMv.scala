@@ -27,6 +27,16 @@ object SessionMv {
   private val built =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Other session-memoized state that must refresh with the snapshot
+    * registry (ADVICE r13 #1: the k-means centroid memo survived
+    * [[refreshAll]], so a regenerated corpus would refresh the MVs but
+    * keep serving a stale quantizer). Registering is idempotent per
+    * name. */
+  private val refreshHooks =
+    scala.collection.concurrent.TrieMap.empty[String, () => Unit]
+  def onRefresh(name: String)(f: () => Unit): Unit =
+    refreshHooks.put(name, f): Unit
+
   private lazy val mvRoot: String = {
     val root = java.nio.file.Files
       .createTempDirectory("graft_session_mv_").toFile
@@ -54,5 +64,8 @@ object SessionMv {
   /** Drop every memoized snapshot — the scheduled-refresh seam and the
     * suite's isolation hook. Files are left for the shutdown hook (a
     * racing reader may still be scanning them). */
-  def refreshAll(): Unit = built.clear()
+  def refreshAll(): Unit = {
+    built.clear()
+    refreshHooks.values.foreach(_.apply())
+  }
 }

@@ -60,6 +60,9 @@ class ClickHouseWireSpec extends AnyFunSuite {
     val url = new java.net.URI(s"$server/?database=$db").toURL
     val conn = url.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
+    // a hung/half-open server must fail the test, not stall the suite
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(30000)
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
     sys.env.get("SPARK_GRAFT_CH_USER")
@@ -82,6 +85,9 @@ class ClickHouseWireSpec extends AnyFunSuite {
     val url = new java.net.URI(s"$server/?database=$db").toURL
     val conn = url.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
+    // a hung/half-open server must fail the test, not stall the suite
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(30000)
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
     sys.env.get("SPARK_GRAFT_CH_USER")
