@@ -92,8 +92,19 @@ object Similarity {
     * ([[sCosinePairs]]); fold and division are bit-identical
     * cross-engine, so the ≥ cut cannot flake. */
   def sDecontaminate(spark: SparkSession, dir: String,
-      nProbes: Int = 32, threshold: Double = 0.4): DataFrame = {
-    val e = withNorm(embeddings(spark, dir)).select("vec_id", "emb", "nrm")
+      nProbes: Int = 32, threshold: Double = 0.4): DataFrame =
+    decontaminateRel(
+      withNorm(embeddings(spark, dir)).select("vec_id", "emb", "nrm"),
+      nProbes, threshold)
+
+  /** The census body of [[sDecontaminate]] over ANY normalized corpus
+    * relation (vec_id, emb, nrm) — shared by the batch query and the
+    * streamed-index twin
+    * ([[graft.streaming.StreamingAnnIndex.sStreamDecontaminate]]), so
+    * continuous decontamination over the accumulated index cannot
+    * drift from the snapshot report. */
+  private[graft] def decontaminateRel(e: DataFrame, nProbes: Int,
+      threshold: Double): DataFrame = {
     val probes = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))
@@ -629,6 +640,135 @@ object Similarity {
     val adc = broadcast(q).crossJoin(coded)
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", expr(
+        s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double),
+           |  (acc, j) -> acc + element_at(lut,
+           |    j * $ksub + element_at(codes, j + 1) + 1))""".stripMargin))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val cand = adc.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= nCand)
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("vec_id"), col("adc"))
+    val rer = cand
+      .join(e.select(col("vec_id"), col("emb"), col("nrm")), Seq("vec_id"))
+      .withColumn("cosine",
+        dot("q_emb", "emb") / (col("q_nrm") * col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVFADC — the COMPOSED production ANN shape (VERDICT r13 #4):
+    * IVF coarse routing + product quantization of the RESIDUALS
+    * (v − centroid[cell]), the indexing structure of Jégou et al.,
+    * "Product quantization for nearest neighbor search", IEEE TPAMI
+    * 2011 §IV — what every real 100-TB vector store runs. The two
+    * halves already exist ([[sAnnKmeans]]'s trained coarse quantizer,
+    * [[sAnnPq]]'s ADC scan); this composes them:
+    *
+    *  1. COARSE: train/load the k-means quantizer, assign each corpus
+    *     vector to its argmax-cosine cell ([[withCell]] — the same
+    *     expression as plain IVF, so the two cannot drift).
+    *  2. RESIDUAL ENCODE: r = v − c_cell (one exact IEEE subtraction
+    *     per dimension — [[residualRel]]); PQ codebooks train on the
+    *     residuals, which carry far less variance than raw vectors —
+    *     the reason IVFADC beats flat PQ at equal code budget.
+    *  3. SEARCH: each query probes its `nprobe` nearest cells
+    *     ([[withProbeCells]] — identical fan-out to multi-probe IVF);
+    *     within a probed cell the score is
+    *     dot(q, y) ≈ dot(q, c_cell) + Σ_j lut[j][code_j], where the
+    *     LUT holds the query SUBVECTOR dots against the residual
+    *     codewords (dot(q, r̂) decomposes per subspace) and
+    *     dot(q, c_cell) is one per-(query, cell) scalar. 8 lookups +
+    *     adds per corpus vector, NO full dot product, and — unlike
+    *     flat PQ's whole-corpus ADC scan — only the probed cells'
+    *     codes are read at all.
+    *  4. RERANK: the `nCand` best ADC candidates per query join back
+    *     to the full vectors for exact cosine, final top-k.
+    *
+    * Deterministic end-to-end (both trainers quantized-update Lloyd;
+    * residual subtraction exact; ADC folds sequential; every rank cut
+    * totally ordered), so the DuckDB oracle composes the k-means
+    * replay and the PQ replay over residuals and hash-matches.
+    *
+    * Scale shape: index = (vec_id, cell, 8-byte codes) — the 32×
+    * compression of flat PQ PLUS cell-pruned candidate reads; the
+    * query side is broadcast-bounded (nprobe× fan-out, m·ksub LUT
+    * doubles per probe row); rerank touches nCand·|Q| full vectors. */
+  def sAnnIvfPq(spark: SparkSession, dir: String, k: Int = 3,
+      nQueries: Int = 20, nCells: Int = 8, iters: Int = 2,
+      nprobe: Int = 2, m: Int = 8, dsub: Int = 8, ksub: Int = 8,
+      pqIters: Int = 2, nCand: Int = 32): DataFrame = {
+    val e = withNorm(embeddings(spark, dir))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+      .localCheckpoint() // coarse trainer + residuals + rerank read it
+    val centroids = kmeansModel(e, dir, nCells, iters)
+    // PQ trainer (seed collect + pqIters aggregations) and the encode
+    // pass all read the residual relation (tracked cache contract)
+    val resid = QueryCaches.persistTracked(residualRel(e, centroids))
+    val books = pqCodebooks(resid, m, dsub, ksub, pqIters)
+    ivfPqSearch(e, resid, centroids, books, k, nQueries, nprobe, m,
+      dsub, ksub, nCand)
+  }
+
+  /** The residual relation (vec_id, cell, emb = v − c_cell): cell from
+    * THE shared argmax assignment ([[withCell]]), then one exact IEEE
+    * subtraction per dimension against the cell centroid riding as a
+    * `typedLit` constant. Narrow map — no shuffle, no join. */
+  private[graft] def residualRel(e: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val cents = typedLit(centroids.map(_.toIndexedSeq).toIndexedSeq)
+    withCell(e, centroids)
+      .withColumn("emb", zip_with(col("emb"),
+        element_at(cents, col("cell") + lit(1)), (x, c) => x - c))
+      .select(col("vec_id"), col("cell"), col("emb"))
+  }
+
+  /** The APPLY half of [[sAnnIvfPq]] — probe + ADC over residual codes
+    * + exact rerank against GIVEN coarse centroids and PQ books.
+    * Shared verbatim with the model-store apply twin
+    * ([[graft.llm.StoredModels.sAnnIvfPqStored]]). `resid` must be
+    * [[residualRel]] of `e` under the same centroids. */
+  private[llm] def ivfPqSearch(e: DataFrame, resid: DataFrame,
+      centroids: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      k: Int, nQueries: Int, nprobe: Int, m: Int, dsub: Int, ksub: Int,
+      nCand: Int): DataFrame = {
+    val coded = withPqCodes(resid, books, dsub)
+      .select(col("vec_id"), col("cell"),
+        array((0 until m).map(j => col(s"code_$j")): _*).as("codes"))
+    val cents = typedLit(centroids.map(_.toIndexedSeq).toIndexedSeq)
+    // query-side LUT over the FULL query subvectors (dot(q, r̂)
+    // decomposes per subspace; the centroid term is separate) — same
+    // (j, cell)-ordered layout as sAnnPq's
+    val bks = typedLit(books.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
+    val lutCol = transform(sequence(lit(0), lit(m * ksub - 1)), t => {
+      val j = floor(t.cast("double") / lit(ksub)).cast("int")
+      val c = pmod(t, lit(ksub))
+      dotc(slice(col("emb"), j * lit(dsub) + lit(1), lit(dsub)),
+        element_at(element_at(bks, j + lit(1)), c + lit(1)))
+    })
+    val q = withProbeCells(
+        e.filter(col("vec_id") < nQueries)
+          .select(col("vec_id"), col("emb"), col("nrm")),
+        centroids, nprobe)
+      .withColumn("lut", lutCol)
+      .withColumn("cdot", dotc(col("emb"),
+        element_at(cents, col("cell") + lit(1))))
+      .select(col("vec_id").as("query_id"), col("cell").as("q_cell"),
+        col("emb").as("q_emb"), col("nrm").as("q_nrm"), col("lut"),
+        col("cdot"))
+    // cell-pruned ADC: only probed cells' codes are read; a corpus
+    // vector lives in exactly one cell and probe cells are distinct,
+    // so no candidate duplicates. Score = ONE add of two exactly-
+    // derived doubles (the centroid dot + the sequential LUT fold).
+    val adc = broadcast(q)
+      .join(coded, col("cell") === col("q_cell") &&
+        col("vec_id") =!= col("query_id"))
+      .withColumn("adc", col("cdot") + expr(
         s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double),
            |  (acc, j) -> acc + element_at(lut,
            |    j * $ksub + element_at(codes, j + 1) + 1))""".stripMargin))

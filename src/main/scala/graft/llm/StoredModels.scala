@@ -75,6 +75,40 @@ object StoredModels {
     Similarity.pqSearch(e, loaded, k, nQueries, m, dsub, ksub, nCand)
   }
 
+  /** `s_ann_ivfpq_stored`: the composed IVFADC index against BOTH
+    * stored halves — the coarse quantizer AND the residual PQ books
+    * ride the versioned store (the books are only meaningful with the
+    * exact centroids they were trained against, so a deployment ships
+    * them together; here both load latest-wins past a stale v1).
+    * Same oracle as `s_ann_ivfpq`. */
+  def sAnnIvfPqStored(spark: SparkSession, dir: String, k: Int = 3,
+      nQueries: Int = 20, nCells: Int = 8, iters: Int = 2,
+      nprobe: Int = 2, m: Int = 8, dsub: Int = 8, ksub: Int = 8,
+      pqIters: Int = 2, nCand: Int = 32): DataFrame = {
+    graft.Tables.tune(spark)
+    val e = normedCorpus(spark, dir).localCheckpoint()
+    val root = freshRoot()
+    // v1: seed-only coarse quantizer + books trained against ITS
+    // residuals — a coherent but stale model pair
+    val staleCents = Similarity.kmeansCentroids(e, nCells, 0)
+    ModelStore.saveKmeans(spark, root, "ivfpq_coarse", 1L, staleCents)
+    ModelStore.savePq(spark, root, "ivfpq_books", 1L,
+      Similarity.pqCodebooks(
+        Similarity.residualRel(e, staleCents), m, dsub, ksub, 0))
+    // v2: the real pair
+    val cents = Similarity.kmeansCentroids(e, nCells, iters)
+    val resid = graft.QueryCaches.persistTracked(
+      Similarity.residualRel(e, cents))
+    ModelStore.saveKmeans(spark, root, "ivfpq_coarse", 2L, cents)
+    ModelStore.savePq(spark, root, "ivfpq_books", 2L,
+      Similarity.pqCodebooks(resid, m, dsub, ksub, pqIters))
+    val loadedCents = ModelStore.loadKmeans(spark, root, "ivfpq_coarse")
+    val loadedBooks = ModelStore.loadPq(spark, root, "ivfpq_books")
+    graft.sink.ParquetSink.delete(new java.io.File(root))
+    Similarity.ivfPqSearch(e, Similarity.residualRel(e, loadedCents),
+      loadedCents, loadedBooks, k, nQueries, nprobe, m, dsub, ksub, nCand)
+  }
+
   /** `t_bpe_encode_stored`: segment the corpus with the STORED merge
     * rules — fold the shipped rule list over the char-split vocabulary
     * (no pair counting), then the shared encode body. Same oracle as

@@ -167,6 +167,68 @@ object StreamingAnnIndex {
       nQueries, nprobe)
   }
 
+  /** Stream every unconsumed chunk into a PLAIN normalized vector
+    * table (vec_id, emb, nrm) — the minimal embedding index the
+    * decontamination census reads: one narrow map per micro-batch
+    * (norm only, no bucket/cell config), appended through the
+    * ReplacingMergeTree-analog sink keyed on vec_id. */
+  def runVectorStream(spark: SparkSession, feedDir: String,
+      warehouse: String): Unit = {
+    val path = s"$warehouse/vec_index"
+    val query = StreamingDedup.readDocStream(spark, feedDir, vecSchema)
+      .writeStream
+      .option("checkpointLocation", s"$warehouse/_vec_checkpoint")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val batch = b.localCheckpoint()
+        if (!batch.isEmpty) {
+          val maxId = batch.agg(max(col("doc_id"))).collect()(0).getLong(0)
+          val normed = batch
+            .select(col("doc_id").as("vec_id"), col("embedding").as("emb"))
+            .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+            .withColumn("block_height", col("vec_id"))
+          ParquetSink.writeBatch(normed, path, maxId, Seq("vec_id"))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** Declared query (`s_stream_decontaminate`, VERDICT r13 #5):
+    * CONTINUOUS semantic decontamination — the training corpus streams
+    * into an incrementally-accumulated PK-FINAL embedding index
+    * (checkpointed, two chunks, a mid-stream restart over the full
+    * feed), and the SAME bounded-probe leak census as the batch query
+    * ([[graft.llm.Similarity.decontaminateRel]]) runs over the
+    * accumulated index — how a feed-shaped training pipeline actually
+    * consumes the leakage report: re-run the census as the corpus
+    * grows, not re-scan a frozen snapshot. The probe set (the bounded
+    * eval benchmark, vec_id < 32) reads from the same index once fully
+    * absorbed. Equals batch `s_decontaminate` and shares its oracle.
+    * Correctness-only: micro-batch orchestration dominates, the batch
+    * twin is the benched operator. */
+  def sStreamDecontaminate(spark: SparkSession, dir: String,
+      nProbes: Int = 32, threshold: Double = 0.4,
+      nChunks: Int = 5): DataFrame = {
+    graft.Tables.tune(spark)
+    val feed = StreamingDedup.freshDir("decon_feed")
+    val warehouse = StreamingDedup.freshDir("decon_wh")
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    StreamingDedup.writeDocChunks(spark, vecs, feed, nChunks,
+      takeChunks = 2, schema = vecSchema)
+    runVectorStream(spark, feed, warehouse)
+    // mid-stream restart over the full feed, same checkpoint
+    StreamingDedup.writeDocChunks(spark, vecs, feed, nChunks,
+      schema = vecSchema)
+    runVectorStream(spark, feed, warehouse)
+    val index = ParquetSink.readFinal(
+      spark.read.parquet(s"$warehouse/vec_index"), Seq("vec_id"))
+      .select("vec_id", "emb", "nrm")
+    graft.llm.Similarity.decontaminateRel(index, nProbes, threshold)
+  }
+
   def sStreamAnnLsh(spark: SparkSession, dir: String, k: Int = 3,
       nQueries: Int = 20, nPlanes: Int = 4, nChunks: Int = 5): DataFrame = {
     graft.Tables.tune(spark)

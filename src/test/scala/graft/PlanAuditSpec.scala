@@ -43,6 +43,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // the model-store apply twins run the SAME shared search bodies
     "s_ann_kmeans_stored" -> ((1, Set("query_id"))),
     "s_ann_pq_stored" -> ((1, Set("query_id"))),
+    // IVFADC: the same bounded probe-set broadcast (query fan-out ×
+    // nprobe rows, LUT + centroid-dot columns — still query-bounded)
+    "s_ann_ivfpq" -> ((1, Set("query_id"))),
+    "s_ann_ivfpq_stored" -> ((1, Set("query_id"))),
     "near_gold_metrics" -> ((1, Set("defuse_asset_id"))), // bounded assets dim
     "near_sql_gold" -> ((1, Set("defuse_asset_id"))), // same view via spark.sql
     "near_skew_gold" -> ((1, Set("defuse_asset_id"))), // same gold view, hot-key corpus
@@ -400,7 +404,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // builder streams documents into the maintained pair MV
     "d_stream_dup_groups",
     // builder trains+stores the quantizer and streams the index MV
-    "s_stream_ann_kmeans")
+    "s_stream_ann_kmeans",
+    // builder streams the corpus into the PK-FINAL vector index
+    "s_stream_decontaminate")
 
   test("no declared query plans a CartesianProduct, and forced broadcasts stay on bounded relations") {
     graft.Tables.tune(spark)
