@@ -35,14 +35,22 @@ import org.apache.spark.sql.functions._
   */
 object ModelStore {
 
+  /** Every family table is hive-partitioned by `model_id` ahead of the
+    * height bucket (VERDICT r13 #3): with one model per table the
+    * layout is free; a production store holding hundreds of models ×
+    * versions lets each load PRUNE to its model's directories instead
+    * of scanning the family. The per-model predicate is applied BEFORE
+    * the FINAL window so it reaches the scan as a partition filter
+    * (pinned by the Round14Spec plan test). */
   private def save(df: DataFrame, path: String, version: Long,
       pk: Seq[String]): Unit =
     ParquetSink.writeBatch(df.withColumn("block_height", lit(version)),
-      path, version, pk)
+      path, version, pk, extraPartitionCols = Seq("model_id"))
 
-  private def loadLatest(spark: SparkSession, path: String,
-      pk: Seq[String], asOfVersion: Option[Long]): DataFrame = {
-    val raw = spark.read.parquet(path)
+  private[graft] def loadLatest(spark: SparkSession, path: String,
+      modelId: String, pk: Seq[String],
+      asOfVersion: Option[Long]): DataFrame = {
+    val raw = spark.read.parquet(path).filter(col("model_id") === modelId)
     asOfVersion.fold(ParquetSink.readFinal(raw, pk))(v =>
       ParquetSink.readAsOf(raw, pk, v))
   }
@@ -60,9 +68,8 @@ object ModelStore {
 
   def loadKmeans(spark: SparkSession, root: String, modelId: String,
       asOfVersion: Option[Long] = None): Array[Array[Double]] = {
-    val rows = loadLatest(spark, s"$root/kmeans", Seq("model_id", "cell"),
-      asOfVersion)
-      .filter(col("model_id") === modelId)
+    val rows = loadLatest(spark, s"$root/kmeans", modelId,
+      Seq("model_id", "cell"), asOfVersion)
       .orderBy(col("cell"))
       .select(col("centroid")).collect()
     require(rows.nonEmpty, s"model store: no kmeans model '$modelId'")
@@ -85,9 +92,8 @@ object ModelStore {
 
   def loadPq(spark: SparkSession, root: String, modelId: String,
       asOfVersion: Option[Long] = None): Array[Array[Array[Double]]] = {
-    val rows = loadLatest(spark, s"$root/pq",
+    val rows = loadLatest(spark, s"$root/pq", modelId,
       Seq("model_id", "subspace", "code"), asOfVersion)
-      .filter(col("model_id") === modelId)
       .orderBy(col("subspace"), col("code"))
       .select(col("subspace"), col("code"), col("centroid")).collect()
     require(rows.nonEmpty, s"model store: no pq model '$modelId'")
@@ -112,9 +118,8 @@ object ModelStore {
   /** Ordered merge rules (step asc) — the list a tokenizer ships. */
   def loadBpe(spark: SparkSession, root: String, modelId: String,
       asOfVersion: Option[Long] = None): Seq[(Long, String, String, Long)] = {
-    val rows = loadLatest(spark, s"$root/bpe",
+    val rows = loadLatest(spark, s"$root/bpe", modelId,
       Seq("model_id", "merge_step"), asOfVersion)
-      .filter(col("model_id") === modelId)
       .orderBy(col("merge_step"))
       .select(col("merge_step"), col("left_sym"), col("right_sym"),
         col("pair_count")).collect()
@@ -150,8 +155,8 @@ object ModelStore {
       asOfVersion: Option[Long] = None)
       : (DataFrame, DataFrame, DataFrame, Long) = {
     def t(name: String, pk: Seq[String], keep: Seq[String]): DataFrame =
-      loadLatest(spark, s"$root/$name", "model_id" +: pk, asOfVersion)
-        .filter(col("model_id") === modelId)
+      loadLatest(spark, s"$root/$name", modelId, "model_id" +: pk,
+        asOfVersion)
         .select(keep.map(col): _*)
     val metaRows = t("meta", Seq("key"), Seq("key", "value"))
       .filter(col("key") === "n_total").select(col("value")).collect()

@@ -102,6 +102,39 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("model store loads PRUNE to the requested model's partitions " +
+      "(hive layout by model_id, VERDICT r13 #3)") {
+    import graft.sink.ModelStore
+    graft.Tables.tune(spark)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_store_prune_spec_").toAbsolutePath.toString
+    try {
+      ModelStore.saveKmeans(spark, root, "model_a", 1L,
+        Array(Array(1.0, 2.0), Array(3.0, 4.0)))
+      ModelStore.saveKmeans(spark, root, "model_b", 1L,
+        Array(Array(9.0, 9.0), Array(8.0, 8.0)))
+      // the load plan must carry a model_id partition filter — the
+      // family scan prunes to one model's directories
+      val plan = ModelStore.loadLatest(spark, s"$root/kmeans", "model_a",
+        Seq("model_id", "cell"), None)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") &&
+        plan.contains("model_id"),
+        s"no model_id partition filter in the load plan:\n$plan")
+      // hive layout on disk: one directory per model
+      val dirs = new java.io.File(s"$root/kmeans").listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted.toSeq
+      assert(dirs === Seq("model_id=model_a", "model_id=model_b"))
+      // and the values still round-trip exactly per model
+      assert(ModelStore.loadKmeans(spark, root, "model_a")
+        .map(_.toSeq).toSeq === Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+      assert(ModelStore.loadKmeans(spark, root, "model_b")
+        .map(_.toSeq).toSeq === Seq(Seq(9.0, 9.0), Seq(8.0, 8.0)))
+    } finally {
+      graft.sink.ParquetSink.delete(new java.io.File(root))
+    }
+  }
+
   test("refreshAll fires registered refresh hooks (the seam that " +
       "clears session-memoized model state, ADVICE r13 #1)") {
     var fired = 0
