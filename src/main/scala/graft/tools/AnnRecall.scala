@@ -61,6 +61,26 @@ object AnnRecall {
         s""""k":$k,"n_queries":$nQueries,"exact":${exact.size},""" +
         s""""found":${(exact intersect got).size},"recall":${recall(got)}}""")
     }
+    // IVFADC (round 14): the composed index — both levers at once.
+    // Residual coding only beats flat PQ when the coarse cells are
+    // tight enough that residual variance << raw variance (Jégou §IV:
+    // the cell count grows with the corpus) — nCells is env-tunable so
+    // the sweep can measure both regimes.
+    val ivfadcCells =
+      sys.env.getOrElse("SPARK_GRAFT_IVFADC_CELLS", "8").toInt
+    val ivfadcProbes = sys.env.getOrElse("SPARK_GRAFT_IVFADC_NPROBE", "1,2,3")
+      .split(",").toSeq.map(_.trim.toInt)
+    ivfadcProbes.foreach { nprobe =>
+      Seq(8, 16, 32, 64).foreach { nCand =>
+        val got = pairs(graft.llm.Similarity.sAnnIvfPq(
+          spark, dir, k, nQueries, nCells = ivfadcCells, nprobe = nprobe,
+          nCand = nCand))
+        println(s"""{"sf":"$dir","index":"ivfadc","n_cells":$ivfadcCells,""" +
+          s""""nprobe":$nprobe,"n_cand":$nCand,"k":$k,""" +
+          s""""n_queries":$nQueries,"exact":${exact.size},""" +
+          s""""found":${(exact intersect got).size},"recall":${recall(got)}}""")
+      }
+    }
     spark.stop()
   }
 }
