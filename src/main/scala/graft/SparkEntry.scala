@@ -215,6 +215,11 @@ object SparkEntry {
     "k_tombstone_delete" -> (EventQueries.kTombstoneDelete _),
     // degree-oriented triangle counting over repeat-co-occurrence graph
     "g_user_triangles"  -> (EventQueries.gUserTriangles _),
+    // cell-salted two-stage pair build (triangle-block salting) — the
+    // engine-independent hot-cell guard computing the IDENTICAL
+    // repeat-edge relation as the plain occupancy self-join
+    "g_cooccur_salted"  -> ((s, d) =>
+      graft.queries.CoOccurrenceMv.cooccurSalted(s, d)),
     // per-user transitivity (2T/deg(deg-1)) over the same pipeline
     "g_clustering_coeff" -> (EventQueries.gClusteringCoeff _),
     // integer-exact damped PageRank (3 unrolled sparse mat-vec steps)
@@ -2683,6 +2688,18 @@ object SparkEntry {
         |    AS first_match_ts
         |FROM p LEFT JOIN mt ON p.event_id = mt.event_id
         |GROUP BY p.user_id ORDER BY user_id""".stripMargin,
+    // the salted build must reproduce the PLAIN self-join relation —
+    // the oracle is the unsalted pair mine (integer counts, bit-exact)
+    "g_cooccur_salted" ->
+      """WITH e0 AS (SELECT DISTINCT event_type,
+        |    epoch_ns(ts) // 600000000000 AS bkt, user_id FROM events)
+        |SELECT a.user_id AS u, b.user_id AS v,
+        |  CAST(COUNT(*) AS BIGINT) AS nco
+        |FROM e0 a JOIN e0 b ON a.event_type = b.event_type
+        |  AND a.bkt = b.bkt AND a.user_id < b.user_id
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 2
+        |ORDER BY u, v""".stripMargin,
     // id-ordered triangle enumeration (orientation-free ground truth
     // for the degree-oriented Spark plan — same triangle set)
     "g_user_triangles" ->

@@ -70,10 +70,11 @@ object CoOccurrenceMv {
     * (default 1 MB) — a skewed partition only splits into groups of at
     * least that size, so threshold scaling must include it. The
     * residual quadratic (total work, not its distribution) is bounded
-    * by the 10-minute cell grain; a corpus whose single cell outgrows
-    * even split-task budgets wants a documented degree cap per cell or
-    * cell salting with a two-stage count merge — not needed at this
-    * grain. The streaming twin's per-batch delta join
+    * by the 10-minute cell grain; for a corpus whose single cell
+    * outgrows even split-task budgets, [[pairCountsSalted]] is the
+    * implemented engine-independent guard (triangle-block salting,
+    * (|cell|/S)² per-task bound, bit-identical relation — gate row
+    * `g_cooccur_salted`). The streaming twin's per-batch delta join
     * ([[graft.streaming.StreamingGraph]] new×(old∪new)) has the same
     * key shape and inherits the same split lever. */
   def pairCounts(occ: DataFrame): DataFrame = occ.as("a")
@@ -83,6 +84,66 @@ object CoOccurrenceMv {
         col("a.user_id") < col("b.user_id"))
     .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
     .agg(count(lit(1)).as("nco"))
+
+  /** CELL-SALTED two-stage pair build — the documented mitigation of
+    * the hot-cell quadratic (VERDICT r13 #1, the "or" branch), for the
+    * corpus whose single viral cell outgrows even AQE's split-task
+    * budgets. Same relation as [[pairCounts]] (integer counts —
+    * bit-exact equality pinned in the suite and by the
+    * `g_cooccur_salted` gate row), but the per-task work bound is
+    * ENGINE-INDEPENDENT: it comes from the join key itself rather than
+    * from `OptimizeSkewedJoin` thresholds.
+    *
+    * Shape (the triangle-block distribution of Suri & Vassilvitskii,
+    * "Counting Triangles and the Curse of the Last Reducer", WWW 2011 —
+    * the same discipline as `d_embed_dedup`'s grid self-join): each
+    * user salts deterministically into one of `nSalts` groups
+    * (`xxhash64 mod S`); an unordered pair {u, v} with groups (i, j)
+    * belongs to exactly ONE block (min(i,j), max(i,j)); a fact fans out
+    * to the blocks its group touches — group-i copies cover blocks
+    * (i, j≥i) on the LEFT leg and (i'≤i, i) on the RIGHT leg, S+1
+    * copies total. The join key (cell, bi, bj) then spreads a hot
+    * cell's |cell|² pair work over S(S+1)/2 blocks with ≤(|cell|/S)²
+    * join work each — a straggler bound paid for by the S+1× fact
+    * replication, which is why the UNSALTED build stays the default
+    * (facts are the 100-TB-scale relation; the replication is only
+    * worth it when one cell is measured hot). Counting stays exact:
+    * within block (i, j), the a-leg is group i and the b-leg group j,
+    * so each cell-sharing pair matches exactly once (the diagonal block
+    * i = j needs the usual `u < v` tie-break; off-diagonal groups are
+    * disjoint so no self-pairs exist). */
+  def pairCountsSalted(occ: DataFrame, nSalts: Int = 8): DataFrame = {
+    val salted = occ.withColumn("g",
+      pmod(xxhash64(col("user_id")), lit(nSalts)).cast("int"))
+    val left = salted
+      .withColumn("bj", explode(sequence(col("g"), lit(nSalts - 1))))
+      .select(col("event_type"), col("bkt"), col("user_id"),
+        col("g").as("bi"), col("bj"))
+    val right = salted
+      .withColumn("bi", explode(sequence(lit(0), col("g"))))
+      .select(col("event_type"), col("bkt"), col("user_id"),
+        col("bi"), col("g").as("bj"))
+    left.as("a").join(right.as("b"),
+      col("a.event_type") === col("b.event_type") &&
+        col("a.bkt") === col("b.bkt") &&
+        col("a.bi") === col("b.bi") && col("a.bj") === col("b.bj") &&
+        (col("a.bi") < col("a.bj") ||
+          col("a.user_id") < col("b.user_id")))
+      .groupBy(
+        least(col("a.user_id"), col("b.user_id")).as("u"),
+        greatest(col("a.user_id"), col("b.user_id")).as("v"))
+      .agg(count(lit(1)).as("nco"))
+  }
+
+  /** Declared-query wrapper for the salted build: the repeat-edge
+    * relation WITH its counts, derived end-to-end through
+    * [[pairCountsSalted]] — the gate row proving the mitigation
+    * computes the identical relation against the DuckDB replay of the
+    * plain self-join. */
+  def cooccurSalted(spark: SparkSession, dir: String): DataFrame =
+    pairCountsSalted(occupancy(events(spark, dir)))
+      .filter(col("nco") >= 2)
+      .orderBy(col("u"), col("v"))
 
   /** The >= 2 threshold read — THE edge definition, shared by the
     * batch snapshot and the streamed summing MV. */

@@ -31,14 +31,19 @@ import org.apache.spark.sql.functions._
   *     must be IDENTICAL (count + sum + order-independent bit_xor
   *     fingerprint — integer counts, so bit-exact by construction).
   *
+  * and 3. the CELL-SALTED build
+  * ([[graft.queries.CoOccurrenceMv.pairCountsSalted]]) under the same
+  * no-broadcast regime — the engine-independent guard whose
+  * (cell, bi, bj) join key spreads the hot cell over S(S+1)/2 blocks
+  * by construction, needing no skew rule at all.
+  *
   * Prints one summary line per run plus a VERDICT line; non-zero exit
   * if fingerprints diverge or the skew split did not engage. The
   * SCALE_CHECK note records the measured numbers. The residual
   * quadratic (total work, not its distribution) is bounded in a real
-  * deployment by the cell key's 10-minute grain; a corpus whose single
-  * cell outgrows even split-task budgets wants a documented degree cap
-  * or cell salting with a two-stage count merge — noted in
-  * [[graft.queries.CoOccurrenceMv]]'s docs, not needed at this grain.
+  * deployment by the cell key's 10-minute grain; for a corpus whose
+  * single cell outgrows even split-task budgets, the salted build is
+  * the implemented mitigation (gate row `g_cooccur_salted`).
   */
 object HotCellEvidence {
   def main(args: Array[String]): Unit = {
@@ -63,9 +68,12 @@ object HotCellEvidence {
       s"(id DIV 5 + 1) * ${bucketNs}L + id AS ts")
     val events = hot.unionByName(cold).localCheckpoint()
 
-    def run(label: String): ((Long, Long, Long), String) = {
-      val counts = graft.queries.CoOccurrenceMv.pairCounts(
-        graft.queries.CoOccurrenceMv.occupancy(events))
+    def run(label: String, salted: Boolean = false)
+        : ((Long, Long, Long), String) = {
+      val occ = graft.queries.CoOccurrenceMv.occupancy(events)
+      val counts =
+        if (salted) graft.queries.CoOccurrenceMv.pairCountsSalted(occ)
+        else graft.queries.CoOccurrenceMv.pairCounts(occ)
       val fp = counts.agg(
         count(lit(1)).as("n"),
         sum(col("nco")).as("s"),
@@ -105,9 +113,18 @@ object HotCellEvidence {
       "spark.sql.adaptive.coalescePartitions.minPartitionSize", "4096")
     val (forced, plan2) = run("forced-shuffle+skew-split")
 
-    val equal = base == forced
+    // 3. CELL-SALTED build under the SAME no-broadcast regime: the
+    //    engine-independent guard — the (cell, bi, bj) join key spreads
+    //    the hot cell over S(S+1)/2 blocks by construction, so no AQE
+    //    skew rule is needed for the per-task bound (and none should
+    //    fire: the key is uniform). Must be bit-identical too.
+    val (saltedRes, plan3) = run("cell-salted", salted = true)
+
+    val equal = base == forced && base == saltedRes
     val split = plan2.contains("skew=true")
-    println(s"VERDICT: results_equal=$equal skew_split_engaged=$split")
+    val saltedUniform = !plan3.contains("skew=true")
+    println(s"VERDICT: results_equal=$equal skew_split_engaged=$split " +
+      s"salted_needs_no_split=$saltedUniform")
     spark.stop()
     if (!equal || !split) sys.exit(1)
   }

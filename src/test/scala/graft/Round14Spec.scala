@@ -135,6 +135,22 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("cell-salted pair build computes the identical relation as the " +
+      "plain self-join, at any salt count incl. the degenerate S=1") {
+    import graft.queries.CoOccurrenceMv
+    graft.Tables.tune(spark)
+    val occ = CoOccurrenceMv.occupancy(graft.Tables.events(spark, dir))
+      .localCheckpoint()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("u", "v", "nco").collect().map(_.toString).toSeq
+    val plain = canon(CoOccurrenceMv.pairCounts(occ))
+    assert(plain.nonEmpty)
+    Seq(1, 3, 8).foreach { s =>
+      assert(canon(CoOccurrenceMv.pairCountsSalted(occ, nSalts = s))
+        === plain, s"salted build diverged at nSalts=$s")
+    }
+  }
+
   test("refreshAll fires registered refresh hooks (the seam that " +
       "clears session-memoized model state, ADVICE r13 #1)") {
     var fired = 0
