@@ -48,7 +48,8 @@ object SparkEntry {
       // the benched train-inline queries already time that work
       name == "s_ann_kmeans_stored" || name == "s_ann_pq_stored" ||
       name == "t_bpe_encode_stored" || name == "t_lm_score_stored" ||
-      name == "s_ann_ivfpq_stored" || name == "s_stream_decontaminate"
+      name == "s_ann_ivfpq_stored" || name == "s_stream_decontaminate" ||
+      name == "t_stream_dsir"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -160,6 +161,14 @@ object SparkEntry {
     "t_lang_id"         -> (TextAnalysis.tLangId _),
     "t_quality_score"   -> (TextAnalysis.tQualityScore _),
     "t_token_count"     -> (TextAnalysis.tTokenCount _),
+    // DSIR-shaped data selection: hashed-token-bucket importance
+    // weights (target = English subset) via the pre-log integer ratio
+    "t_dsir_weights"    -> ((s, d) => TextAnalysis.tDsirWeights(s, d)),
+    // streaming twin: per-(doc,bucket) counts land under PK FINAL per
+    // micro-batch (mid-stream restart + compaction in the path); the
+    // model + fold + top-k derive at read via the shared body
+    "t_stream_dsir"     -> ((s, d) =>
+      graft.streaming.StreamingDsir.tStreamDsir(s, d)),
     "t_fingerprint"     -> (TextAnalysis.tFingerprint _),
     "t_vocab_topk"      -> ((s, d) => TextAnalysis.tVocabTopk(s, d)),
     "t_bigram_topk"     -> ((s, d) => TextAnalysis.tBigramTopk(s, d)),
@@ -1058,7 +1067,10 @@ object SparkEntry {
       // decontamination census runs the SAME bounded-probe report over
       // the incrementally-accumulated PK-FINAL embedding index
       "s_ann_ivfpq_stored" -> m("s_ann_ivfpq"),
-      "s_stream_decontaminate" -> m("s_decontaminate"))
+      "s_stream_decontaminate" -> m("s_decontaminate"),
+      // the streamed DSIR facts MV feeds the SAME model+fold+top-k
+      // read body as the batch selector
+      "t_stream_dsir" -> m("t_dsir_weights"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -1746,6 +1758,41 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS DOUBLE)
         |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS tokens_per_word
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // DSIR weights: replay the hashed-bucket model (h60 = the portable
+    // md5-nibble positional hash, the near_v_fingerprints spelling) and
+    // the per-doc integer fold
+    "t_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |db AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_sum(list_transform(range(1, 16),
+        |      i -> CAST(instr('0123456789abcdef',
+        |             substring(md5(token), i, 1)) - 1 AS BIGINT)
+        |           * CAST(pow(16, 15 - i) AS BIGINT))) AS BIGINT)
+        |      % 1024 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok WHERE token <> '' GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT b,
+        |    (1000000 * (SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) + 1))
+        |      // (SUM(c) + 1) AS s
+        |  FROM db GROUP BY b),
+        |d AS (
+        |  SELECT doc_id, SUM(c) AS n_tokens, SUM(c * s) AS dsir_sum
+        |  FROM db JOIN m USING (b) GROUP BY doc_id),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(dsir_sum AS BIGINT) AS dsir_sum,
+        |    CAST(dsir_sum // n_tokens AS BIGINT) AS dsir_avg_scaled,
+        |    ROW_NUMBER() OVER (ORDER BY dsir_sum // n_tokens DESC, doc_id)
+        |      AS rank
+        |  FROM d)
+        |SELECT rank, doc_id, n_tokens, dsir_sum, dsir_avg_scaled
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |  md5(lower(trim(text))) AS norm_hash,

@@ -124,6 +124,93 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR-SHAPED DATA SELECTION — importance weights from hashed
+    * n-gram bag models (Xie et al., "Data Selection for Language Models
+    * via Importance Resampling", NeurIPS 2023): score every raw-corpus
+    * document by how much more likely its token-bucket profile is under
+    * a TARGET distribution (here the English subset — the multilingual-
+    * pool-to-English-target selection the paper motivates) than under
+    * the raw-corpus distribution, then keep the top-k. The paper's
+    * features are exactly this: tokens hashed into a fixed bucket
+    * vocabulary, two unigram bucket models with add-one smoothing, and
+    * per-document weights summed over token instances.
+    *
+    * Integer-exact per the repo's pre-log discipline (the
+    * [[tCollocations]] / BM25-idf precedent — no engine ever takes a
+    * log): the paper's per-bucket log-ratio log(p_t(b)/p_r(b)) rides as
+    * the floor-scaled smoothed count ratio
+    * `s(b) = (10⁶·(ct(b)+1)) div (cr(b)+1)`, which is monotone in the
+    * true ratio bucket-by-bucket, bounded ≤ 10⁶ (target counts are a
+    * subset of raw counts, so ct ≤ cr), and zero-information-neutral in
+    * the same place (bucket all-target ⇒ s → 10⁶; bucket absent from
+    * target ⇒ s → 10⁶/(cr+1) → 0). The per-document score is the
+    * length-normalized fold `(Σ c·s) div n_tokens` — dividing by token
+    * count cancels the global-normalizer term the paper's log form
+    * carries (log((Nt+V)/(Nr+V)) is constant per token instance), so
+    * the ranking matches the average-target-likeness ordering without
+    * floats. Production DSIR samples with Gumbel-noise-perturbed
+    * weights; the deterministic gate shape is the top-k rank selection
+    * (the paper's temperature→0 limit), tie-broken by doc_id.
+    *
+    * Scale shape: ONE wide shuffle to (doc_id, bucket) counts; the
+    * bucket MODEL is a B-bounded aggregation of that relation (B=1024
+    * rows whatever the corpus — both 100-TB-safe and broadcast-safe);
+    * the rejoin is a broadcast hash join; the final fold and rank are
+    * doc-grain. */
+  def tDsirWeights(spark: SparkSession, dir: String,
+      buckets: Int = 1024, k: Int = 100): DataFrame =
+    dsirFromCounts(dsirDocBucketCounts(
+      documents(spark, dir), buckets), k)
+
+  /** The per-(doc, bucket) token-count relation — DSIR's fact table,
+    * and the streaming twin's PK-FINAL state (each doc's counts are
+    * computed entirely from that one document, so rows arrive once and
+    * never change). `lang` rides along (functionally dependent on
+    * doc_id) so the target model splits out of the same relation. */
+  private[graft] def dsirDocBucketCounts(docs: DataFrame,
+      buckets: Int = 1024): DataFrame = {
+    val h60 = graft.validate.Validation.h60 _
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("lang"),
+        pmod(h60(col("token")), lit(buckets.toLong)).as("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Model + per-doc fold + top-k over a (doc_id, lang, b, c) count
+    * relation — ONE definition shared by the batch query and the
+    * streaming twin's read, so the two cannot drift. */
+  private[graft] def dsirFromCounts(db: DataFrame, k: Int): DataFrame = {
+    val dbT = QueryCaches.persistTracked(db)
+    // bucket model: raw counts + target (English) counts in one pass
+    // over the bounded (docs × buckets) relation
+    val model = dbT.groupBy(col("b"))
+      .agg(sum(col("c")).as("cr"),
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"))
+      .withColumn("s",
+        expr("(1000000L * (ct + 1L)) div (cr + 1L)"))
+      .select(col("b"), col("s"))
+    val scored = dbT.join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("s")).as("dsir_sum"))
+      .withColumn("dsir_avg_scaled",
+        expr("dsir_sum div n_tokens"))
+    // top-k FIRST via sort+limit (planned as TakeOrdered — no global
+    // single-partition window over the full doc relation), then rank
+    // the k survivors (the unpartitioned window touches k rows only)
+    val top = scored
+      .orderBy(col("dsir_avg_scaled").desc, col("doc_id")).limit(k)
+    val w = Window.orderBy(col("dsir_avg_scaled").desc, col("doc_id"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_tokens"),
+        col("dsir_sum"), col("dsir_avg_scaled"))
+      .orderBy(col("rank"))
+  }
+
   /** Deterministic train/val/test split assignment — the reproducible
     * alternative to `rand()` sampling every training-data build needs:
     * the split is a pure function of doc_id, so it is stable across

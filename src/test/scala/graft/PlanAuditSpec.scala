@@ -51,6 +51,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "near_sql_gold" -> ((1, Set("defuse_asset_id"))), // same view via spark.sql
     "near_skew_gold" -> ((1, Set("defuse_asset_id"))), // same gold view, hot-key corpus
     "t_tfidf_topk" -> ((1, Set("df"))), // document-frequency dim: vocab-bounded
+    // DSIR bucket model: exactly B=1024 (b, s) rows by construction
+    "t_dsir_weights" -> ((1, Set("s"))),
+    "t_stream_dsir" -> ((1, Set("s"))),
     "t_decontaminate" -> ((1, Set("shingle"))), // eval-set shingles: benchmark-bounded
     "t_stratified_sample" -> ((1, Set("n_l"))), // per-language counts: language-bounded
     "t_token_budget" -> ((1, Set("offset"))), // bucket offsets: 256 rows by construction
