@@ -427,6 +427,11 @@ object SparkEntry {
     // production ANN shape; oracle = the k-means replay composed with
     // the PQ replay over residuals
     "s_ann_ivfpq"       -> ((s, d) => Similarity.sAnnIvfPq(s, d)),
+    // cluster-based data pruning (Sorscher et al. 2022): prune the
+    // most prototypical 25% of every k-means cell; same shared
+    // quantizer, oracle composes the Lloyd replay with a per-cell rank
+    "s_prune_prototypes" -> ((s, d) =>
+      Similarity.sPrunePrototypes(s, d)),
     // both stored halves (coarse quantizer + residual books) ride the
     // versioned model store past a stale v1; same oracle
     "s_ann_ivfpq_stored" -> ((s, d) =>
@@ -3130,6 +3135,22 @@ object SparkEntry {
     "s_ann_kmeans" -> (kmeansAssignCte + "\n" + kmeansSearchCtes + "\n" +
       """SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cosine
         |FROM r WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin),
+    // prototype pruning: the SAME Lloyd replay, then each vector's
+    // cosine to its own (argmax) centroid recovered by re-joining the
+    // final score relation, ranked per cell, integer-ceil cut at 25%
+    "s_prune_prototypes" -> (kmeansAssignCte + "\n" +
+      """pr AS (SELECT a3.vec_id, a3.cell, s3.score / n.nrm AS proto
+        |  FROM a3 JOIN s3 USING (vec_id, cell)
+        |    JOIN n ON n.vec_id = a3.vec_id),
+        |rk AS (SELECT vec_id, cell, proto,
+        |    ROW_NUMBER() OVER (PARTITION BY cell
+        |      ORDER BY proto DESC, vec_id) AS proto_rank,
+        |    COUNT(*) OVER (PARTITION BY cell) AS n_cell
+        |  FROM pr)
+        |SELECT cell, CAST(proto_rank AS BIGINT) AS proto_rank, vec_id,
+        |  CAST(n_cell AS BIGINT) AS n_cell, proto,
+        |  proto_rank > (n_cell * 25 + 99) // 100 AS kept
+        |FROM rk ORDER BY cell, proto_rank""".stripMargin),
     // recall@k contract of the IVF index, hash-checked: the SAME
     // k-means search replay vs the SAME brute-force replay, composed
     "s_ann_recall" -> (kmeansAssignCte + "\n" + kmeansSearchCtes + ",\n" +

@@ -935,6 +935,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** CLUSTER-BASED DATA PRUNING — self-supervised prototype pruning
+    * (Sorscher et al., "Beyond neural scaling laws: beating power law
+    * scaling via data pruning", NeurIPS 2022): cluster the embedding
+    * corpus with the SHARED k-means quantizer ([[kmeansModel]] — the
+    * session-cached trainer every ANN/dedup family rides), score each
+    * vector by cosine to ITS OWN centroid (its prototypicality), and
+    * mark the most prototypical `prunePct`% of every cell pruned — the
+    * paper's abundant-data regime, where dropping easy/prototypical
+    * examples beats dropping hard ones, applied per-cluster so no cell
+    * is wiped out entirely.
+    *
+    * Determinism: the quantizer is the proven fixed-seed trainer the
+    * DuckDB oracle unrolls as Lloyd CTEs; the prototype score is the
+    * SAME dot/norm composition the assignment used (one extra IEEE
+    * division by the vector's own norm); ranks tie-break on vec_id;
+    * the prune threshold is integer ceil arithmetic
+    * (`(n·pct + 99) div 100`) — no floats in the cut.
+    *
+    * Scale shape: one corpus scan to assign + score (the centroid
+    * array rides as a k·d `typedLit` constant — no join), then a
+    * per-CELL window rank — partitioned by the quantizer's own cells,
+    * so the sort is (n/k)-sized per partition and the relation never
+    * converges on one task. */
+  def sPrunePrototypes(spark: SparkSession, dir: String,
+      nCells: Int = 8, iters: Int = 2, prunePct: Int = 25): DataFrame = {
+    val e = withNorm(embeddings(spark, dir))
+      .select(col("vec_id"), col("emb"), col("nrm")).localCheckpoint()
+    val cents = kmeansModel(e, dir, nCells, iters)
+    val a = withScoreArray(withCell(e, cents), cents)
+      .withColumn("proto",
+        element_at(col("__sc"), col("cell") + lit(1)) / col("nrm"))
+    val wr = Window.partitionBy(col("cell"))
+      .orderBy(col("proto").desc, col("vec_id"))
+    a.withColumn("proto_rank", row_number().over(wr).cast("long"))
+      .withColumn("n_cell",
+        count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .withColumn("kept",
+        col("proto_rank") > expr(s"(n_cell * $prunePct + 99) div 100"))
+      .select(col("cell"), col("proto_rank"), col("vec_id"),
+        col("n_cell"), col("proto"), col("kept"))
+      .orderBy(col("cell"), col("proto_rank"))
+  }
+
   /** MMR DIVERSE SELECTION — maximal marginal relevance (Carbonell &
     * Goldstein, SIGIR 1998): greedily pick k results balancing
     * relevance to the query against redundancy with what's already
