@@ -35,7 +35,11 @@ object ExplainAudit {
         // a plain parquet scan of the maintained snapshot feeding the
         // analytic, not the full re-derivation (first call builds the
         // snapshot as a side effect, like the k-means entries above)
-        "g_pagerank", "d_dup_groups", "near_skew_gold")
+        "g_pagerank", "d_dup_groups", "near_skew_gold",
+        // round 14: the salted pair build (block-key shuffle join, no
+        // broadcast), DSIR (one wide shuffle + broadcast model rejoin +
+        // TakeOrdered), prototype pruning (scan + per-cell window)
+        "g_cooccur_salted", "t_dsir_weights", "s_prune_prototypes")
     names.foreach { n =>
       println(s"===== $n =====")
       graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
