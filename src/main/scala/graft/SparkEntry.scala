@@ -3149,7 +3149,7 @@ object SparkEntry {
         |  FROM pr)
         |SELECT cell, CAST(proto_rank AS BIGINT) AS proto_rank, vec_id,
         |  CAST(n_cell AS BIGINT) AS n_cell, proto,
-        |  proto_rank > (n_cell * 25 + 99) // 100 AS kept
+        |  proto_rank > least((n_cell * 25 + 99) // 100, n_cell - 1) AS kept
         |FROM rk ORDER BY cell, proto_rank""".stripMargin),
     // recall@k contract of the IVF index, hash-checked: the SAME
     // k-means search replay vs the SAME brute-force replay, composed

@@ -962,17 +962,29 @@ object Similarity {
       nCells: Int = 8, iters: Int = 2, prunePct: Int = 25): DataFrame = {
     val e = withNorm(embeddings(spark, dir))
       .select(col("vec_id"), col("emb"), col("nrm")).localCheckpoint()
-    val cents = kmeansModel(e, dir, nCells, iters)
+    prunePrototypesOf(e, kmeansModel(e, dir, nCells, iters), prunePct)
+  }
+
+  /** [[sPrunePrototypes]] over ANY (vec_id, emb, nrm) relation and
+    * centroid set — the suite feeds a synthetic corpus with a
+    * singleton cell through it to pin the survivor clamp. */
+  private[graft] def prunePrototypesOf(e: DataFrame,
+      cents: Array[Array[Double]], prunePct: Int): DataFrame = {
     val a = withScoreArray(withCell(e, cents), cents)
       .withColumn("proto",
         element_at(col("__sc"), col("cell") + lit(1)) / col("nrm"))
     val wr = Window.partitionBy(col("cell"))
       .orderBy(col("proto").desc, col("vec_id"))
+    // prune count = ceil(pct% of the cell), CLAMPED to n_cell − 1 so
+    // every cell keeps at least one survivor (ceil alone would wipe a
+    // singleton cell — the per-cluster guard is the point of pruning
+    // per cell rather than globally)
     a.withColumn("proto_rank", row_number().over(wr).cast("long"))
       .withColumn("n_cell",
         count(lit(1)).over(Window.partitionBy(col("cell"))))
       .withColumn("kept",
-        col("proto_rank") > expr(s"(n_cell * $prunePct + 99) div 100"))
+        col("proto_rank") >
+          expr(s"least((n_cell * $prunePct + 99) div 100, n_cell - 1L)"))
       .select(col("cell"), col("proto_rank"), col("vec_id"),
         col("n_cell"), col("proto"), col("kept"))
       .orderBy(col("cell"), col("proto_rank"))

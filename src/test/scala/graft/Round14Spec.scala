@@ -151,6 +151,30 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("prototype pruning keeps at least one survivor per cell (the " +
+      "singleton-cell clamp) and prunes ceil(25%) elsewhere") {
+    import spark.implicits._
+    graft.Tables.tune(spark)
+    // 2 centroids; cell 0 gets three members, cell 1 exactly one —
+    // ceil(25% of 1) = 1 would wipe the singleton without the clamp
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val e = Seq(
+      (1L, Seq(1.0, 0.1)), (2L, Seq(1.0, 0.2)), (3L, Seq(0.9, 0.0)),
+      (4L, Seq(0.1, 1.0)))
+      .toDF("vec_id", "emb")
+      .withColumn("nrm",
+        org.apache.spark.sql.functions.sqrt(
+          org.apache.spark.sql.functions.expr("dot_product(emb, emb)")))
+    val rows = Similarity.prunePrototypesOf(e, cents, prunePct = 25)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getBoolean(5)))
+    val byCell = rows.groupBy(_._1)
+    assert(byCell(1).map(_._2).toSet === Set(4L))
+    assert(byCell(1).forall(_._3), "singleton cell was wiped out")
+    // 3-member cell: ceil(0.25*3) = 1 pruned (the rank-1 prototype),
+    // 2 kept
+    assert(byCell(0).count(!_._3) === 1 && byCell(0).count(_._3) === 2)
+  }
+
   test("refreshAll fires registered refresh hooks (the seam that " +
       "clears session-memoized model state, ADVICE r13 #1)") {
     var fired = 0
