@@ -49,7 +49,7 @@ object SparkEntry {
       name == "s_ann_kmeans_stored" || name == "s_ann_pq_stored" ||
       name == "t_bpe_encode_stored" || name == "t_lm_score_stored" ||
       name == "s_ann_ivfpq_stored" || name == "s_stream_decontaminate" ||
-      name == "t_stream_dsir"
+      name == "t_stream_dsir" || name == "s_stream_prune"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -432,6 +432,10 @@ object SparkEntry {
     // quantizer, oracle composes the Lloyd replay with a per-cell rank
     "s_prune_prototypes" -> ((s, d) =>
       Similarity.sPrunePrototypes(s, d)),
+    // streaming twin: stored quantizer + PK-FINAL prototypicality
+    // facts (mid-stream restart in the path), rank-and-cut at read
+    "s_stream_prune"    -> ((s, d) =>
+      graft.streaming.StreamingAnnIndex.sStreamPrune(s, d)),
     // both stored halves (coarse quantizer + residual books) ride the
     // versioned model store past a stale v1; same oracle
     "s_ann_ivfpq_stored" -> ((s, d) =>
@@ -1074,8 +1078,10 @@ object SparkEntry {
       "s_ann_ivfpq_stored" -> m("s_ann_ivfpq"),
       "s_stream_decontaminate" -> m("s_decontaminate"),
       // the streamed DSIR facts MV feeds the SAME model+fold+top-k
-      // read body as the batch selector
-      "t_stream_dsir" -> m("t_dsir_weights"))
+      // read body as the batch selector; the streamed prototypicality
+      // facts feed the SAME rank-and-cut read as the batch pruner
+      "t_stream_dsir" -> m("t_dsir_weights"),
+      "s_stream_prune" -> m("s_prune_prototypes"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -969,16 +969,34 @@ object Similarity {
     * centroid set — the suite feeds a synthetic corpus with a
     * singleton cell through it to pin the survivor clamp. */
   private[graft] def prunePrototypesOf(e: DataFrame,
-      cents: Array[Array[Double]], prunePct: Int): DataFrame = {
-    val a = withScoreArray(withCell(e, cents), cents)
+      cents: Array[Array[Double]], prunePct: Int): DataFrame =
+    pruneRankFromFacts(assignWithProto(e, cents), prunePct)
+
+  /** The per-vector prototypicality FACT — (vec_id, cell, proto) via
+    * one narrow map with the centroid array as a literal: the argmax
+    * cell assignment ([[withCell]]'s expression) plus the cosine to
+    * that own centroid. Computed inline by the batch query and
+    * per-micro-batch by the streaming twin
+    * ([[graft.streaming.StreamingAnnIndex.sStreamPrune]]) — facts
+    * arrive once per vector and never change (PK-FINAL shape). */
+  private[graft] def assignWithProto(e: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    withScoreArray(withCell(e, cents), cents)
       .withColumn("proto",
         element_at(col("__sc"), col("cell") + lit(1)) / col("nrm"))
+      .select(col("vec_id"), col("cell"), col("proto"))
+
+  /** The rank-and-cut READ over a (vec_id, cell, proto) fact relation
+    * — ONE definition shared by the batch query and the streaming
+    * twin's read, so the two cannot drift. Prune count = ceil(pct% of
+    * the cell), CLAMPED to n_cell − 1 so every cell keeps at least one
+    * survivor (ceil alone would wipe a singleton cell — the
+    * per-cluster guard is the point of pruning per cell rather than
+    * globally). */
+  private[graft] def pruneRankFromFacts(a: DataFrame,
+      prunePct: Int): DataFrame = {
     val wr = Window.partitionBy(col("cell"))
       .orderBy(col("proto").desc, col("vec_id"))
-    // prune count = ceil(pct% of the cell), CLAMPED to n_cell − 1 so
-    // every cell keeps at least one survivor (ceil alone would wipe a
-    // singleton cell — the per-cluster guard is the point of pruning
-    // per cell rather than globally)
     a.withColumn("proto_rank", row_number().over(wr).cast("long"))
       .withColumn("n_cell",
         count(lit(1)).over(Window.partitionBy(col("cell"))))

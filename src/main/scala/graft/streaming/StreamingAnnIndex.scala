@@ -229,6 +229,79 @@ object StreamingAnnIndex {
     graft.llm.Similarity.decontaminateRel(index, nProbes, threshold)
   }
 
+  /** Stream every unconsumed chunk into the prototypicality FACT table
+    * — per micro-batch, one narrow map computing each vector's argmax
+    * cell and cosine-to-own-centroid with the FIXED stored quantizer
+    * ([[graft.llm.Similarity.assignWithProto]], the same expression as
+    * the batch build), appended through the ReplacingMergeTree-analog
+    * sink keyed on vec_id. */
+  def runPruneStream(spark: SparkSession, feedDir: String,
+      warehouse: String, centroids: Array[Array[Double]]): Unit = {
+    val path = s"$warehouse/proto_facts"
+    val query = StreamingDedup.readDocStream(spark, feedDir, vecSchema)
+      .writeStream
+      .option("checkpointLocation", s"$warehouse/_proto_checkpoint")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val batch = b.localCheckpoint()
+        if (!batch.isEmpty) {
+          val maxId = batch.agg(max(col("doc_id"))).collect()(0).getLong(0)
+          val facts = graft.llm.Similarity.assignWithProto(
+            batch.select(col("doc_id").as("vec_id"),
+                col("embedding").as("emb"))
+              .withColumn("nrm", sqrt(expr("dot_product(emb, emb)"))),
+            centroids)
+            .withColumn("block_height", col("vec_id"))
+          ParquetSink.writeBatch(facts, path, maxId, Seq("vec_id"))
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** Declared query (`s_stream_prune`): CONTINUOUS prototype pruning —
+    * the quantizer trains once and persists through the versioned
+    * model store (the rare producer pass), the corpus STREAMS through
+    * the fixed stored model into a PK-FINAL prototypicality fact table
+    * (checkpointed, two chunks, a mid-stream restart), and the
+    * rank-and-cut read ([[graft.llm.Similarity.pruneRankFromFacts]] —
+    * the SAME body as batch, ranks being non-additive derive at read)
+    * re-evaluates as the corpus grows. Equals batch
+    * `s_prune_prototypes` and shares its oracle. Correctness-only:
+    * micro-batch orchestration dominates, the batch twin is benched. */
+  def sStreamPrune(spark: SparkSession, dir: String, nCells: Int = 8,
+      iters: Int = 2, prunePct: Int = 25, nChunks: Int = 5): DataFrame = {
+    graft.Tables.tune(spark)
+    val feed = StreamingDedup.freshDir("proto_feed")
+    val warehouse = StreamingDedup.freshDir("proto_wh")
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    // PRODUCER: train on the full corpus, persist versioned, load back
+    val eTrain = vecs
+      .select(col("doc_id").as("vec_id"), col("embedding").as("emb"))
+      .withColumn("nrm", sqrt(expr("dot_product(emb, emb)")))
+      .localCheckpoint()
+    val modelRoot = StreamingDedup.freshDir("proto_model_store")
+    graft.sink.ModelStore.saveKmeans(spark, modelRoot, "proto_stream", 1L,
+      graft.llm.Similarity.kmeansCentroids(eTrain, nCells, iters))
+    val centroids =
+      graft.sink.ModelStore.loadKmeans(spark, modelRoot, "proto_stream")
+    ParquetSink.delete(new java.io.File(modelRoot))
+    // CONSUMER: stream the corpus through the fixed stored model
+    StreamingDedup.writeDocChunks(spark, vecs, feed, nChunks,
+      takeChunks = 2, schema = vecSchema)
+    runPruneStream(spark, feed, warehouse, centroids)
+    StreamingDedup.writeDocChunks(spark, vecs, feed, nChunks,
+      schema = vecSchema)
+    runPruneStream(spark, feed, warehouse, centroids)
+    graft.llm.Similarity.pruneRankFromFacts(
+      ParquetSink.readFinal(
+        spark.read.parquet(s"$warehouse/proto_facts"), Seq("vec_id"))
+        .select("vec_id", "cell", "proto"),
+      prunePct)
+  }
+
   def sStreamAnnLsh(spark: SparkSession, dir: String, k: Int = 3,
       nQueries: Int = 20, nPlanes: Int = 4, nChunks: Int = 5): DataFrame = {
     graft.Tables.tune(spark)

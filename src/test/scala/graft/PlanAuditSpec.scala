@@ -409,7 +409,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // builder trains+stores the quantizer and streams the index MV
     "s_stream_ann_kmeans",
     // builder streams the corpus into the PK-FINAL vector index
-    "s_stream_decontaminate")
+    "s_stream_decontaminate",
+    // builder streams docs into the PK-FINAL DSIR fact table
+    "t_stream_dsir",
+    // builder trains+stores the quantizer and streams the fact table
+    "s_stream_prune")
 
   test("no declared query plans a CartesianProduct, and forced broadcasts stay on bounded relations") {
     graft.Tables.tune(spark)
