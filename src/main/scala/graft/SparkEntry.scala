@@ -49,7 +49,8 @@ object SparkEntry {
       name == "s_ann_kmeans_stored" || name == "s_ann_pq_stored" ||
       name == "t_bpe_encode_stored" || name == "t_lm_score_stored" ||
       name == "s_ann_ivfpq_stored" || name == "s_stream_decontaminate" ||
-      name == "t_stream_dsir" || name == "s_stream_prune"
+      name == "t_stream_dsir" || name == "s_stream_prune" ||
+      name == "g_stream_components"
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -231,6 +232,13 @@ object SparkEntry {
       graft.queries.CoOccurrenceMv.cooccurSalted(s, d)),
     // per-user transitivity (2T/deg(deg-1)) over the same pipeline
     "g_clustering_coeff" -> (EventQueries.gClusteringCoeff _),
+    // connected components of the co-occurrence graph (the shared
+    // min-label body over the maintained edge MV)
+    "g_components"      -> (EventQueries.gComponents _),
+    // streamed twin over the incrementally-maintained edge MV (the
+    // shared min-label body derives components at read)
+    "g_stream_components" -> ((s, d) =>
+      graft.streaming.StreamingGraph.gStreamComponents(s, d)),
     // integer-exact damped PageRank (3 unrolled sparse mat-vec steps)
     "g_pagerank"         -> ((s, d) => EventQueries.gPageRank(s, d)),
     // last-touch attribution: windowed argMax within a 7d lookback
@@ -1081,7 +1089,8 @@ object SparkEntry {
       // read body as the batch selector; the streamed prototypicality
       // facts feed the SAME rank-and-cut read as the batch pruner
       "t_stream_dsir" -> m("t_dsir_weights"),
-      "s_stream_prune" -> m("s_prune_prototypes"))
+      "s_stream_prune" -> m("s_prune_prototypes"),
+      "g_stream_components" -> m("g_components"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -2758,6 +2767,21 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING COUNT(*) >= 2
         |ORDER BY u, v""".stripMargin,
+    // components via recursive transitive closure + min reachable id
+    // (the d_dup_groups oracle discipline over the ed edge relation)
+    "g_components" ->
+      (s"""WITH RECURSIVE $triangleCtes,
+        |e AS (SELECT u AS src, v AS dst FROM ed
+        |      UNION ALL SELECT v, u FROM ed),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+        |SELECT v.user_id,
+        |  LEAST(v.user_id,
+        |    (SELECT MIN(dst) FROM reach WHERE src = v.user_id)) AS group_id
+        |FROM (SELECT DISTINCT src AS user_id FROM e) v
+        |ORDER BY user_id""".stripMargin),
     // id-ordered triangle enumeration (orientation-free ground truth
     // for the degree-oriented Spark plan — same triangle set)
     "g_user_triangles" ->

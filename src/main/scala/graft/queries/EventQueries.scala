@@ -1030,6 +1030,25 @@ object EventQueries {
   private def coEdges(spark: SparkSession, dir: String): DataFrame =
     CoOccurrenceMv.edges(spark, dir)
 
+  /** CONNECTED COMPONENTS of the co-occurrence graph — the community
+    * skeleton every interaction-graph analysis starts from (which user
+    * clusters exist at all, before ranking/centrality inside them), and
+    * the fifth consumer of the maintained edge MV. The component body
+    * is THE shared implementation
+    * ([[graft.llm.Dedup.minLabelComponents]] — min-label propagation
+    * with pointer doubling, exact decimal-sum convergence, loud
+    * non-convergence), so the dedup-group and graph-component semantics
+    * cannot drift; vertices are exactly the edge endpoints (isolated
+    * users have no component, matching the recursive-closure oracle).
+    * Scale: O(edges) joins per round, O(log n) rounds — the same story
+    * as `d_dup_groups`. */
+  def gComponents(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.minLabelComponents(
+      coEdges(spark, dir)
+        .select(col("u").as("doc_a"), col("v").as("doc_b")))
+      .select(col("doc_id").as("user_id"), col("group_id"))
+      .orderBy(col("user_id"))
+
   /** The shared co-occurrence-graph triangle pipeline: per-user degree
     * and triangle membership counts ([[gUserTriangles]] projects the
     * counts; [[gClusteringCoeff]] derives the coefficient). */

@@ -166,4 +166,20 @@ object StreamingGraph {
       nChunks: Int = 5): DataFrame =
     graft.queries.EventQueries.bfsFromEdges(
       streamedEdges(spark, dir, nChunks).localCheckpoint())
+
+  /** Declared query (`g_stream_components`): connected components over
+    * the same incrementally-maintained edge MV, through the SAME shared
+    * min-label body as the batch query ([[graft.llm.Dedup
+    * .minLabelComponents]] — components are non-additive, so they
+    * derive at read, the `d_stream_dup_groups` discipline). Equals the
+    * batch `g_components` and shares its oracle. Correctness-only
+    * (micro-batch orchestration cost). */
+  def gStreamComponents(spark: SparkSession, dir: String,
+      nChunks: Int = 5): DataFrame =
+    graft.llm.Dedup.minLabelComponents(
+      streamedEdges(spark, dir, nChunks)
+        .select(col("u").as("doc_a"), col("v").as("doc_b"))
+        .localCheckpoint())
+      .select(col("doc_id").as("user_id"), col("group_id"))
+      .orderBy(col("user_id"))
 }

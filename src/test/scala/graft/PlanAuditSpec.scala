@@ -403,7 +403,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_stream_sample_priority", "t_stream_weighted_percentiles",
     "w_stream_funnel", "t_stream_pareto",
     // builders stream the event log into the maintained graph MV
-    "g_stream_pagerank", "g_stream_bfs",
+    "g_stream_pagerank", "g_stream_bfs", "g_stream_components",
     // builder streams documents into the maintained pair MV
     "d_stream_dup_groups",
     // builder trains+stores the quantizer and streams the index MV
