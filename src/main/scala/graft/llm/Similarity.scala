@@ -299,13 +299,17 @@ object Similarity {
 
   private def dropScores(df: DataFrame): DataFrame = df.drop("__sc")
 
-  /** Assign each vector to its max-cosine centroid (first-max
-    * tie-break via array_position). */
+  /** THE argmax-cell expression over a `__sc` score array (first-max
+    * tie-break via array_position) — one definition for every consumer
+    * so assignment semantics cannot drift. */
+  private def argmaxCellCol: org.apache.spark.sql.Column =
+    (expr("array_position(__sc, array_max(__sc))") - 1L).cast("int")
+
+  /** Assign each vector to its max-cosine centroid. */
   private def withCell(df: DataFrame,
       centroids: Array[Array[Double]]): DataFrame =
     dropScores(withScoreArray(df, centroids)
-      .withColumn("cell",
-        (expr("array_position(__sc, array_max(__sc))") - 1L).cast("int")))
+      .withColumn("cell", argmaxCellCol))
 
   /** One row per (vector, probe): the `nprobe` nearest cells by cosine,
     * ranked score DESC then cell ASC — rank 1 is exactly [[withCell]]'s
@@ -981,7 +985,8 @@ object Similarity {
     * arrive once per vector and never change (PK-FINAL shape). */
   private[graft] def assignWithProto(e: DataFrame,
       cents: Array[Array[Double]]): DataFrame =
-    withScoreArray(withCell(e, cents), cents)
+    withScoreArray(e, cents)
+      .withColumn("cell", argmaxCellCol) // ONE score-array computation
       .withColumn("proto",
         element_at(col("__sc"), col("cell") + lit(1)) / col("nrm"))
       .select(col("vec_id"), col("cell"), col("proto"))
