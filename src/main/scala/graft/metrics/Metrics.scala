@@ -118,9 +118,12 @@ object Metrics {
     folded.clear()
   }
 
-  /** Prometheus text exposition format (metrics.rs serves the same). */
+  /** Prometheus text exposition format (metrics.rs serves the same).
+    * Phase-duration histograms ([[Tracing]]) ride the same page, the
+    * way the reference's process serves counters and tracing from one
+    * binary. */
   def renderPrometheus(): String =
     snapshot().toSeq.sortBy(_._1).map { case (k, v) =>
       s"# TYPE $k counter\n$k $v"
-    }.mkString("", "\n", "\n")
+    }.mkString("", "\n", "\n") + Tracing.renderPrometheus()
 }

@@ -119,8 +119,13 @@ object BatchRunner {
         () => SilverTransforms.dip4Transfer(events, accounts)),
       ("silver_staging_transfer", silverClusterKeys,
         () => SilverTransforms.stagingDip4Transfer(events, accounts)))
+    // span parent captured HERE: the Futures run on pool threads that
+    // inherit neither the trace stack nor Spark's local properties
+    val ctx = graft.metrics.Tracing.context()
     val running = writes.map { case (name, keys, df) =>
-      Future(ParquetSink.writeBatch(df(), s"$warehouse/$name", seq, keys))
+      Future(graft.metrics.Tracing.spanIn(ctx, s"insert_${name}_to_db") {
+        ParquetSink.writeBatch(df(), s"$warehouse/$name", seq, keys)
+      })
     }
     // Await ALL writes before propagating the first failure (ADVICE
     // r10): failing fast on write k would leave jobs k+1…8 running as

@@ -87,39 +87,61 @@ object StreamRunner {
         val blocks = batch.localCheckpoint()
         if (!blocks.isEmpty) {
           import graft.bronze.BronzeExtractors
+          import graft.metrics.Tracing.span
           import graft.state.ReceiptTxResolver
+          val hAgg = blocks.agg(min(col("header.height")),
+            max(col("header.height"))).collect()(0)
+          val (minH, maxH) = (hAgg.getLong(0), hAgg.getLong(1))
+          // per-micro-batch phase spans, named after the reference's
+          // own handler hierarchy (TRACING.md:45-63) so traces line up
+          // engine-to-engine; no-ops unless Tracing.enable() ran
+          span("handle_streamer_message",
+            "min_height" -> minH.toString, "max_height" -> maxH.toString) {
           // carry = TTL-trimmed state for the next batch; lookup = the
           // untrimmed entry set THIS batch's rows resolve against with
           // per-row TTL (multi-block batches: early rows must not see
           // the max-height trim)
-          val (st2, lookup, events0) = StreamingResolver.processBatchFull(
-            state, blocks, accounts, ttlBlocks)
-          val events = events0.localCheckpoint()
-          val hAgg = blocks.agg(min(col("header.height")),
-            max(col("header.height"))).collect()(0)
-          val (minH, maxH) = (hAgg.getLong(0), hAgg.getLong(1))
+          val (st2, lookup, events0) =
+            span("cache_map_new_receipts_from_outcomes") {
+              StreamingResolver.processBatchFull(
+                state, blocks, accounts, ttlBlocks)
+            }
+          val events = span("parse_events") { events0.localCheckpoint() }
 
           // full product-table parity with BatchRunner: the CH-MV
           // cascade fires on this micro-batch's rows only
           val txs = BronzeExtractors.transactions(blocks, accounts)
           val outs = BronzeExtractors.outcomes(blocks)
           val ofInt = BronzeExtractors.outcomesOfInterest(outs, accounts)
-          failpoint(maxH, 0)
-          ParquetSink.writeBatch(
-            ReceiptTxResolver.attachParentTx(
-              BronzeExtractors.receiptRows(ofInt), lookup, ttlBlocks),
-            s"$warehouse/receipts", maxH, Seq("receipt_id"))
-          failpoint(maxH, 1)
-          ParquetSink.writeBatch(
-            ReceiptTxResolver.attachParentTx(
-              BronzeExtractors.executionOutcomeRows(ofInt), lookup, ttlBlocks),
-            s"$warehouse/execution_outcomes", maxH,
-            Seq("execution_outcome_id"))
-          failpoint(maxH, 2)
-          ParquetSink.writeBatch(events, eventsPath, maxH, eventsPk)
-          failpoint(maxH, 3)
-          graft.runner.BatchRunner.writeSilverCascade(
-            events, accounts, warehouse, maxH)
+          span("handle_receipts_and_outcomes") {
+            failpoint(maxH, 0)
+            span("insert_receipts_to_db") {
+              ParquetSink.writeBatch(
+                ReceiptTxResolver.attachParentTx(
+                  BronzeExtractors.receiptRows(ofInt), lookup, ttlBlocks),
+                s"$warehouse/receipts", maxH, Seq("receipt_id"))
+            }
+            failpoint(maxH, 1)
+            span("insert_execution_outcomes_to_db") {
+              ParquetSink.writeBatch(
+                ReceiptTxResolver.attachParentTx(
+                  BronzeExtractors.executionOutcomeRows(ofInt), lookup,
+                  ttlBlocks),
+                s"$warehouse/execution_outcomes", maxH,
+                Seq("execution_outcome_id"))
+            }
+          }
+          span("handle_events") {
+            failpoint(maxH, 2)
+            span("insert_events_to_db") {
+              ParquetSink.writeBatch(events, eventsPath, maxH, eventsPk)
+            }
+            failpoint(maxH, 3)
+            span("silver_cascade") {
+              graft.runner.BatchRunner.writeSilverCascade(
+                events, accounts, warehouse, maxH)
+            }
+          }
           // state commits AFTER the event-derived tables: a crash in
           // between replays the batch against the OLD state — identical
           // rows, FINAL-deduped — never against a state that skipped it.
@@ -127,20 +149,27 @@ object StreamRunner {
           // means pre-existing entries never change, so the table + the
           // trim below stay O(TTL window), not O(stream length));
           // block_height = entry_height drives the sink's bucketing.
-          failpoint(maxH, 4)
-          ParquetSink.writeBatch(
-            st2.filter(col("entry_height") >= minH)
-              .withColumn("block_height", col("entry_height")),
-            statePath, maxH, statePk)
-          ParquetSink.dropBucketsBelow(statePath, maxH - ttlBlocks)
+          span("persist_resolver_state") {
+            failpoint(maxH, 4)
+            ParquetSink.writeBatch(
+              st2.filter(col("entry_height") >= minH)
+                .withColumn("block_height", col("entry_height")),
+              statePath, maxH, statePk)
+            ParquetSink.dropBucketsBelow(statePath, maxH - ttlBlocks)
+          }
           // transactions last — the lastHeight resume marker consumers
           // read stays behind every other table (BatchRunner parity)
-          failpoint(maxH, 5)
-          ParquetSink.writeBatch(
-            txs.filter(col("of_interest"))
-              .drop("first_receipt_id", "of_interest"),
-            s"$warehouse/transactions", maxH, Seq("transaction_hash"))
+          span("handle_transactions") {
+            failpoint(maxH, 5)
+            span("insert_transactions_to_db") {
+              ParquetSink.writeBatch(
+                txs.filter(col("of_interest"))
+                  .drop("first_receipt_id", "of_interest"),
+                s"$warehouse/transactions", maxH, Seq("transaction_hash"))
+            }
+          }
           state = st2
+          }
         }
       }
       .trigger(Trigger.AvailableNow())

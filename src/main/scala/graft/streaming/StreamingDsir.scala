@@ -63,7 +63,7 @@ object StreamingDsir {
     TextAnalysis.dsirFromCounts(
       ParquetSink.readFinal(
         spark.read.parquet(s"$warehouse/dsir_db"), pk)
-        .select(col("doc_id"), col("lang"), col("b"), col("c")), k)
+        .select(col("doc_id"), col("is_target"), col("b"), col("c")), k)
 
   /** Declared query (`t_stream_dsir`): stream the documents table into
     * the incremental facts MV — two chunks, a mid-stream RESTART from

@@ -61,18 +61,33 @@ object StreamingRangeJoin {
           expr("ts DIV 1000").as(s"ts_$tag"),
           timestamp_micros(expr("ts DIV 1000")).as(s"t_$tag"))
         .withWatermark(s"t_$tag", delay)
+    // JOIN CONDITION = the user-key equality + the two watermarked
+    // interval terms, NOTHING else (ADVICE r14 #1): StreamingJoinHelper
+    // solves each non-equi conjunct for a state-eviction bound by
+    // substituting the watermark and EVALUATING the rest — any term
+    // carrying a non-watermark attribute (the old `abs(ts_a−ts_b)`
+    // restatement, or even the `event_a < event_b` tie-break) throws
+    // cannotEvaluateExpressionError into the log at WARN on every run.
+    // The interval pair alone is the full predicate anyway: t_x =
+    // timestamp_micros(ts_x) is order-isomorphic to the Long µs value,
+    // so it IS |ts_a − ts_b| ≤ windowUs exactly. The `event_a <
+    // event_b` tie-break moves into the foreachBatch BODY (batch
+    // domain): a post-join .filter on the stream side gets pushed
+    // right back into the join condition by PushPredicateThroughJoin,
+    // re-creating the noise. State is per-INPUT-row, so buffering both
+    // orientations costs nothing extra; the batch filter drops the
+    // mirrored/self pairs before the sink.
     val joined = side("a").join(side("b"),
       col("u_a") === col("u_b") &&
-        col("event_a") < col("event_b") &&
         col("t_b") >= col("t_a") - expr(s"INTERVAL ${windowUs} MICROSECOND") &&
-        col("t_b") <= col("t_a") + expr(s"INTERVAL ${windowUs} MICROSECOND") &&
-        abs(col("ts_a") - col("ts_b")) <= windowUs)
+        col("t_b") <= col("t_a") + expr(s"INTERVAL ${windowUs} MICROSECOND"))
       .select(col("u_a").as("user_id"), col("event_a"), col("event_b"),
         (col("ts_b") - col("ts_a")).as("gap_us"))
     val query = joined.writeStream
       .option("checkpointLocation", s"$warehouse/_range_checkpoint")
       .foreachBatch { (b: DataFrame, _: Long) =>
-        val batch = b.localCheckpoint()
+        val batch = b.filter(col("event_a") < col("event_b"))
+          .localCheckpoint()
         if (!batch.isEmpty) {
           val maxId = batch.agg(max(col("event_b"))).collect()(0).getLong(0)
           ParquetSink.writeBatch(

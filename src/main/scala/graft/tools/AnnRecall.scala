@@ -64,22 +64,29 @@ object AnnRecall {
     // IVFADC (round 14): the composed index — both levers at once.
     // Residual coding only beats flat PQ when the coarse cells are
     // tight enough that residual variance << raw variance (Jégou §IV:
-    // the cell count grows with the corpus) — nCells is env-tunable so
-    // the sweep can measure both regimes.
-    val ivfadcCells =
-      sys.env.getOrElse("SPARK_GRAFT_IVFADC_CELLS", "8").toInt
+    // the cell count grows with the corpus) — cells/nprobe/nCand are
+    // env-tunable lists so the 200k-vector sweep (VERDICT r14 #2) can
+    // measure the √n scaling rule against the small-corpus settings.
+    val ivfadcCellsList =
+      sys.env.getOrElse("SPARK_GRAFT_IVFADC_CELLS", "8")
+        .split(",").toSeq.map(_.trim.toInt)
     val ivfadcProbes = sys.env.getOrElse("SPARK_GRAFT_IVFADC_NPROBE", "1,2,3")
       .split(",").toSeq.map(_.trim.toInt)
-    ivfadcProbes.foreach { nprobe =>
-      Seq(8, 16, 32, 64).foreach { nCand =>
-        val got = pairs(graft.llm.Similarity.sAnnIvfPq(
-          spark, dir, k, nQueries, nCells = ivfadcCells, nprobe = nprobe,
-          nCand = nCand))
-        println(s"""{"sf":"$dir","index":"ivfadc","n_cells":$ivfadcCells,""" +
-          s""""nprobe":$nprobe,"n_cand":$nCand,"k":$k,""" +
-          s""""n_queries":$nQueries,"exact":${exact.size},""" +
-          s""""found":${(exact intersect got).size},"recall":${recall(got)}}""")
-      }
+    val ivfadcCands = sys.env.getOrElse(
+        "SPARK_GRAFT_IVFADC_NCAND", "8,16,32,64")
+      .split(",").toSeq.map(_.trim.toInt)
+    for (ivfadcCells <- ivfadcCellsList; nprobe <- ivfadcProbes;
+         nCand <- ivfadcCands) {
+      val t0 = System.nanoTime()
+      val got = pairs(graft.llm.Similarity.sAnnIvfPq(
+        spark, dir, k, nQueries, nCells = ivfadcCells, nprobe = nprobe,
+        nCand = nCand))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"sf":"$dir","index":"ivfadc","n_cells":$ivfadcCells,""" +
+        s""""nprobe":$nprobe,"n_cand":$nCand,"k":$k,""" +
+        s""""n_queries":$nQueries,"exact":${exact.size},""" +
+        s""""found":${(exact intersect got).size},"recall":${recall(got)},""" +
+        f""""wall_sec":$sec%.2f}""")
     }
     spark.stop()
   }

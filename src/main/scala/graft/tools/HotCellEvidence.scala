@@ -61,19 +61,33 @@ object HotCellEvidence {
     // hot: one ('view', bkt 0) cell with `hotUsers` distinct users;
     // cold: `coldCells` cells of 5 users each (buckets 1..coldCells) —
     // 50% of FACTS in the hot cell, ~all pair WORK in it
-    val hot = spark.range(hotUsers).selectExpr(
+    def mkEvents(nHot: Int) = spark.range(nHot).selectExpr(
       "id AS user_id", "'view' AS event_type", "id AS ts")
-    val cold = spark.range(coldCells * 5L).selectExpr(
-      "id + 1000000 AS user_id", "'view' AS event_type",
-      s"(id DIV 5 + 1) * ${bucketNs}L + id AS ts")
-    val events = hot.unionByName(cold).localCheckpoint()
+      .unionByName(spark.range(coldCells * 5L).selectExpr(
+        "id + 1000000 AS user_id", "'view' AS event_type",
+        s"(id DIV 5 + 1) * ${bucketNs}L + id AS ts"))
+      .localCheckpoint()
+    val events = mkEvents(hotUsers)
+    // uniform: same fact count, max cell stays at 5 users
+    val uniform = spark.range((coldCells + hotUsers / 5) * 5L).selectExpr(
+      "id AS user_id", "'view' AS event_type",
+      s"(id DIV 5 + 1) * ${bucketNs}L + id AS ts").localCheckpoint()
 
-    def run(label: String, salted: Boolean = false)
-        : ((Long, Long, Long), String) = {
-      val occ = graft.queries.CoOccurrenceMv.occupancy(events)
-      val counts =
-        if (salted) graft.queries.CoOccurrenceMv.pairCountsSalted(occ)
-        else graft.queries.CoOccurrenceMv.pairCounts(occ)
+    sealed trait Mode
+    case object Plain extends Mode; case object Salted extends Mode
+    case object Auto extends Mode
+
+    def run(label: String, mode: Mode = Plain,
+        corpus: org.apache.spark.sql.DataFrame = events)
+        : ((Long, Long, Long), String, Boolean) = {
+      val occ = graft.queries.CoOccurrenceMv.occupancy(corpus)
+      val (counts, engaged) = mode match {
+        case Plain => (graft.queries.CoOccurrenceMv.pairCounts(occ), false)
+        case Salted =>
+          (graft.queries.CoOccurrenceMv.pairCountsSalted(occ), true)
+        case Auto =>
+          graft.queries.CoOccurrenceMv.pairCountsAutoWithDecision(occ)
+      }
       val fp = counts.agg(
         count(lit(1)).as("n"),
         sum(col("nco")).as("s"),
@@ -87,11 +101,11 @@ object HotCellEvidence {
       val plan = fp.queryExecution.executedPlan.toString
       println(f"[$label] pairs=${res._1} sum_nco=${res._2} " +
         f"fingerprint=${res._3} wall=${sec}%.2fs " +
-        s"skew_marker=${plan.contains("skew=true")}")
-      (res, plan)
+        s"skew_marker=${plan.contains("skew=true")} salted=$engaged")
+      (res, plan, engaged)
     }
 
-    val (base, _) = run("default-aqe")
+    val (base, _, _) = run("default-aqe")
 
     // the 100× model: neither side broadcasts, thresholds at tool scale
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -111,21 +125,57 @@ object HotCellEvidence {
     // to one under the 1 MB floor)
     spark.conf.set(
       "spark.sql.adaptive.coalescePartitions.minPartitionSize", "4096")
-    val (forced, plan2) = run("forced-shuffle+skew-split")
+    val (forced, plan2, _) = run("forced-shuffle+skew-split")
 
     // 3. CELL-SALTED build under the SAME no-broadcast regime: the
     //    engine-independent guard — the (cell, bi, bj) join key spreads
     //    the hot cell over S(S+1)/2 blocks by construction, so no AQE
     //    skew rule is needed for the per-task bound (and none should
     //    fire: the key is uniform). Must be bit-identical too.
-    val (saltedRes, plan3) = run("cell-salted", salted = true)
+    val (saltedRes, plan3, _) = run("cell-salted", Salted)
 
-    val equal = base == forced && base == saltedRes
+    // 4./5. AUTO path (VERDICT r14 #1): the per-cell degree census must
+    //    ENGAGE salting on the hot corpus (max cell = hotUsers >
+    //    threshold) and must NOT fan out the uniform corpus (max cell =
+    //    5) — the production behavior, no operator the user must know.
+    val (autoHot, _, hotEngaged) = run("auto-hot", Auto)
+    val (autoUni, _, uniEngaged) = run("auto-uniform", Auto, uniform)
+    val (uniPlain, _, _) = run("uniform-plain", Plain, uniform)
+
+    // Optional threshold sweep (SPARK_GRAFT_SWEEP=1): times plain vs
+    // salted at growing hot-cell sizes under DEFAULT configs — the
+    // production regime and the measurement behind HotCellThreshold.
+    // AQE's skew detection is INPUT-bytes-based, and this join's input
+    // (occupancy facts) is small while its OUTPUT is |cell|² — so at
+    // defaults the hot cell is invisible to OptimizeSkewedJoin and the
+    // plain build degrades into a straggler; the salted build's bound
+    // comes from the key itself and needs no threshold tuning.
+    if (sys.env.get("SPARK_GRAFT_SWEEP").contains("1")) {
+      for (k <- Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize"))
+        spark.conf.unset(k)
+      for (n <- Seq(1000, 2000, 4000, 8000, 16000)) {
+        val c = mkEvents(n)
+        run(s"sweep-plain-$n", Plain, c)
+        run(s"sweep-salted-$n", Salted, c)
+      }
+    }
+
+    val equal = base == forced && base == saltedRes && base == autoHot
     val split = plan2.contains("skew=true")
     val saltedUniform = !plan3.contains("skew=true")
+    val autoOk = hotEngaged && !uniEngaged && autoUni == uniPlain
     println(s"VERDICT: results_equal=$equal skew_split_engaged=$split " +
-      s"salted_needs_no_split=$saltedUniform")
+      s"salted_needs_no_split=$saltedUniform " +
+      s"auto_hot_salts=$hotEngaged auto_uniform_plain=${!uniEngaged}")
     spark.stop()
-    if (!equal || !split) sys.exit(1)
+    // saltedUniform is part of the documented evidence claim (ADVICE r14):
+    // a regression where AQE's skew rule fires on the salted join must
+    // fail the gate, not just print false.
+    if (!equal || !split || !saltedUniform || !autoOk) sys.exit(1)
   }
 }

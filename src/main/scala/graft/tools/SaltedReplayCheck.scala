@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   * — non-zero exit on fingerprint mismatch. */
 object SaltedReplayCheck {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: runMain graft.tools.SaltedReplayCheck <sfDir> <dumpDir>")
+      sys.exit(2)
+    }
     val Array(dir, dump) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -53,6 +53,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "t_tfidf_topk" -> ((1, Set("df"))), // document-frequency dim: vocab-bounded
     // DSIR bucket model: exactly B=1024 (b, s) rows by construction
     "t_dsir_weights" -> ((1, Set("s"))),
+    // the source-target path (r15): SAME body, same B=1024-row model
+    "t_dsir_target_source" -> ((1, Set("s"))),
     "t_stream_dsir" -> ((1, Set("s"))),
     "t_decontaminate" -> ((1, Set("shingle"))), // eval-set shingles: benchmark-bounded
     "t_stratified_sample" -> ((1, Set("n_l"))), // per-language counts: language-bounded
