@@ -113,34 +113,60 @@ object StreamRunner {
           val txs = BronzeExtractors.transactions(blocks, accounts)
           val outs = BronzeExtractors.outcomes(blocks)
           val ofInt = BronzeExtractors.outcomesOfInterest(outs, accounts)
-          span("handle_receipts_and_outcomes") {
-            failpoint(maxH, 0)
-            span("insert_receipts_to_db") {
-              ParquetSink.writeBatch(
-                ReceiptTxResolver.attachParentTx(
-                  BronzeExtractors.receiptRows(ofInt), lookup, ttlBlocks),
-                s"$warehouse/receipts", maxH, Seq("receipt_id"))
-            }
-            failpoint(maxH, 1)
-            span("insert_execution_outcomes_to_db") {
-              ParquetSink.writeBatch(
-                ReceiptTxResolver.attachParentTx(
-                  BronzeExtractors.executionOutcomeRows(ofInt), lookup,
-                  ttlBlocks),
-                s"$warehouse/execution_outcomes", maxH,
-                Seq("execution_outcome_id"))
-            }
-          }
-          span("handle_events") {
-            failpoint(maxH, 2)
-            span("insert_events_to_db") {
-              ParquetSink.writeBatch(events, eventsPath, maxH, eventsPk)
-            }
-            failpoint(maxH, 3)
-            span("silver_cascade") {
-              graft.runner.BatchRunner.writeSilverCascade(
-                events, accounts, warehouse, maxH)
-            }
+          // CONCURRENT insert group (r15, from the span-trace
+          // attribution: receipts 6.5 s + outcomes 6.1 s + events 3.9 s
+          // ran SERIALIZED next to an 11 s silver cascade that already
+          // overlapped internally — same idempotent PK-FINAL contract,
+          // same ADVICE-r10 await-all-before-rethrow discipline, so the
+          // four event-derived write groups submit together; only the
+          // resolver STATE (after event-derived tables) and TRANSACTIONS
+          // (the resume marker, last) stay ordered. Each failpoint still
+          // fires before ITS write launches; a failpoint throw stops
+          // launching and the batch fails only after every already-
+          // launched job terminated (no zombies racing the replay).
+          span("insert_batches") {
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration.Duration
+            import scala.concurrent.ExecutionContext.Implicits.global
+            val ctx = graft.metrics.Tracing.context()
+            val launched =
+              scala.collection.mutable.ArrayBuffer.empty[Future[Unit]]
+            var failed: Throwable = null
+            try {
+              failpoint(maxH, 0)
+              launched += Future(graft.metrics.Tracing.spanIn(ctx,
+                "insert_receipts_to_db") {
+                ParquetSink.writeBatch(
+                  ReceiptTxResolver.attachParentTx(
+                    BronzeExtractors.receiptRows(ofInt), lookup, ttlBlocks),
+                  s"$warehouse/receipts", maxH, Seq("receipt_id"))
+              })
+              failpoint(maxH, 1)
+              launched += Future(graft.metrics.Tracing.spanIn(ctx,
+                "insert_execution_outcomes_to_db") {
+                ParquetSink.writeBatch(
+                  ReceiptTxResolver.attachParentTx(
+                    BronzeExtractors.executionOutcomeRows(ofInt), lookup,
+                    ttlBlocks),
+                  s"$warehouse/execution_outcomes", maxH,
+                  Seq("execution_outcome_id"))
+              })
+              failpoint(maxH, 2)
+              launched += Future(graft.metrics.Tracing.spanIn(ctx,
+                "insert_events_to_db") {
+                ParquetSink.writeBatch(events, eventsPath, maxH, eventsPk)
+              })
+              failpoint(maxH, 3)
+              launched += Future(graft.metrics.Tracing.spanIn(ctx,
+                "silver_cascade") {
+                graft.runner.BatchRunner.writeSilverCascade(
+                  events, accounts, warehouse, maxH)
+              })
+            } catch { case e: Throwable => failed = e }
+            val outcomes2 = launched.toSeq.map(f =>
+              scala.util.Try(Await.result(f, Duration.Inf)))
+            if (failed != null) throw failed
+            outcomes2.foreach(_.get) // rethrows the first write failure
           }
           // state commits AFTER the event-derived tables: a crash in
           // between replays the batch against the OLD state — identical

@@ -105,11 +105,22 @@ object StreamingResolver {
     var st = firstWrite(state.unionByName(seeds))
 
     // propagate to fixpoint within the block (local receipts can be
-    // seeded and executed in the same block)
+    // seeded and executed in the same block). FRONTIER BFS (r15, from
+    // the span-trace attribution: this loop was 36% of cascade wall,
+    // ~19 Spark jobs per micro-batch): each iteration joins the edges
+    // against only the LAST round's new entries, not the whole
+    // accumulated state — a child's first emission can only come
+    // through a parent resolved in the previous round (a parent
+    // resolved earlier would have emitted it earlier, and the anti-join
+    // against the full done-set keeps re-emissions out), so the
+    // candidate set at first emission is identical and firstWrite picks
+    // the same winner. The first round's frontier is the FULL carried
+    // state ∪ seeds (parents resolved in prior batches count).
+    var frontier = st
     var grew = true
     while (grew) {
       val next = edges
-        .join(st, edges("parent_receipt_id") === st("receipt_id"))
+        .join(frontier, edges("parent_receipt_id") === frontier("receipt_id"))
         .filter(col("hop_height") >= col("entry_height") &&
           col("hop_height") - col("entry_height") <= ttlBlocks)
         .select(
@@ -120,7 +131,10 @@ object StreamingResolver {
           col("receipt_id") === col("done_id"), "left_anti")
       val nextDeduped = firstWrite(next).localCheckpoint()
       if (nextDeduped.isEmpty) grew = false
-      else st = st.unionByName(nextDeduped)
+      else {
+        st = st.unionByName(nextDeduped)
+        frontier = nextDeduped
+      }
     }
 
     // lookup state: untrimmed — each row applies its own TTL below
