@@ -440,7 +440,11 @@ object SparkEntry {
     // residual PQ + cell-pruned ADC + exact rerank — the composed
     // production ANN shape; oracle = the k-means replay composed with
     // the PQ replay over residuals
-    "s_ann_ivfpq"       -> ((s, d) => Similarity.sAnnIvfPq(s, d)),
+    // knobs PINNED to the oracle's replay (8 cells / probe-2 / 32
+    // candidates — the kmeansAssignCte trains exactly that index);
+    // production defaults are the r15 sweep's √n/13·k rule
+    "s_ann_ivfpq"       -> ((s, d) => Similarity.sAnnIvfPq(s, d,
+      nCells = 8, nprobe = 2, nCand = 32)),
     // cluster-based data pruning (Sorscher et al. 2022): prune the
     // most prototypical 25% of every k-means cell; same shared
     // quantizer, oracle composes the Lloyd replay with a per-cell rank
@@ -451,9 +455,10 @@ object SparkEntry {
     "s_stream_prune"    -> ((s, d) =>
       graft.streaming.StreamingAnnIndex.sStreamPrune(s, d)),
     // both stored halves (coarse quantizer + residual books) ride the
-    // versioned model store past a stale v1; same oracle
+    // versioned model store past a stale v1; same oracle (same pins)
     "s_ann_ivfpq_stored" -> ((s, d) =>
-      StoredModels.sAnnIvfPqStored(s, d)),
+      StoredModels.sAnnIvfPqStored(s, d,
+        nCells = 8, nprobe = 2, nCand = 32)),
     // per-dimension affine int8 quantization + exact error accounting
     "s_quantize_int8"   -> ((s, d) => Similarity.sQuantizeInt8(s, d)),
     // MMR diverse re-rank: greedy rel - 0.5*max-sim over a top-20 pool

@@ -703,20 +703,42 @@ object Similarity {
     * compression of flat PQ PLUS cell-pruned candidate reads; the
     * query side is broadcast-bounded (nprobe× fan-out, m·ksub LUT
     * doubles per probe row); rerank touches nCand·|Q| full vectors. */
+  /** √n cell-count rule (Jégou TPAMI'11 §IV: the coarse quantizer must
+    * grow with the corpus — fixed cells at 100× the data means 100×
+    * the per-probe scan). Floor 8 (below that the index degenerates to
+    * flat PQ), cap 4096 (k-means training cost and the codegen'd
+    * centroid literal both scale with it; past √n ≈ 4096 ⇒ n ≈ 16M per
+    * PARTITION-level index, re-shard first). Promoted from the 200k
+    * sweep (SCALE_CHECK r15): recall is cell-count-NEUTRAL at matched
+    * rerank budget (0.995–1.0 across 8/64/448 cells) while the probed
+    * fraction drops 25% → 0.9%. */
+  def autoCells(n: Long): Int =
+    math.max(8, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+
   def sAnnIvfPq(spark: SparkSession, dir: String, k: Int = 3,
-      nQueries: Int = 20, nCells: Int = 8, iters: Int = 2,
-      nprobe: Int = 2, m: Int = 8, dsub: Int = 8, ksub: Int = 8,
-      pqIters: Int = 2, nCand: Int = 32): DataFrame = {
+      nQueries: Int = 20, nCells: Int = 0, iters: Int = 2,
+      nprobe: Int = 4, m: Int = 8, dsub: Int = 8, ksub: Int = 8,
+      pqIters: Int = 2, nCand: Int = 0): DataFrame = {
     val e = withNorm(embeddings(spark, dir))
       .select(col("vec_id"), col("emb"), col("nrm"))
       .localCheckpoint() // coarse trainer + residuals + rerank read it
-    val centroids = kmeansModel(e, dir, nCells, iters)
+    // Defaults promoted from the 200k-vector sweep (VERDICT r14 #2 /
+    // SCALE_CHECK r15): nCells ≤ 0 ⇒ the √n rule; nCand ≤ 0 ⇒
+    // max(32, 13·k) — the rerank budget is THE recall lever (measured
+    // 0.35-0.40 at 3.2×k, 0.69-0.74 at 6.4×k, 0.98-1.0 at 12.8×k,
+    // whatever the cell count); nprobe 4 (2 left one twin unprobed at
+    // 448 cells, beyond 4 bought nothing). Gate rows pin the
+    // pre-promotion (8, 2, 32) explicitly — the DuckDB replay trains
+    // that exact index.
+    val cells = if (nCells > 0) nCells else autoCells(e.count())
+    val cand = if (nCand > 0) nCand else math.max(32, 13 * k)
+    val centroids = kmeansModel(e, dir, cells, iters)
     // PQ trainer (seed collect + pqIters aggregations) and the encode
     // pass all read the residual relation (tracked cache contract)
     val resid = QueryCaches.persistTracked(residualRel(e, centroids))
     val books = pqCodebooks(resid, m, dsub, ksub, pqIters)
     ivfPqSearch(e, resid, centroids, books, k, nQueries, nprobe, m,
-      dsub, ksub, nCand)
+      dsub, ksub, cand)
   }
 
   /** The residual relation (vec_id, cell, emb = v − c_cell): cell from

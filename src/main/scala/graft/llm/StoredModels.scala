@@ -82,21 +82,26 @@ object StoredModels {
     * them together; here both load latest-wins past a stale v1).
     * Same oracle as `s_ann_ivfpq`. */
   def sAnnIvfPqStored(spark: SparkSession, dir: String, k: Int = 3,
-      nQueries: Int = 20, nCells: Int = 8, iters: Int = 2,
-      nprobe: Int = 2, m: Int = 8, dsub: Int = 8, ksub: Int = 8,
-      pqIters: Int = 2, nCand: Int = 32): DataFrame = {
+      nQueries: Int = 20, nCells: Int = 0, iters: Int = 2,
+      nprobe: Int = 4, m: Int = 8, dsub: Int = 8, ksub: Int = 8,
+      pqIters: Int = 2, nCand: Int = 0): DataFrame = {
     graft.Tables.tune(spark)
     val e = normedCorpus(spark, dir).localCheckpoint()
+    // same promoted defaults as the train-inline twin (√n cells,
+    // 13·k rerank budget) — resolved identically so the pair stays
+    // row-for-row comparable at any knob setting
+    val cells = if (nCells > 0) nCells else Similarity.autoCells(e.count())
+    val cand = if (nCand > 0) nCand else math.max(32, 13 * k)
     val root = freshRoot()
     // v1: seed-only coarse quantizer + books trained against ITS
     // residuals — a coherent but stale model pair
-    val staleCents = Similarity.kmeansCentroids(e, nCells, 0)
+    val staleCents = Similarity.kmeansCentroids(e, cells, 0)
     ModelStore.saveKmeans(spark, root, "ivfpq_coarse", 1L, staleCents)
     ModelStore.savePq(spark, root, "ivfpq_books", 1L,
       Similarity.pqCodebooks(
         Similarity.residualRel(e, staleCents), m, dsub, ksub, 0))
     // v2: the real pair
-    val cents = Similarity.kmeansCentroids(e, nCells, iters)
+    val cents = Similarity.kmeansCentroids(e, cells, iters)
     val resid = graft.QueryCaches.persistTracked(
       Similarity.residualRel(e, cents))
     ModelStore.saveKmeans(spark, root, "ivfpq_coarse", 2L, cents)
@@ -106,7 +111,7 @@ object StoredModels {
     val loadedBooks = ModelStore.loadPq(spark, root, "ivfpq_books")
     graft.sink.ParquetSink.delete(new java.io.File(root))
     Similarity.ivfPqSearch(e, Similarity.residualRel(e, loadedCents),
-      loadedCents, loadedBooks, k, nQueries, nprobe, m, dsub, ksub, nCand)
+      loadedCents, loadedBooks, k, nQueries, nprobe, m, dsub, ksub, cand)
   }
 
   /** `t_bpe_encode_stored`: segment the corpus with the STORED merge

@@ -15,10 +15,14 @@ class Round14Spec extends AnyFunSuite {
   test("IVFADC: deterministic end-to-end, exact rerank bit-matches " +
       "brute force, candidates come from the probed IVF cells only") {
     graft.Tables.tune(spark)
-    val a = Similarity.sAnnIvfPq(spark, dir).collect().map(_.toString).toSeq
-    val b = Similarity.sAnnIvfPq(spark, dir).collect().map(_.toString).toSeq
+    // knobs pinned to the gate config (8/2/32): the cross-checks below
+    // require the SAME quantizer as sAnnKmeans' default 8-cell index
+    def ivfpq() = Similarity.sAnnIvfPq(spark, dir,
+      nCells = 8, nprobe = 2, nCand = 32)
+    val a = ivfpq().collect().map(_.toString).toSeq
+    val b = ivfpq().collect().map(_.toString).toSeq
     assert(a === b && a.nonEmpty) // both trainers fixed-seed + quantized
-    val rows = Similarity.sAnnIvfPq(spark, dir).collect()
+    val rows = ivfpq().collect()
     // reranked cosine is EXACT: bit-identical to the brute-force cosine
     // of the same (query, neighbor) pair
     val exactAll = Similarity.sCosineTopk(spark, dir,
