@@ -35,9 +35,14 @@ object StreamingDsir {
 
   /** Drain every unseen chunk (Trigger.AvailableNow, resumable
     * checkpoint): per micro-batch, land the batch docs' bucket counts
-    * under PK FINAL. */
-  def runStream(spark: SparkSession, feedDir: String,
-      warehouse: String): Unit = {
+    * under PK FINAL. `target` is the same any-predicate target the
+    * batch selector takes (VERDICT r14 #7) — evaluated per document
+    * while its row is in hand, stored as the `is_target` fact, so the
+    * streamed MV serves whatever target distribution the deployment
+    * points it at. */
+  def runStream(spark: SparkSession, feedDir: String, warehouse: String,
+      target: org.apache.spark.sql.Column =
+        col("lang") === "en"): Unit = {
     val query = StreamingDedup.readDocStream(spark, feedDir, feedSchema)
       .writeStream
       .option("checkpointLocation", s"$warehouse/_dsir_checkpoint")
@@ -46,7 +51,7 @@ object StreamingDsir {
         if (!batch.isEmpty) {
           val maxId = batch.agg(max(col("doc_id"))).collect()(0).getLong(0)
           ParquetSink.writeBatch(
-            TextAnalysis.dsirDocBucketCounts(batch)
+            TextAnalysis.dsirDocBucketCounts(batch, target = target)
               .withColumn("block_height", col("doc_id")),
             s"$warehouse/dsir_db", maxId, pk)
         }

@@ -43,6 +43,16 @@ class Round15Spec extends AnyFunSuite {
     assert(!s3)
   }
 
+  test("autoCells: the √n rule floors at 8, caps at 4096, and hits " +
+      "√n in between") {
+    import graft.llm.Similarity.autoCells
+    assert(autoCells(0L) === 8)
+    assert(autoCells(63L) === 8) // √63 ≈ 7.9 -> floor
+    assert(autoCells(200L) === 14)
+    assert(autoCells(200000L) === 447)
+    assert(autoCells(100000000L) === 4096) // √1e8 = 10000 -> cap
+  }
+
   test("DSIR target parameterization: the default target IS the " +
       "English subset, and a source-based target reweights the model " +
       "from the same fact relation") {
