@@ -104,7 +104,8 @@ object StreamRunner {
           val (st2, lookup, events0) =
             span("cache_map_new_receipts_from_outcomes") {
               StreamingResolver.processBatchFull(
-                state, blocks, accounts, ttlBlocks)
+                state, blocks, accounts, ttlBlocks,
+                maxHeightHint = Some(maxH))
             }
           val events = span("parse_events") { events0.localCheckpoint() }
 

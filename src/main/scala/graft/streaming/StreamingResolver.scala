@@ -66,11 +66,16 @@ object StreamingResolver {
     * early block's receipt would miss entries the trim already
     * expired at the batch's max height. Single-block batches can't
     * tell the difference — per-row TTL at the one height ≡ the trim. */
+  /** @param maxHeightHint the batch's max block height when the caller
+    *        already computed it (the runner aggregates min/max for its
+    *        own spans) — saves one aggregation job per micro-batch;
+    *        None falls back to computing it here. */
   def processBatchFull(
       state: DataFrame,
       batchBlocks: DataFrame,
       accounts: AccountsConfig = AccountsConfig(),
-      ttlBlocks: Long = NearModel.TtlBlocks): (DataFrame, DataFrame, DataFrame) = {
+      ttlBlocks: Long = NearModel.TtlBlocks,
+      maxHeightHint: Option[Long] = None): (DataFrame, DataFrame, DataFrame) = {
 
     val txs = BronzeExtractors.transactions(batchBlocks, accounts)
     val outs = BronzeExtractors.outcomes(batchBlocks)
@@ -83,13 +88,18 @@ object StreamingResolver {
         col("of_interest").as("main"),
         col("block_height").as("entry_height"))
 
-    // hop_main models T4 promotion (see ReceiptTxResolver.resolve)
+    // hop_main models T4 promotion (see ReceiptTxResolver.resolve).
+    // Persisted for the BFS loop below (the batch resolver persists its
+    // edges the same way) — each hop re-reads this relation, and
+    // without the cache every iteration re-runs the shard explode over
+    // the checkpointed blocks; released before returning.
     val edges = outs.select(
       col("receipt_id").as("parent_receipt_id"),
       explode(col("receipt_ids")).as("child_receipt_id"),
       col("block_height").as("hop_height"),
       (col("receiver_id").isin(accounts.all: _*) ||
         col("predecessor_id").isin(accounts.all: _*)).as("hop_main"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // first write wins: existing state beats this block's seeds. The
     // min_by key includes NOT main so (height, tx) ties deterministically
@@ -139,11 +149,12 @@ object StreamingResolver {
 
     // lookup state: untrimmed — each row applies its own TTL below
     val lookup = st.localCheckpoint()
+    edges.unpersist()
 
     // carry state: TTL expiry relative to the newest height in this
     // batch (a conservative superset of what any FUTURE row can see)
-    val maxHeight = batchBlocks
-      .agg(max(col("header.height"))).collect()(0).getLong(0)
+    val maxHeight = maxHeightHint.getOrElse(batchBlocks
+      .agg(max(col("header.height"))).collect()(0).getLong(0))
     val carry = lookup
       .filter(col("entry_height") >= maxHeight - ttlBlocks)
       .localCheckpoint()
