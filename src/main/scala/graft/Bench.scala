@@ -120,6 +120,16 @@ object Bench {
     // stdout line's `queries_warm` stays the FIRST warm run — the same
     // methodology every prior round reported.
     val warmRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_RUNS", "3").toInt
+    // Per-QUERY load stamp (VERDICT r15 #5): the r15 driver run was
+    // invalidated by mid-run box load (load_max 11.8) and only an
+    // external cross-reference proved it — the artifact should prove it
+    // about itself. Each query records the 1-min load sampled just
+    // before its cold run; `load_suspect` flags stamps above the
+    // MID-RUN gate, which sits above the bench's own steady-state
+    // self-load (measured 6-9 on an idle box once the 32-thread loop is
+    // running) — the pre-work gate would false-positive every query.
+    val midrunGate =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MIDRUN_LOAD", "9.5").toDouble
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => !SparkEntry.correctnessOnly(name) }
       .map { case (name, fn) =>
@@ -136,11 +146,22 @@ object Bench {
           spark.catalog.clearCache() // backstop for untracked persists
           t
         }
+        val qLoad = sampleLoad() // stamped BEFORE this query's cold run
         val cold = once()
+        // Stop warm reps at the first failing pass (ADVICE r15): re-running
+        // a broken query pads `failed` and burns wall time for no signal.
         val warms =
-          if (cold >= 0) Seq.fill(warmRuns)(once()) else Seq(-1.0)
-        sampleLoad(): Unit // feed load_max at every query boundary
-        name -> (cold, warms)
+          if (cold < 0) Seq(-1.0)
+          else {
+            val buf = Seq.newBuilder[Double]
+            var i = 0
+            var ok = true
+            while (i < warmRuns && ok) {
+              val t = once(); buf += t; ok = t >= 0; i += 1
+            }
+            buf.result()
+          }
+        name -> (cold, warms, qLoad)
       }
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
@@ -227,7 +248,10 @@ object Bench {
       failures ::= "ingest_cascade_blocks_per_sec"
       -1.0
     }
-    val failed = failures.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // distinct: a query that fails cold AND on a warm pass would
+    // otherwise appear repeatedly in the artifact (ADVICE r15)
+    val failed =
+      failures.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     // `note` pins the two methodology facts a reader comparing rounds
     // needs: what the two query columns mean, and that ingest times a
     // warm run after an untimed full-pipeline warm-up (since r5 —
@@ -241,7 +265,8 @@ object Bench {
       "since r14 the bounded wait-for-quiet applies before EVERY pre-work stamp (run start <=10 min, queries phase <=5 min), so a marginal start waits instead of flagging; " +
       "since r13 the k-means coarse quantizer is memoized per (dir,k,iters) in-process, so the warm column of s_ann_kmeans/d_semantic_dedup/s_ann_recall EXCLUDES training that r12's warm column included - r12-to-r13 warm deltas for those queries are a measurement-scope change, not pure speedup; " +
       "s_ann_kmeans contract number is the full-bench warm column (codegen cache shared across the session) - an isolated single-query session measures ~1.3s vs ~0.8s here and both are healthy; " +
-      "since r15 each query runs 3 warm passes (queries_warm is still the FIRST, methodology unchanged) and the full per-query record incl. medians is written to the bench_detail file - read THAT when this tail truncates"
+      "since r15 each query runs 3 warm passes (queries_warm is still the FIRST, methodology unchanged) and the full per-query record incl. medians is written to the bench_detail file - read THAT when this tail truncates; " +
+      "since r16 each query's detail record stamps the 1-min load sampled before ITS cold run (load) and flags load_suspect when it exceeds the MID-RUN gate (default 9.5, above the bench's own 6-9 self-load band) - weather-filter per-query deltas on that flag"
     val loadEnd = sampleLoad()
     // SELF-SUFFICIENT per-query artifact (VERDICT r14 #3): the driver's
     // BENCH_r*.json keeps only a 2000-char stdout tail — r14's per-query
@@ -250,9 +275,10 @@ object Bench {
     // runs and their median, and is committed to the tree each round.
     val detailPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
-    val perQuery = results.map { case (k, (cold, warms)) =>
+    val perQuery = results.map { case (k, (cold, warms, qLoad)) =>
       s"""    "$k": {"cold":$cold,"warm":[${warms.mkString(",")}],""" +
-        s""""warm_med":${median(warms)}}"""
+        s""""warm_med":${median(warms)},"load":$qLoad,""" +
+        s""""load_suspect":${qLoad > midrunGate}}"""
     }.mkString("{\n", ",\n", "\n  }")
     val detail =
       s"""{

@@ -86,17 +86,23 @@ object Tracing {
 
   def disable(): Unit = { enabled = false }
 
-  /** Drop every recorded span and histogram sample (suite isolation). */
+  /** Drop every recorded span and histogram sample (suite isolation).
+    * Also clears the listener's in-flight job maps so a job that was
+    * running when the suite reset doesn't record into the next test
+    * (and failed jobs' stage entries don't accumulate). */
   def reset(): Unit = {
     buffer.clear(); bufferSize.set(0); dropped.set(0)
     histograms.clear()
+    jobStart.clear(); stageJob.clear(); jobAgg.clear()
   }
 
   def spans(): Seq[Span] = buffer.asScala.toSeq
 
   private def record(s: Span): Unit = {
-    if (bufferSize.get < MaxSpans) { buffer.add(s); bufferSize.incrementAndGet(): Unit }
-    else dropped.incrementAndGet(): Unit
+    // reserve-then-add: check-then-act on get() lets concurrent writers
+    // overshoot MaxSpans; incrementAndGet is the atomic reservation
+    if (bufferSize.incrementAndGet() <= MaxSpans) { buffer.add(s): Unit }
+    else { bufferSize.decrementAndGet(); dropped.incrementAndGet(): Unit }
   }
 
   /** Run `body` inside a named span. Nesting is the call stack;
@@ -141,7 +147,14 @@ object Tracing {
       val saved = stack.get()
       stack.set(ctx.toList)
       try span(name, attrs: _*)(body)
-      finally stack.set(saved)
+      finally {
+        stack.set(saved)
+        // span's finally restored the property to ctx's ids (its `st`);
+        // this pool thread's real context is `saved` — restore it too,
+        // or a recycled thread keeps attributing later jobs to ctx
+        if (sc != null) sc.setLocalProperty(PropKey,
+          if (saved.isEmpty) null else s"${saved.head._1}:${saved.head._2}")
+      }
     }
 
   // ------------------------------------------------ Spark job spans
