@@ -43,6 +43,9 @@ object TraceCascade {
     val wall = (System.nanoTime() - t0) / 1e9
     Tracing.disable()
     Tracing.writeJson(out)
+    // the reference's env contract: spans ALSO go out OTLP/HTTP when
+    // OTEL_EXPORTER_OTLP_ENDPOINT is set (TRACING.md quick start)
+    graft.metrics.OtlpExporter.exportIfConfigured(): Unit
 
     println(f"cascade: $nBlocks blocks in $wall%.1f s " +
       f"(${nBlocks / wall}%.1f blocks/s), trace -> $out")
