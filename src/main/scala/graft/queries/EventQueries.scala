@@ -56,10 +56,7 @@ object EventQueries {
     * cast to DOUBLE only at the edge (the dsum discipline). */
   def kSummingDaily(spark: SparkSession, dir: String): DataFrame = {
     import graft.sink.ParquetSink
-    val d = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_sink_summing_daily")
-    ParquetSink.delete(d)
-    val path = d.getAbsolutePath
+    val path = ParquetSink.scratchDir("summing_daily")
     val keys = Seq("epoch_day", "event_type")
     val sums = Seq("sum_value_dec", "n_events")
     val e = events(spark, dir)

@@ -171,12 +171,8 @@ object NearQueries {
 
   // ----------------------------------------------------------------- sink
 
-  private def freshSinkDir(name: String): String = {
-    val d = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_sink_$name")
-    graft.sink.ParquetSink.delete(d)
-    d.getAbsolutePath
-  }
+  private def freshSinkDir(name: String): String =
+    graft.sink.ParquetSink.scratchDir(name)
 
   private val eventPk = Seq("related_receipt_id", "index_in_log")
 
@@ -249,8 +245,7 @@ object NearQueries {
   def s1FileSource(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.BlockFileSource
     graft.Tables.tune(spark)
-    val path = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_blocks_src").getAbsolutePath
+    val path = graft.sink.ParquetSink.scratchDir("blocks_src")
     BlockFileSource.writeBlockFiles(spark, NearFixtures.blocks, path)
     val b = BlockFileSource.readBlocks(spark, path)
     val outs = BronzeExtractors.outcomes(b)

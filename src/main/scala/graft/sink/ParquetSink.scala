@@ -429,4 +429,30 @@ object ParquetSink {
     if (f.isDirectory) f.listFiles().foreach(delete)
     f.delete(): Unit
   }
+
+  /** Per-JVM scratch dir for sink-scenario queries and streaming-twin
+    * feeds/warehouses: `tmpdir/graft_sink_<pid>_<name>`, emptied on
+    * entry and deleted at JVM exit.
+    *
+    * The pid component is LOAD-BEARING: these paths used to be fixed
+    * (`graft_sink_<name>`), so two JVMs running the same declared query
+    * concurrently — a background Verify replay beside the test suite —
+    * fed each other's streams and the suite read ~100× inflated MV
+    * state (round-16 incident: `w_stream_rolling_7d` at sf0.001 read
+    * the sf0.1 replay's feed). Same failure class as the "no
+    * concurrent sbt" rule; the unique path removes the hazard instead
+    * of ruling it away. */
+  def scratchDir(name: String): String = {
+    val d = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_sink_${ProcessHandle.current().pid()}_$name")
+    delete(d)
+    scratchRegistered.computeIfAbsent(d.getAbsolutePath, _ => {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => delete(d)))
+      java.lang.Boolean.TRUE
+    }): Unit
+    d.getAbsolutePath
+  }
+  private val scratchRegistered =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 }

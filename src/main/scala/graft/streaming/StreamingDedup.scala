@@ -227,12 +227,10 @@ object StreamingDedup {
   /** Fresh tmp-dir for a declared streaming query's feed/warehouse —
     * shared by [[dStreamMinhash]] and
     * [[StreamingCorpusClean.pipeStreamClean]]. */
-  private[streaming] def freshDir(name: String): String = {
-    val d = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_sink_$name")
-    ParquetSink.delete(d)
-    d.getAbsolutePath
-  }
+  // per-JVM unique + emptied on entry — see ParquetSink.scratchDir's
+  // scaladoc for why the pid component is load-bearing
+  private[streaming] def freshDir(name: String): String =
+    ParquetSink.scratchDir(name)
 
   private def emptyBands(spark: SparkSession): DataFrame = {
     import spark.implicits._
