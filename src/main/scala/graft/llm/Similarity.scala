@@ -311,6 +311,41 @@ object Similarity {
     dropScores(withScoreArray(df, centroids)
       .withColumn("cell", argmaxCellCol))
 
+  /** INDEX-SIDE boundary replication (VERDICT r15 #6): assign a vector
+    * to its best cell, PLUS its second-best cell when the true-cosine
+    * margin `cos₁ − cos₂ < eps` — the multi-assignment cure for the
+    * classic IVF Voronoi-boundary recall tail (the 200k sweep pinned a
+    * constant 0.005 loss at 448 cells: one near-twin sitting just
+    * across a boundary the probe set never reaches; replicating
+    * boundary vectors puts it back in reach at a bounded index-size
+    * cost). `eps ≤ 0` is EXACTLY [[withCell]] — one row per vector,
+    * same plan — so every pinned gate row is untouched.
+    *
+    * The margin divides by the row norm (`nrm` must be present):
+    * `__sc` is dot/‖c‖, so the difference scales with ‖v‖ and a raw
+    * threshold would replicate long vectors preferentially; dividing
+    * by ‖v‖ makes eps a scale-free cosine gap. Requires the centroid
+    * norms too — they ride in `__sc` already. Sort is the same
+    * (score desc, idx asc) total order as [[withProbeCells]], so
+    * replica 1 is exactly the [[withCell]] assignment. */
+  private def withCellMulti(df: DataFrame,
+      centroids: Array[Array[Double]], eps: Double): DataFrame =
+    if (eps <= 0) withCell(df, centroids)
+    else dropScores(withScoreArray(df, centroids)
+      .withColumn("__t2", expr(
+        """slice(array_sort(
+          |    transform(__sc, (s, i) -> named_struct('sc', s, 'idx', i)),
+          |    (l, r) -> CASE WHEN l.sc > r.sc THEN -1
+          |                   WHEN l.sc < r.sc THEN 1
+          |                   ELSE l.idx - r.idx END),
+          |  1, 2)""".stripMargin))
+      .withColumn("cell", explode(expr(
+        s"""CASE WHEN size(__t2) > 1
+           |       AND (__t2[0].sc - __t2[1].sc) / nrm < $eps
+           |     THEN array(__t2[0].idx, __t2[1].idx)
+           |     ELSE array(__t2[0].idx) END""".stripMargin).cast("array<int>")))
+      .drop("__t2"))
+
   /** One row per (vector, probe): the `nprobe` nearest cells by cosine,
     * ranked score DESC then cell ASC — rank 1 is exactly [[withCell]]'s
     * first-max assignment (same `__sc` array by construction), so
@@ -718,7 +753,8 @@ object Similarity {
   def sAnnIvfPq(spark: SparkSession, dir: String, k: Int = 3,
       nQueries: Int = 20, nCells: Int = 0, iters: Int = 2,
       nprobe: Int = 4, m: Int = 8, dsub: Int = 8, ksub: Int = 8,
-      pqIters: Int = 2, nCand: Int = 0): DataFrame = {
+      pqIters: Int = 2, nCand: Int = 0,
+      assignEps: Double = 0.0): DataFrame = {
     val e = withNorm(embeddings(spark, dir))
       .select(col("vec_id"), col("emb"), col("nrm"))
       .localCheckpoint() // coarse trainer + residuals + rerank read it
@@ -735,20 +771,37 @@ object Similarity {
     val centroids = kmeansModel(e, dir, cells, iters)
     // PQ trainer (seed collect + pqIters aggregations) and the encode
     // pass all read the residual relation (tracked cache contract)
-    val resid = QueryCaches.persistTracked(residualRel(e, centroids))
+    val resid = QueryCaches.persistTracked(
+      residualRel(e, centroids, assignEps))
     val books = pqCodebooks(resid, m, dsub, ksub, pqIters)
     ivfPqSearch(e, resid, centroids, books, k, nQueries, nprobe, m,
-      dsub, ksub, cand)
+      dsub, ksub, cand, multiAssigned = assignEps > 0)
+  }
+
+  /** Index rows under ε-boundary replication — the SIZE side of the
+    * multi-assignment tradeoff the 200k sweep reads (replication
+    * factor = rows / n; eps 0 ⇒ exactly n). */
+  def ivfIndexRows(spark: SparkSession, dir: String, nCells: Int = 0,
+      iters: Int = 2, assignEps: Double = 0.0): Long = {
+    val e = withNorm(embeddings(spark, dir))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+      .localCheckpoint()
+    val cells = if (nCells > 0) nCells else autoCells(e.count())
+    residualRel(e, kmeansModel(e, dir, cells, iters), assignEps).count()
   }
 
   /** The residual relation (vec_id, cell, emb = v − c_cell): cell from
     * THE shared argmax assignment ([[withCell]]), then one exact IEEE
     * subtraction per dimension against the cell centroid riding as a
-    * `typedLit` constant. Narrow map — no shuffle, no join. */
+    * `typedLit` constant. Narrow map — no shuffle, no join.
+    * `assignEps > 0` ⇒ boundary vectors replicate into their
+    * second-best cell too ([[withCellMulti]]), one residual row per
+    * assignment — each replica's codes encode ITS cell's residual. */
   private[graft] def residualRel(e: DataFrame,
-      centroids: Array[Array[Double]]): DataFrame = {
+      centroids: Array[Array[Double]],
+      assignEps: Double = 0.0): DataFrame = {
     val cents = typedLit(centroids.map(_.toIndexedSeq).toIndexedSeq)
-    withCell(e, centroids)
+    withCellMulti(e, centroids, assignEps)
       .withColumn("emb", zip_with(col("emb"),
         element_at(cents, col("cell") + lit(1)), (x, c) => x - c))
       .select(col("vec_id"), col("cell"), col("emb"))
@@ -762,7 +815,7 @@ object Similarity {
   private[llm] def ivfPqSearch(e: DataFrame, resid: DataFrame,
       centroids: Array[Array[Double]], books: Array[Array[Array[Double]]],
       k: Int, nQueries: Int, nprobe: Int, m: Int, dsub: Int, ksub: Int,
-      nCand: Int): DataFrame = {
+      nCand: Int, multiAssigned: Boolean = false): DataFrame = {
     val coded = withPqCodes(resid, books, dsub)
       .select(col("vec_id"), col("cell"),
         array((0 until m).map(j => col(s"code_$j")): _*).as("codes"))
@@ -787,17 +840,32 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("cell").as("q_cell"),
         col("emb").as("q_emb"), col("nrm").as("q_nrm"), col("lut"),
         col("cdot"))
-    // cell-pruned ADC: only probed cells' codes are read; a corpus
-    // vector lives in exactly one cell and probe cells are distinct,
-    // so no candidate duplicates. Score = ONE add of two exactly-
-    // derived doubles (the centroid dot + the sequential LUT fold).
-    val adc = broadcast(q)
+    // cell-pruned ADC: only probed cells' codes are read; with
+    // single-assignment (assignEps ≤ 0) a corpus vector lives in
+    // exactly one cell and probe cells are distinct, so no candidate
+    // duplicates. Score = ONE add of two exactly-derived doubles (the
+    // centroid dot + the sequential LUT fold).
+    val adcRaw = broadcast(q)
       .join(coded, col("cell") === col("q_cell") &&
         col("vec_id") =!= col("query_id"))
       .withColumn("adc", col("cdot") + expr(
         s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double),
            |  (acc, j) -> acc + element_at(lut,
            |    j * $ksub + element_at(codes, j + 1) + 1))""".stripMargin))
+    // boundary replication can surface the SAME corpus vector to one
+    // query through two probed cells (two replicas, each scored
+    // against its own cell's residual codes) — keep the best-scoring
+    // replica per (query, vector), tie-broken by cell. Skipped
+    // entirely on the single-assignment path: the extra window would
+    // change every pinned gate plan for nothing.
+    val adc =
+      if (!multiAssigned) adcRaw
+      else {
+        val wd = Window.partitionBy(col("query_id"), col("vec_id"))
+          .orderBy(col("adc").desc, col("cell"))
+        adcRaw.withColumn("__dr", row_number().over(wd))
+          .filter(col("__dr") === 1).drop("__dr")
+      }
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
     val cand = adc.withColumn("crk", row_number().over(wc))

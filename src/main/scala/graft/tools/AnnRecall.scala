@@ -86,7 +86,32 @@ object AnnRecall {
         s""""nprobe":$nprobe,"n_cand":$nCand,"k":$k,""" +
         s""""n_queries":$nQueries,"exact":${exact.size},""" +
         s""""found":${(exact intersect got).size},"recall":${recall(got)},""" +
-        f""""wall_sec":$sec%.2f}""")
+        // Locale.ROOT: the default-locale f"" renders 1,23 under
+        // comma-decimal locales and breaks the JSON line (ADVICE r15)
+        s""""wall_sec":${String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))}}""")
+    }
+    // ε-boundary replication sweep (VERDICT r15 #6): recall vs
+    // index-size under index-side multi-assignment. Off unless the
+    // eps list env is set; each (cells, eps) prints the replicated
+    // index row count first (replication factor = rows / n), then
+    // recall across the probe/cand grid.
+    val epsList = sys.env.getOrElse("SPARK_GRAFT_IVFADC_EPS", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(_.toDouble)
+    for (ivfadcCells <- ivfadcCellsList; eps <- epsList) {
+      val rows = graft.llm.Similarity.ivfIndexRows(
+        spark, dir, ivfadcCells, assignEps = eps)
+      println(s"""{"sf":"$dir","index":"ivfadc-eps","n_cells":$ivfadcCells,""" +
+        s""""eps":$eps,"index_rows":$rows}""")
+      for (nprobe <- ivfadcProbes; nCand <- ivfadcCands) {
+        val got = pairs(graft.llm.Similarity.sAnnIvfPq(
+          spark, dir, k, nQueries, nCells = ivfadcCells, nprobe = nprobe,
+          nCand = nCand, assignEps = eps))
+        println(s"""{"sf":"$dir","index":"ivfadc-eps","n_cells":$ivfadcCells,""" +
+          s""""eps":$eps,"nprobe":$nprobe,"n_cand":$nCand,"k":$k,""" +
+          s""""n_queries":$nQueries,"exact":${exact.size},""" +
+          s""""found":${(exact intersect got).size},"recall":${recall(got)},""" +
+          s""""index_rows":$rows}""")
+      }
     }
     spark.stop()
   }
