@@ -186,9 +186,15 @@ object TextAnalysis {
       .select(col("doc_id"), target.as("is_target"),
         explode(tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
-      .groupBy(col("doc_id"), col("is_target"),
+      .groupBy(col("doc_id"),
         pmod(h60(col("token")), lit(buckets.toLong)).as("b"))
-      .agg(count(lit(1)).as("c"))
+      // is_target is functionally dependent on doc_id (evaluated from
+      // the doc row before the explode), so it rides as an aggregate
+      // instead of widening the shuffle key (VERDICT r15 #2: the r15
+      // change that put it IN the key moved warm_med 1.12 → 1.57 s;
+      // max() over a constant-per-group boolean is exact)
+      .agg(count(lit(1)).as("c"), max(col("is_target")).as("is_target"))
+      .select(col("doc_id"), col("is_target"), col("b"), col("c"))
   }
 
   /** Model + per-doc fold + top-k over a (doc_id, is_target, b, c)
