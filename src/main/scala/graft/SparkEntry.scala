@@ -459,6 +459,14 @@ object SparkEntry {
     "s_ann_ivfpq_stored" -> ((s, d) =>
       StoredModels.sAnnIvfPqStored(s, d,
         nCells = 8, nprobe = 2, nCand = 32)),
+    // ε-boundary multi-assignment (VERDICT r15 #6): same pinned index,
+    // but vectors within a 0.05 cosine margin of their second cell are
+    // indexed in BOTH cells (books still train on the primary
+    // residuals; search dedupes replicas per (query, vector)); oracle
+    // extends the IVFADC replay with the margin assignment + encode
+    // over the replicated relation + the dedup window
+    "s_ann_ivfpq_eps"   -> ((s, d) => Similarity.sAnnIvfPq(s, d,
+      nCells = 8, nprobe = 2, nCand = 32, assignEps = 0.05)),
     // per-dimension affine int8 quantization + exact error accounting
     "s_quantize_int8"   -> ((s, d) => Similarity.sQuantizeInt8(s, d)),
     // MMR diverse re-rank: greedy rel - 0.5*max-sim over a top-20 pool
@@ -878,6 +886,74 @@ object SparkEntry {
       |a3 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
       |  FROM s3) WHERE rk = 1),""".stripMargin
+
+  /** The residual-PQ TRAINING replay (primary-assignment residuals →
+    * two quantized-update Lloyd iterations per subspace → final books
+    * `pcf`) plus the query-side probe/LUT CTEs — shared by
+    * `s_ann_ivfpq` and `s_ann_ivfpq_eps` so the trained books and the
+    * probe fan-out cannot drift between the two replays (the eps
+    * variant differs only in WHAT is encoded and the replica dedup). */
+  private val ivfPqTrainCtes: String =
+    """rsd AS (SELECT n.vec_id, a3.cell,
+      |    list_transform(list_zip(n.emb, c.c), x -> x[1] - x[2]) AS remb
+      |  FROM n JOIN a3 USING (vec_id) JOIN c2 c ON c.cell = a3.cell),
+      |js AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS j),
+      |psub AS (SELECT vec_id, j, list_slice(remb, j * 8 + 1, j * 8 + 8) AS s
+      |  FROM rsd CROSS JOIN js),
+      |p0 AS (SELECT j,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+      |    s AS c
+      |  FROM psub WHERE vec_id IN (SELECT vec_id FROM n ORDER BY vec_id LIMIT 8)),
+      |ps1 AS (SELECT psub.vec_id, psub.j, c.cell,
+      |    list_sum(list_transform(list_zip(c.c, c.c), x -> x[1] * x[2]))
+      |      - 2 * list_sum(list_transform(list_zip(psub.s, c.c), x -> x[1] * x[2])) AS d
+      |  FROM psub JOIN p0 c ON c.j = psub.j),
+      |pa1 AS (SELECT vec_id, j, cell FROM (SELECT vec_id, j, cell,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cell) AS rk
+      |  FROM ps1) WHERE rk = 1),
+      |pu1 AS (SELECT pa1.j, pa1.cell, dd.d,
+      |    SUM(CAST(floor(psub.s[dd.d] * 1048576.0) AS BIGINT)) AS sm,
+      |    COUNT(*) AS cnt
+      |  FROM pa1 JOIN psub ON psub.vec_id = pa1.vec_id AND psub.j = pa1.j
+      |    CROSS JOIN (SELECT CAST(unnest(range(1, 9)) AS INTEGER) AS d) dd
+      |  GROUP BY pa1.j, pa1.cell, dd.d),
+      |pm1 AS (SELECT j, cell,
+      |    list(CAST(sm AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0) ORDER BY d) AS c
+      |  FROM pu1 GROUP BY j, cell),
+      |pc1 AS (SELECT p0.j, p0.cell, COALESCE(pm1.c, p0.c) AS c
+      |  FROM p0 LEFT JOIN pm1 ON pm1.j = p0.j AND pm1.cell = p0.cell),
+      |ps2 AS (SELECT psub.vec_id, psub.j, c.cell,
+      |    list_sum(list_transform(list_zip(c.c, c.c), x -> x[1] * x[2]))
+      |      - 2 * list_sum(list_transform(list_zip(psub.s, c.c), x -> x[1] * x[2])) AS d
+      |  FROM psub JOIN pc1 c ON c.j = psub.j),
+      |pa2 AS (SELECT vec_id, j, cell FROM (SELECT vec_id, j, cell,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cell) AS rk
+      |  FROM ps2) WHERE rk = 1),
+      |pu2 AS (SELECT pa2.j, pa2.cell, dd.d,
+      |    SUM(CAST(floor(psub.s[dd.d] * 1048576.0) AS BIGINT)) AS sm,
+      |    COUNT(*) AS cnt
+      |  FROM pa2 JOIN psub ON psub.vec_id = pa2.vec_id AND psub.j = pa2.j
+      |    CROSS JOIN (SELECT CAST(unnest(range(1, 9)) AS INTEGER) AS d) dd
+      |  GROUP BY pa2.j, pa2.cell, dd.d),
+      |pm2 AS (SELECT j, cell,
+      |    list(CAST(sm AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0) ORDER BY d) AS c
+      |  FROM pu2 GROUP BY j, cell),
+      |pcf AS (SELECT pc1.j, pc1.cell, COALESCE(pm2.c, pc1.c) AS c
+      |  FROM pc1 LEFT JOIN pm2 ON pm2.j = pc1.j AND pm2.cell = pc1.cell),
+      |paq AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
+      |  FROM s3 WHERE vec_id < 20) WHERE rk <= 2),
+      |cdq AS (SELECT q.vec_id AS query_id, a.cell,
+      |    list_sum(list_transform(list_zip(q.emb, c.c), x -> x[1] * x[2])) AS cdot
+      |  FROM paq a JOIN n q ON q.vec_id = a.vec_id
+      |    JOIN c2 c ON c.cell = a.cell),
+      |qsub AS (SELECT vec_id, j, list_slice(emb, j * 8 + 1, j * 8 + 8) AS s
+      |  FROM n CROSS JOIN js WHERE vec_id < 20),
+      |lutp AS (SELECT sq.vec_id AS query_id, c.j, c.cell,
+      |    list_sum(list_transform(list_zip(sq.s, c.c), x -> x[1] * x[2])) AS pdot
+      |  FROM qsub sq JOIN pcf c ON c.j = sq.j),
+      |lutl AS (SELECT query_id, list(pdot ORDER BY j, cell) AS lut
+      |  FROM lutp GROUP BY query_id),""".stripMargin
 
   /** The IVF probe/search tail of the k-means replay — shared by
     * `s_ann_kmeans` and the recall report `s_ann_recall` so the two
@@ -3439,54 +3515,8 @@ object SparkEntry {
     // centroid) + the sequential LUT fold over residual codewords
     // (one add of two exactly-derived doubles); top-32 candidates by
     // (adc DESC, vec_id), exact-cosine rerank, top-3.
-    "s_ann_ivfpq" -> (kmeansAssignCte + "\n" +
-      """rsd AS (SELECT n.vec_id, a3.cell,
-        |    list_transform(list_zip(n.emb, c.c), x -> x[1] - x[2]) AS remb
-        |  FROM n JOIN a3 USING (vec_id) JOIN c2 c ON c.cell = a3.cell),
-        |js AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS j),
-        |psub AS (SELECT vec_id, j, list_slice(remb, j * 8 + 1, j * 8 + 8) AS s
-        |  FROM rsd CROSS JOIN js),
-        |p0 AS (SELECT j,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-        |    s AS c
-        |  FROM psub WHERE vec_id IN (SELECT vec_id FROM n ORDER BY vec_id LIMIT 8)),
-        |ps1 AS (SELECT psub.vec_id, psub.j, c.cell,
-        |    list_sum(list_transform(list_zip(c.c, c.c), x -> x[1] * x[2]))
-        |      - 2 * list_sum(list_transform(list_zip(psub.s, c.c), x -> x[1] * x[2])) AS d
-        |  FROM psub JOIN p0 c ON c.j = psub.j),
-        |pa1 AS (SELECT vec_id, j, cell FROM (SELECT vec_id, j, cell,
-        |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cell) AS rk
-        |  FROM ps1) WHERE rk = 1),
-        |pu1 AS (SELECT pa1.j, pa1.cell, dd.d,
-        |    SUM(CAST(floor(psub.s[dd.d] * 1048576.0) AS BIGINT)) AS sm,
-        |    COUNT(*) AS cnt
-        |  FROM pa1 JOIN psub ON psub.vec_id = pa1.vec_id AND psub.j = pa1.j
-        |    CROSS JOIN (SELECT CAST(unnest(range(1, 9)) AS INTEGER) AS d) dd
-        |  GROUP BY pa1.j, pa1.cell, dd.d),
-        |pm1 AS (SELECT j, cell,
-        |    list(CAST(sm AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0) ORDER BY d) AS c
-        |  FROM pu1 GROUP BY j, cell),
-        |pc1 AS (SELECT p0.j, p0.cell, COALESCE(pm1.c, p0.c) AS c
-        |  FROM p0 LEFT JOIN pm1 ON pm1.j = p0.j AND pm1.cell = p0.cell),
-        |ps2 AS (SELECT psub.vec_id, psub.j, c.cell,
-        |    list_sum(list_transform(list_zip(c.c, c.c), x -> x[1] * x[2]))
-        |      - 2 * list_sum(list_transform(list_zip(psub.s, c.c), x -> x[1] * x[2])) AS d
-        |  FROM psub JOIN pc1 c ON c.j = psub.j),
-        |pa2 AS (SELECT vec_id, j, cell FROM (SELECT vec_id, j, cell,
-        |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cell) AS rk
-        |  FROM ps2) WHERE rk = 1),
-        |pu2 AS (SELECT pa2.j, pa2.cell, dd.d,
-        |    SUM(CAST(floor(psub.s[dd.d] * 1048576.0) AS BIGINT)) AS sm,
-        |    COUNT(*) AS cnt
-        |  FROM pa2 JOIN psub ON psub.vec_id = pa2.vec_id AND psub.j = pa2.j
-        |    CROSS JOIN (SELECT CAST(unnest(range(1, 9)) AS INTEGER) AS d) dd
-        |  GROUP BY pa2.j, pa2.cell, dd.d),
-        |pm2 AS (SELECT j, cell,
-        |    list(CAST(sm AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0) ORDER BY d) AS c
-        |  FROM pu2 GROUP BY j, cell),
-        |pcf AS (SELECT pc1.j, pc1.cell, COALESCE(pm2.c, pc1.c) AS c
-        |  FROM pc1 LEFT JOIN pm2 ON pm2.j = pc1.j AND pm2.cell = pc1.cell),
-        |ps3 AS (SELECT psub.vec_id, psub.j, c.cell,
+    "s_ann_ivfpq" -> (kmeansAssignCte + "\n" + ivfPqTrainCtes + "\n" +
+      """ps3 AS (SELECT psub.vec_id, psub.j, c.cell,
         |    list_sum(list_transform(list_zip(c.c, c.c), x -> x[1] * x[2]))
         |      - 2 * list_sum(list_transform(list_zip(psub.s, c.c), x -> x[1] * x[2])) AS d
         |  FROM psub JOIN pcf c ON c.j = psub.j),
@@ -3497,20 +3527,6 @@ object SparkEntry {
         |  FROM pa3 GROUP BY vec_id),
         |codesx AS (SELECT c.vec_id, a3.cell, c.code
         |  FROM pcodes c JOIN a3 USING (vec_id)),
-        |paq AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk
-        |  FROM s3 WHERE vec_id < 20) WHERE rk <= 2),
-        |cdq AS (SELECT q.vec_id AS query_id, a.cell,
-        |    list_sum(list_transform(list_zip(q.emb, c.c), x -> x[1] * x[2])) AS cdot
-        |  FROM paq a JOIN n q ON q.vec_id = a.vec_id
-        |    JOIN c2 c ON c.cell = a.cell),
-        |qsub AS (SELECT vec_id, j, list_slice(emb, j * 8 + 1, j * 8 + 8) AS s
-        |  FROM n CROSS JOIN js WHERE vec_id < 20),
-        |lutp AS (SELECT sq.vec_id AS query_id, c.j, c.cell,
-        |    list_sum(list_transform(list_zip(sq.s, c.c), x -> x[1] * x[2])) AS pdot
-        |  FROM qsub sq JOIN pcf c ON c.j = sq.j),
-        |lutl AS (SELECT query_id, list(pdot ORDER BY j, cell) AS lut
-        |  FROM lutp GROUP BY query_id),
         |adcx AS (SELECT cd.query_id, x.vec_id,
         |    cd.cdot + list_sum(list_transform(range(0, 8),
         |      j -> l.lut[j * 8 + x.code[j + 1] + 1])) AS adc
@@ -3520,6 +3536,54 @@ object SparkEntry {
         |cand AS (SELECT query_id, vec_id, adc FROM (SELECT query_id, vec_id, adc,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS crk
         |  FROM adcx) WHERE crk <= 32),
+        |rer AS (SELECT c.query_id, c.vec_id AS neighbor_id, c.adc,
+        |    list_sum(list_transform(list_zip(q.emb, t.emb), x2 -> x2[1] * x2[2]))
+        |      / (q.nrm * t.nrm) AS cosine
+        |  FROM cand c JOIN n q ON q.vec_id = c.query_id
+        |    JOIN n t ON t.vec_id = c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, adc, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rk FROM rer)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, adc, cosine
+        |FROM r WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin),
+    // eps multi-assignment replay: margin assignment over the SAME
+    // trained index (a3m), replica residual encode (rsdm/pcodesm keyed
+    // by (vec, cell)), per-(query, vector) best-replica dedup (adcd) —
+    // everything else (books, probes, LUTs, rerank) shared verbatim
+    "s_ann_ivfpq_eps" -> (kmeansAssignCte + "\n" + ivfPqTrainCtes + "\n" +
+      """a3m AS (SELECT s.vec_id, s.cell FROM (
+        |    SELECT vec_id, cell, score,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rk,
+        |      MAX(score) OVER (PARTITION BY vec_id) AS smax
+        |    FROM s3) s JOIN n ON n.vec_id = s.vec_id
+        |  WHERE s.rk = 1 OR (s.rk = 2 AND (s.smax - s.score) / n.nrm < 0.05)),
+        |rsdm AS (SELECT n.vec_id, am.cell,
+        |    list_transform(list_zip(n.emb, c.c), x -> x[1] - x[2]) AS remb
+        |  FROM n JOIN a3m am ON am.vec_id = n.vec_id JOIN c2 c ON c.cell = am.cell),
+        |psubm AS (SELECT vec_id, cell, j, list_slice(remb, j * 8 + 1, j * 8 + 8) AS s
+        |  FROM rsdm CROSS JOIN js),
+        |ps3m AS (SELECT psubm.vec_id, psubm.cell, psubm.j, c.cell AS code,
+        |    list_sum(list_transform(list_zip(c.c, c.c), x -> x[1] * x[2]))
+        |      - 2 * list_sum(list_transform(list_zip(psubm.s, c.c), x -> x[1] * x[2])) AS d
+        |  FROM psubm JOIN pcf c ON c.j = psubm.j),
+        |pa3m AS (SELECT vec_id, cell, j, code FROM (SELECT vec_id, cell, j, code,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, cell, j ORDER BY d ASC, code) AS rk
+        |  FROM ps3m) WHERE rk = 1),
+        |pcodesm AS (SELECT vec_id, cell, list(code ORDER BY j) AS code
+        |  FROM pa3m GROUP BY vec_id, cell),
+        |adcm AS (SELECT cd.query_id, x.vec_id, x.cell,
+        |    cd.cdot + list_sum(list_transform(range(0, 8),
+        |      j -> l.lut[j * 8 + x.code[j + 1] + 1])) AS adc
+        |  FROM cdq cd JOIN pcodesm x ON x.cell = cd.cell
+        |    AND x.vec_id != cd.query_id
+        |    JOIN lutl l ON l.query_id = cd.query_id),
+        |adcd AS (SELECT query_id, vec_id, adc FROM (SELECT query_id, vec_id, adc,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id, vec_id
+        |      ORDER BY adc DESC, cell) AS dr
+        |  FROM adcm) WHERE dr = 1),
+        |cand AS (SELECT query_id, vec_id, adc FROM (SELECT query_id, vec_id, adc,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS crk
+        |  FROM adcd) WHERE crk <= 32),
         |rer AS (SELECT c.query_id, c.vec_id AS neighbor_id, c.adc,
         |    list_sum(list_transform(list_zip(q.emb, t.emb), x2 -> x2[1] * x2[2]))
         |      / (q.nrm * t.nrm) AS cosine

@@ -770,11 +770,19 @@ object Similarity {
     val cand = if (nCand > 0) nCand else math.max(32, 13 * k)
     val centroids = kmeansModel(e, dir, cells, iters)
     // PQ trainer (seed collect + pqIters aggregations) and the encode
-    // pass all read the residual relation (tracked cache contract)
-    val resid = QueryCaches.persistTracked(
-      residualRel(e, centroids, assignEps))
+    // pass all read the residual relation (tracked cache contract).
+    // Books ALWAYS train on the PRIMARY (single-assignment) residuals:
+    // a replicated relation has duplicate vec_ids, which would make
+    // the trainer's orderBy(vec_id).limit(ksub) seed cut ambiguous —
+    // replicas are ENCODE-time rows (each coded against its own
+    // cell's residual under the trained books), not training data.
+    val resid = QueryCaches.persistTracked(residualRel(e, centroids))
     val books = pqCodebooks(resid, m, dsub, ksub, pqIters)
-    ivfPqSearch(e, resid, centroids, books, k, nQueries, nprobe, m,
+    val indexed =
+      if (assignEps > 0)
+        QueryCaches.persistTracked(residualRel(e, centroids, assignEps))
+      else resid
+    ivfPqSearch(e, indexed, centroids, books, k, nQueries, nprobe, m,
       dsub, ksub, cand, multiAssigned = assignEps > 0)
   }
 

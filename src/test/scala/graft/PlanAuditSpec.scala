@@ -47,6 +47,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // nprobe rows, LUT + centroid-dot columns — still query-bounded)
     "s_ann_ivfpq" -> ((1, Set("query_id"))),
     "s_ann_ivfpq_stored" -> ((1, Set("query_id"))),
+    "s_ann_ivfpq_eps" -> ((1, Set("query_id"))), // same bounded probe set
     "near_gold_metrics" -> ((1, Set("defuse_asset_id"))), // bounded assets dim
     "near_sql_gold" -> ((1, Set("defuse_asset_id"))), // same view via spark.sql
     "near_skew_gold" -> ((1, Set("defuse_asset_id"))), // same gold view, hot-key corpus
