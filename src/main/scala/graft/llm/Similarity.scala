@@ -313,13 +313,20 @@ object Similarity {
 
   /** INDEX-SIDE boundary replication (VERDICT r15 #6): assign a vector
     * to its best cell, PLUS its second-best cell when the true-cosine
-    * margin `cos₁ − cos₂ < eps` — the multi-assignment cure for the
-    * classic IVF Voronoi-boundary recall tail (the 200k sweep pinned a
-    * constant 0.005 loss at 448 cells: one near-twin sitting just
-    * across a boundary the probe set never reaches; replicating
-    * boundary vectors puts it back in reach at a bounded index-size
-    * cost). `eps ≤ 0` is EXACTLY [[withCell]] — one row per vector,
-    * same plan — so every pinned gate row is untouched.
+    * margin `cos₁ − cos₂ < eps` — the classic multi-assignment cure
+    * for the IVF Voronoi-boundary recall tail, at a bounded,
+    * margin-proportional index-size cost (measured +1.1% rows at
+    * eps 0.01 on the 200k sweep corpus). NOTE the honest r16 finding:
+    * on THAT corpus the residual 0.005 recall loss turned out NOT to
+    * be a boundary case — pair-level diagnosis
+    * ([[graft.tools.TailDiag]]) showed the missed near-twin deep
+    * inside its cell (margin 0.46) with the cell the query's FIRST
+    * probe, i.e. an ADC-ranking miss that nCand = 16·k closes at
+    * single assignment. Replication is the right tool when the
+    * diagnosis IS a probe-unreached boundary cell; run TailDiag
+    * before reaching for either dial. `eps ≤ 0` is EXACTLY
+    * [[withCell]] — one row per vector, same plan — so every pinned
+    * gate row is untouched.
     *
     * The margin divides by the row norm (`nrm` must be present):
     * `__sc` is dot/‖c‖, so the difference scales with ‖v‖ and a raw
