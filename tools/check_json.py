@@ -2,7 +2,8 @@
 """Driver-gate-shaped correctness replay with a JSON artifact
 (VERDICT r15 #1: the full 225-query board one decade up).
 
-Usage: python3 tools/check_json.py <sfDir> <verifyOutDir> <out.json>
+Usage: python3 tools/check_json.py <sfDir> <verifyOutDir> <out.json> \
+           [shard] [nshards]
 
 Same comparison as tools/check.py (columns sorted by name, rows
 sorted, values exact — floats bit-for-bit after Decimal->float and
@@ -13,10 +14,19 @@ the driver's CORRECTNESS_r*.json shape:
 plus a "_meta" entry stamping the run (sf dir, wall clock, totals).
 Queries whose oracle cannot run at this SF get an honest err stamp
 instead of a silent skip.
+
+An oracle that exceeds CHECK_ORACLE_TIMEOUT_SEC (default 900) is
+interrupted (duckdb con.interrupt()) and stamped as a timeout — the
+one-decade-up replay must not wedge on a quadratic oracle that the
+sf0.01 gate already passes. shard/nshards split the sorted query list
+round-robin so several workers run in parallel (merge the per-shard
+JSONs afterwards).
 """
 import json
 import math
+import os
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -54,7 +64,11 @@ def canon(rows, colnames):
 
 def main():
     sf_dir, out_dir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
+    shard = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    nshards = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    timeout = float(os.environ.get("CHECK_ORACLE_TIMEOUT_SEC", "900"))
     con = duckdb.connect()
+    con.execute(f"SET threads={int(os.environ.get('CHECK_THREADS', '6'))}")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
@@ -63,7 +77,9 @@ def main():
     result = {}
     t_run0 = time.time()
     n_pass = n_fail = 0
-    for name, sql in sorted(oracle.items()):
+    items = [kv for i, kv in enumerate(sorted(oracle.items()))
+             if i % nshards == shard]
+    for name, sql in items:
         t0 = time.time()
         entry = {"rows_match": False, "schema_match": False,
                  "hash_match": False, "spark_rows": None,
@@ -78,9 +94,20 @@ def main():
             spark_cols = tbl.column_names
             spark_rows = [tuple(r.values()) for r in tbl.to_pylist()]
             entry["spark_rows"] = len(spark_rows)
-            cur = con.execute(sql)
-            duck_cols = [d[0] for d in cur.description]
-            duck_rows = cur.fetchall()
+            # watchdog: interrupt a runaway oracle instead of wedging
+            # the whole board on it
+            timer = threading.Timer(timeout, con.interrupt)
+            timer.start()
+            try:
+                cur = con.execute(sql)
+                duck_cols = [d[0] for d in cur.description]
+                duck_rows = cur.fetchall()
+            except duckdb.InterruptException:
+                raise RuntimeError(
+                    f"oracle timeout: interrupted after {timeout:.0f}s "
+                    f"(sf0.01 gate passes; oracle not tractable here)")
+            finally:
+                timer.cancel()
             entry["oracle_rows"] = len(duck_rows)
             sc, sr = canon(spark_rows, spark_cols)
             dc, dr = canon(duck_rows, duck_cols)
