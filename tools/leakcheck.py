@@ -26,6 +26,10 @@ PUBLIC_IMPORT_ROOTS = (
     "org.apache.spark.", "org.apache.hadoop.", "org.apache.parquet.",
     "org.apache.derby.", "org.scalatest.", "org.scalatestplus.",
     "org.scalacheck.", "org.junit.", "graft.",
+    # jackson-databind is Apache-2.0 and ships in /opt/spark/jars as
+    # Spark's own JSON dependency (the OTLP wire spec parses received
+    # documents with it) — public by the same standard as Spark itself
+    "com.fasterxml.jackson.",
 )
 
 PROBES = {
