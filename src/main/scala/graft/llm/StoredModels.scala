@@ -80,11 +80,15 @@ object StoredModels {
     * ride the versioned store (the books are only meaningful with the
     * exact centroids they were trained against, so a deployment ships
     * them together; here both load latest-wins past a stale v1).
-    * Same oracle as `s_ann_ivfpq`. */
+    * Same oracle as `s_ann_ivfpq`. `assignEps` rides through to the
+    * ENCODE step exactly as in the inline twin (books always train on
+    * primary residuals; replicas are encode-time rows), so
+    * stored == inline holds at any ε. */
   def sAnnIvfPqStored(spark: SparkSession, dir: String, k: Int = 3,
       nQueries: Int = 20, nCells: Int = 0, iters: Int = 2,
       nprobe: Int = 4, m: Int = 8, dsub: Int = 8, ksub: Int = 8,
-      pqIters: Int = 2, nCand: Int = 0): DataFrame = {
+      pqIters: Int = 2, nCand: Int = 0,
+      assignEps: Double = 0.0): DataFrame = {
     graft.Tables.tune(spark)
     val e = normedCorpus(spark, dir).localCheckpoint()
     // same promoted defaults as the train-inline twin (√n cells,
@@ -110,8 +114,10 @@ object StoredModels {
     val loadedCents = ModelStore.loadKmeans(spark, root, "ivfpq_coarse")
     val loadedBooks = ModelStore.loadPq(spark, root, "ivfpq_books")
     graft.sink.ParquetSink.delete(new java.io.File(root))
-    Similarity.ivfPqSearch(e, Similarity.residualRel(e, loadedCents),
-      loadedCents, loadedBooks, k, nQueries, nprobe, m, dsub, ksub, cand)
+    Similarity.ivfPqSearch(e,
+      Similarity.residualRel(e, loadedCents, assignEps),
+      loadedCents, loadedBooks, k, nQueries, nprobe, m, dsub, ksub, cand,
+      multiAssigned = assignEps > 0)
   }
 
   /** `t_bpe_encode_stored`: segment the corpus with the STORED merge

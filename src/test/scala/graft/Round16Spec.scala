@@ -58,6 +58,17 @@ class Round16Spec extends AnyFunSuite {
       s"multi-assignment recall ${rm.size} < single ${rs.size}")
   }
 
+  test("stored-model IVFADC twin equals the train-inline result " +
+      "row-for-row UNDER multi-assignment too (eps rides through the " +
+      "encode step; books train on primary residuals in both)") {
+    val inline = Similarity.sAnnIvfPq(spark, dir,
+      nCells = 8, nprobe = 2, nCand = 32, assignEps = 0.05)
+    val stored = graft.llm.StoredModels.sAnnIvfPqStored(spark, dir,
+      nCells = 8, nprobe = 2, nCand = 32, assignEps = 0.05)
+    assert(inline.collect().map(_.toString).toSeq ===
+      stored.collect().map(_.toString).toSeq)
+  }
+
   test("scratch dirs are per-JVM (pid-scoped) and per-name stable " +
       "within the JVM — the round-16 concurrent-replay isolation") {
     val a = graft.sink.ParquetSink.scratchDir("spec_probe")
