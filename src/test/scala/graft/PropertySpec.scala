@@ -766,4 +766,61 @@ class PropertySpec extends AnyFunSuite {
       ParquetSink.delete(dir)
     }
   }
+
+  test("eps multi-assignment == a plain-Scala top-2 margin model on " +
+    "random corpora with DUPLICATE centroids (exact score ties) and " +
+    "eps values spanning identity, knife-edge, and replicate-all") {
+    import spark.implicits._
+    // quantized components keep products dyadic, but exactness is not
+    // load-bearing: both sides run the SAME IEEE ops in the SAME order
+    // (DotProduct is a sequential left fold; the model mirrors it)
+    val genComp = Gen.chooseNum(1, 64).map(_ / 16.0)
+    val dim = 4
+    def genVec = Gen.listOfN(dim, genComp).map(_.toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    (1 to 8).foreach { trial =>
+      val nVecs = 30
+      val vecs = sample(Gen.listOfN(nVecs, genVec), 1000L + trial)
+      val kCells = sample(Gen.chooseNum(1, 5), 2000L + trial)
+      val baseCents = sample(Gen.listOfN(kCells, genVec), 3000L + trial)
+      // duplicate one centroid half the time: two cells with BITWISE
+      // equal scores for every vector - the tie-break path
+      val cents = (if (trial % 2 == 0 && kCells > 1)
+        baseCents :+ baseCents.head.clone() else baseCents).toArray
+      val eps = Seq(0.0, 1e-12, 0.05, 0.3, 3.0)(trial % 5)
+      val e = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toSeq) }
+        .toDF("vec_id", "emb")
+        .withColumn("emb", col("emb").cast("array<double>"))
+        .withColumn("nrm", expr("sqrt(dot_product(emb, emb))"))
+      val got = graft.llm.Similarity.residualRel(e, cents, eps)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+        .toSet
+      // the model: scores = dot(v, c_i) / ||c_i|| (centroid norms via
+      // the exact driver expression withScoreArray uses), sort by
+      // (score desc, idx asc), replicate iff (s0 - s1)/||v|| < eps
+      val cNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+      val want = vecs.zipWithIndex.flatMap { case (v, vid) =>
+        val scored = cents.indices
+          .map(i => (i, dot(v, cents(i)) / cNorms(i)))
+          .sortBy { case (i, sc) => (-sc, i) }
+        val nrm = math.sqrt(dot(v, v))
+        val cells =
+          if (eps > 0 && scored.length > 1 &&
+              (scored(0)._2 - scored(1)._2) / nrm < eps)
+            Seq(scored(0)._1, scored(1)._1)
+          else Seq(scored(0)._1)
+        cells.map { c =>
+          (vid.toLong, c, v.indices.map(d => v(d) - cents(c)(d)): Seq[Double])
+        }
+      }.toSet
+      assert(got === want, s"trial $trial (k=$kCells, eps=$eps, " +
+        s"dup=${cents.length > kCells})")
+    }
+  }
 }
