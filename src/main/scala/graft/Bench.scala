@@ -223,9 +223,21 @@ object Bench {
     // (untimed — gold is query-time in the reference too).
     val cascadeBlocks =
       sys.env.getOrElse("SPARK_GRAFT_CASCADE_BLOCKS", "2000").toInt
-    val perFile = sys.env.getOrElse("SPARK_GRAFT_CASCADE_PER_FILE", "100").toInt
+    // TWO pinned micro-batch sizes × 3 reps each (VERDICT r16 #6): the
+    // single-shot number bounces ±15%, and one point cannot separate a
+    // regression in the per-batch driver constant from one in per-block
+    // work — perFile=100 is sensitive to the constant (326 jobs),
+    // perFile=500 amortizes it 5×. The stdout/headline key stays the
+    // FIRST pin's value but is the 3-rep MEDIAN from r17 on (the r16
+    // VERDICT explicitly called the single-shot unusable for
+    // round-over-round calls).
+    val perFilePins = sys.env.getOrElse(
+        "SPARK_GRAFT_CASCADE_PER_FILE", "100,500")
+      .split(",").toSeq.map(_.trim.toInt)
+    val cascadeReps =
+      sys.env.getOrElse("SPARK_GRAFT_CASCADE_REPS", "3").toInt
     val loadPhaseCascade = sampleLoad() // attribution only (self-load)
-    val cascadeBps = try {
+    def runCascadeOnce(perFile: Int): Double = {
       val base = java.nio.file.Files
         .createTempDirectory("graft_cascade").toString
       val blocksDir = s"$base/blocks"
@@ -246,11 +258,64 @@ object Bench {
       require(goldRows > 0, "gold view over streamed warehouse is empty")
       graft.sink.ParquetSink.delete(new java.io.File(base))
       bps
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] cascade ingest FAILED: $e")
-      failures ::= "ingest_cascade_blocks_per_sec"
-      -1.0
     }
+    // per-pin: all reps + median (a failed rep records -1 and fails
+    // the bench, same contract as the query loop)
+    val cascadePins: Seq[(Int, Seq[Double])] = perFilePins.map { pf =>
+      pf -> (1 to cascadeReps).map { _ =>
+        try runCascadeOnce(pf)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] cascade ingest (perFile=$pf) FAILED: $e")
+          failures ::= "ingest_cascade_blocks_per_sec"
+          -1.0
+        }
+      }
+    }
+    val cascadeBps = median(cascadePins.head._2)
+    val perFile = cascadePins.head._1
+    // Auto-rerun of load-suspect queries (VERDICT r16 #5): the
+    // per-query load stamps prove a contaminated run about itself,
+    // but until now the artifact still carried only the junk numbers
+    // — the driver's r16 run flagged 10 queries and a human had to
+    // find the clean same-tree run elsewhere. After the main board
+    // (and the ingest phases, whose self-load has decayed ~1 min into
+    // the cascade reps), wait for the box to quiet (bounded) and
+    // re-measure every flagged query; the rerun lands in the detail
+    // record NEXT TO the original columns, so a contaminated run's
+    // final artifact contains usable medians for every query.
+    val suspects = results.collect {
+      case (name, (_, _, qLoad)) if qLoad > midrunGate => name
+    }
+    val rerunResults: Map[String, (Double, Seq[Double], Double)] =
+      if (suspects.isEmpty ||
+          sys.env.get("SPARK_GRAFT_BENCH_RERUN").contains("0")) Map.empty
+      else {
+        System.err.println(
+          s"[bench] re-running ${suspects.size} load-suspect queries: " +
+            suspects.mkString(", "))
+        waitForQuiet("suspect-rerun", phaseWaitMs)
+        val byName = SparkEntry.queries
+        suspects.map { name =>
+          val fn = byName(name)
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            val t =
+              try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] rerun $name FAILED: $e")
+                -1.0
+              }
+            QueryCaches.releaseAll()
+            spark.catalog.clearCache()
+            t
+          }
+          val qLoad = sampleLoad()
+          val cold = once()
+          val warms =
+            if (cold < 0) Seq(-1.0) else (1 to warmRuns).map(_ => once())
+          name -> (cold, warms, qLoad)
+        }.toMap
+      }
     // distinct: a query that fails cold AND on a warm pass would
     // otherwise appear repeatedly in the artifact (ADVICE r15)
     val failed =
@@ -269,7 +334,9 @@ object Bench {
       "since r13 the k-means coarse quantizer is memoized per (dir,k,iters) in-process, so the warm column of s_ann_kmeans/d_semantic_dedup/s_ann_recall EXCLUDES training that r12's warm column included - r12-to-r13 warm deltas for those queries are a measurement-scope change, not pure speedup; " +
       "s_ann_kmeans contract number is the full-bench warm column (codegen cache shared across the session) - an isolated single-query session measures ~1.3s vs ~0.8s here and both are healthy; " +
       "since r15 each query runs 3 warm passes (queries_warm is still the FIRST, methodology unchanged) and the full per-query record incl. medians is written to the bench_detail file - read THAT when this tail truncates; " +
-      "since r16 each query's detail record stamps the 1-min load sampled before ITS cold run (load) and flags load_suspect when it exceeds the MID-RUN gate (default 13.0, above the bench's own self-load, measured peaking at 12.5 on an idle box) - the flag means beyond-even-self-load; for finer reads compare a query's stamp against the same query's stamp in other rounds' artifacts"
+      "since r16 each query's detail record stamps the 1-min load sampled before ITS cold run (load) and flags load_suspect when it exceeds the MID-RUN gate (default 13.0, above the bench's own self-load, measured peaking at 12.5 on an idle box) - the flag means beyond-even-self-load; for finer reads compare a query's stamp against the same query's stamp in other rounds' artifacts; " +
+      "since r17 load_suspect queries are automatically RE-RUN at end of bench after a bounded wait-for-quiet, and the rerun columns land beside the originals in the detail record (rerun.warm_med is the number to read for a flagged query); " +
+      "since r17 the cascade runs at TWO pinned micro-batch sizes (perFile 100 and 500) x 3 reps each - ingest_cascade_blocks_per_sec is the perFile=100 3-rep MEDIAN (r1-r16 were single-shot, +-15% bounce), ingest_cascade_pins carries all reps"
     val loadEnd = sampleLoad()
     // SELF-SUFFICIENT per-query artifact (VERDICT r14 #3): the driver's
     // BENCH_r*.json keeps only a 2000-char stdout tail — r14's per-query
@@ -279,10 +346,17 @@ object Bench {
     val detailPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val perQuery = results.map { case (k, (cold, warms, qLoad)) =>
+      val rerun = rerunResults.get(k).map { case (c, ws, l) =>
+        s""","rerun":{"cold":$c,"warm":[${ws.mkString(",")}],""" +
+          s""""warm_med":${median(ws)},"load":$l}"""
+      }.getOrElse("")
       s"""    "$k": {"cold":$cold,"warm":[${warms.mkString(",")}],""" +
         s""""warm_med":${median(warms)},"load":$qLoad,""" +
-        s""""load_suspect":${qLoad > midrunGate}}"""
+        s""""load_suspect":${qLoad > midrunGate}$rerun}"""
     }.mkString("{\n", ",\n", "\n  }")
+    val cascadePinsJson = cascadePins.map { case (pf, reps) =>
+      s""""$pf":{"reps":[${reps.mkString(",")}],"median":${median(reps)}}"""
+    }.mkString("{", ",", "}")
     val detail =
       s"""{
          |  "sf": "$sfDir",
@@ -295,6 +369,8 @@ object Bench {
          |  "ingest_cascade_blocks_per_sec": $cascadeBps,
          |  "ingest_cascade_blocks_n": $cascadeBlocks,
          |  "ingest_cascade_per_file": $perFile,
+         |  "ingest_cascade_reps_per_pin": $cascadeReps,
+         |  "ingest_cascade_pins": $cascadePinsJson,
          |  "load_avg_start": $loadStart,
          |  "load_avg_end": $loadEnd,
          |  "load_phase_queries": $loadPhaseQueries,
@@ -312,7 +388,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write to $detailPath FAILED: $e")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"queries":$qs,"queries_warm":$qsWarm,"failed":$failed,"ingest_blocks_per_sec":$blocksPerSec,"ingest_blocks_n":$nBlocks,"ingest_cascade_blocks_per_sec":$cascadeBps,"ingest_cascade_blocks_n":$cascadeBlocks,"ingest_cascade_per_file":$perFile,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_phase_queries":$loadPhaseQueries,"load_phase_ingest":$loadPhaseIngest,"load_phase_cascade":$loadPhaseCascade,"load_max":$loadMax,"load_gate":$maxLoad,"load_contaminated":$loadContaminated,"sf":"$sfDir","bench_detail":"$detailPath","note":"$note"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"queries":$qs,"queries_warm":$qsWarm,"failed":$failed,"ingest_blocks_per_sec":$blocksPerSec,"ingest_blocks_n":$nBlocks,"ingest_cascade_blocks_per_sec":$cascadeBps,"ingest_cascade_blocks_n":$cascadeBlocks,"ingest_cascade_per_file":$perFile,"ingest_cascade_pins":$cascadePinsJson,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_phase_queries":$loadPhaseQueries,"load_phase_ingest":$loadPhaseIngest,"load_phase_cascade":$loadPhaseCascade,"load_max":$loadMax,"load_gate":$maxLoad,"load_contaminated":$loadContaminated,"sf":"$sfDir","bench_detail":"$detailPath","note":"$note"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

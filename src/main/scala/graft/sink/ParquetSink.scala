@@ -447,12 +447,22 @@ object ParquetSink {
       System.getProperty("java.io.tmpdir"),
       s"graft_sink_${ProcessHandle.current().pid()}_$name")
     delete(d)
-    scratchRegistered.computeIfAbsent(d.getAbsolutePath, _ => {
-      Runtime.getRuntime.addShutdownHook(new Thread(() => delete(d)))
-      java.lang.Boolean.TRUE
-    }): Unit
+    // ONE shutdown hook for all scratch names (ADVICE r16): a
+    // per-name hook accumulates threads in a long-lived process
+    // cycling many names, and registering DURING shutdown throws
+    // IllegalStateException — swallow that case (the JVM is exiting;
+    // the cleanup the hook would do is happening anyway).
+    if (scratchHookArmed.compareAndSet(false, true)) {
+      try Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        scratchRegistered.keySet().forEach(p =>
+          delete(new java.io.File(p)))))
+      catch { case _: IllegalStateException => () }
+    }
+    scratchRegistered.put(d.getAbsolutePath, java.lang.Boolean.TRUE): Unit
     d.getAbsolutePath
   }
+  private val scratchHookArmed =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
   private val scratchRegistered =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 }

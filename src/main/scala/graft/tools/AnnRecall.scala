@@ -75,14 +75,33 @@ object AnnRecall {
     val ivfadcCands = sys.env.getOrElse(
         "SPARK_GRAFT_IVFADC_NCAND", "8,16,32,64")
       .split(",").toSeq.map(_.trim.toInt)
-    for (ivfadcCells <- ivfadcCellsList; nprobe <- ivfadcProbes;
-         nCand <- ivfadcCands) {
+    // Code-quality axes (VERDICT r16 #3): the ADC ranking tail can be
+    // closed by a bigger rerank budget (nCand, the scan-side lever) OR
+    // by better codes — more subspaces (m: 8-byte vs 16-byte codes)
+    // or bigger sub-codebooks (ksub: 3-bit vs 4-bit cells). Sweeping
+    // m and ksub beside the nCand ladder answers which axis is the
+    // cheaper recall at the same index bytes. dsub derives from the
+    // corpus dim (m·dsub must cover the vector).
+    val ivfadcMs = sys.env.getOrElse("SPARK_GRAFT_IVFADC_M", "8")
+      .split(",").toSeq.map(_.trim.toInt)
+    val ivfadcKsubs = sys.env.getOrElse("SPARK_GRAFT_IVFADC_KSUB", "8")
+      .split(",").toSeq.map(_.trim.toInt)
+    val dim = graft.Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).first.getInt(0)
+    for (ivfadcCells <- ivfadcCellsList; m <- ivfadcMs; ksub <- ivfadcKsubs;
+         nprobe <- ivfadcProbes; nCand <- ivfadcCands) {
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val dsub = dim / m
       val t0 = System.nanoTime()
       val got = pairs(graft.llm.Similarity.sAnnIvfPq(
         spark, dir, k, nQueries, nCells = ivfadcCells, nprobe = nprobe,
-        nCand = nCand))
+        m = m, dsub = dsub, ksub = ksub, nCand = nCand))
       val sec = (System.nanoTime() - t0) / 1e9
+      // code_bits: what the codes column costs per vector at this
+      // (m, ksub) — the index-bytes side of the tradeoff
+      val codeBits = m * (32 - Integer.numberOfLeadingZeros(ksub - 1))
       println(s"""{"sf":"$dir","index":"ivfadc","n_cells":$ivfadcCells,""" +
+        s""""m":$m,"ksub":$ksub,"code_bits":$codeBits,""" +
         s""""nprobe":$nprobe,"n_cand":$nCand,"k":$k,""" +
         s""""n_queries":$nQueries,"exact":${exact.size},""" +
         s""""found":${(exact intersect got).size},"recall":${recall(got)},""" +

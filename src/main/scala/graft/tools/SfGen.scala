@@ -76,16 +76,30 @@ object SfGen {
       println(s"$t: dimension copied as-is")
     }
 
-    copyAsIs("region")
-    copyAsIs("nation")
-    replicate("customer", "c_custkey" -> oCus)
-    replicate("supplier", "s_suppkey" -> oSup)
-    replicate("part", "p_partkey" -> oPar)
-    replicate("orders", "o_orderkey" -> oOrd, "o_custkey" -> oCus)
-    replicate("lineitem", "l_orderkey" -> oOrd, "l_partkey" -> oPar,
-      "l_suppkey" -> oSup)
-    replicate("events", "event_id" -> oEvt, "user_id" -> oUsr)
-    replicate("documents", "doc_id" -> oDoc)
+    // SPARK_GRAFT_SF_TABLES=embeddings,documents restricts the output
+    // to the named tables (round 17: the 200k ANN sweep corpus only
+    // needs embeddings — regenerating 60M lineitem rows for it is
+    // wasted wall time). Default: all tables.
+    val only: String => Boolean =
+      sys.env.get("SPARK_GRAFT_SF_TABLES") match {
+        case Some(ts) => ts.split(",").map(_.trim).toSet
+        case None     => _ => true
+      }
+    def ifWanted(t: String)(body: => Unit): Unit = if (only(t)) body
+
+    ifWanted("region")(copyAsIs("region"))
+    ifWanted("nation")(copyAsIs("nation"))
+    ifWanted("customer")(replicate("customer", "c_custkey" -> oCus))
+    ifWanted("supplier")(replicate("supplier", "s_suppkey" -> oSup))
+    ifWanted("part")(replicate("part", "p_partkey" -> oPar))
+    ifWanted("orders")(
+      replicate("orders", "o_orderkey" -> oOrd, "o_custkey" -> oCus))
+    ifWanted("lineitem")(
+      replicate("lineitem", "l_orderkey" -> oOrd, "l_partkey" -> oPar,
+        "l_suppkey" -> oSup))
+    ifWanted("events")(
+      replicate("events", "event_id" -> oEvt, "user_id" -> oUsr))
+    ifWanted("documents")(replicate("documents", "doc_id" -> oDoc))
     // SPARK_GRAFT_SF_PERTURB=1 (VERDICT r12 #6): exact-copy embedding
     // twins SATURATE small-k ANN recall by construction (each query's
     // 9 twins are cosine-1 neighbors, so every index finds them and
@@ -97,7 +111,8 @@ object SfGen {
     // bit-identical so the original corpus stays embedded. Hash noise,
     // not rand(): reruns regenerate the same corpus bit-for-bit.
     val perturb = sys.env.getOrElse("SPARK_GRAFT_SF_PERTURB", "0") == "1"
-    if (!perturb) replicate("embeddings", "vec_id" -> oVec)
+    if (!only("embeddings")) ()
+    else if (!perturb) replicate("embeddings", "vec_id" -> oVec)
     else {
       val df = load("embeddings")
       val out = (0 until copies).map { i =>

@@ -54,8 +54,15 @@ class Round16Spec extends AnyFunSuite {
     }
     val rs = pairs(single) intersect exact
     val rm = pairs(multi) intersect exact
-    assert(rm.size >= rs.size,
-      s"multi-assignment recall ${rm.size} < single ${rs.size}")
+    // FIXTURE-PINNED values (ADVICE r16): "multi >= single" is not an
+    // algorithmic invariant — a replicated vector's best-replica ADC
+    // score can rise and evict a true neighbor from the candidate
+    // pool — so assert the exact recall this corpus + these defaults
+    // produce instead of a monotonicity claim that only happens to
+    // hold here. If the fixture or defaults change, re-pin.
+    assert(exact.size === 15, s"exact top-k pair count ${exact.size}")
+    assert(rs.size === 11, s"single-assignment recall ${rs.size}/15")
+    assert(rm.size === 11, s"multi-assignment recall ${rm.size}/15")
   }
 
   test("stored-model IVFADC twin equals the train-inline result " +

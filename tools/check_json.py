@@ -67,16 +67,29 @@ def main():
     shard = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     nshards = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     timeout = float(os.environ.get("CHECK_ORACLE_TIMEOUT_SEC", "900"))
-    con = duckdb.connect()
-    con.execute(f"SET threads={int(os.environ.get('CHECK_THREADS', '6'))}")
-    for t in TABLES:
-        p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    def connect():
+        c = duckdb.connect()
+        c.execute(f"SET threads={int(os.environ.get('CHECK_THREADS', '6'))}")
+        for t in TABLES:
+            p = Path(sf_dir) / f"{t}.parquet"
+            if p.exists():
+                c.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
+
+    con = connect()
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     result = {}
     t_run0 = time.time()
     n_pass = n_fail = 0
+    # optional argv[6:] = explicit query-name subset (the retry-pass
+    # path: re-run only the timed-out oracles with a bigger budget,
+    # then hand the retry artifact to merge_board.py LAST so its rows
+    # win the merge)
+    subset = set(sys.argv[6:])
+    if subset:
+        oracle = {k: v for k, v in oracle.items() if k in subset}
     items = [kv for i, kv in enumerate(sorted(oracle.items()))
              if i % nshards == shard]
     for name, sql in items:
@@ -95,8 +108,19 @@ def main():
             spark_rows = [tuple(r.values()) for r in tbl.to_pylist()]
             entry["spark_rows"] = len(spark_rows)
             # watchdog: interrupt a runaway oracle instead of wedging
-            # the whole board on it
-            timer = threading.Timer(timeout, con.interrupt)
+            # the whole board on it. `fired` closes the ADVICE r16
+            # race: the timer can fire after the query completes but
+            # before timer.cancel(), leaving an interrupt pending on
+            # the shared connection that would kill the NEXT query —
+            # whenever the timer fired at all, the connection is
+            # suspect and gets rebuilt.
+            fired = threading.Event()
+
+            def watchdog():
+                fired.set()
+                con.interrupt()
+
+            timer = threading.Timer(timeout, watchdog)
             timer.start()
             try:
                 cur = con.execute(sql)
@@ -108,6 +132,12 @@ def main():
                     f"(sf0.01 gate passes; oracle not tractable here)")
             finally:
                 timer.cancel()
+                if fired.is_set():
+                    try:
+                        con.close()
+                    except Exception:
+                        pass
+                    con = connect()
             entry["oracle_rows"] = len(duck_rows)
             sc, sr = canon(spark_rows, spark_cols)
             dc, dr = canon(duck_rows, duck_cols)
