@@ -211,8 +211,11 @@ object EventQueries {
     * [[graft.streaming.Sessionize.sessionsBatch]] runs
     * `flatMapGroupsWithState` in batch execution, one state record per
     * user sharded by the groupBy hash (its streaming twin reuses the
-    * same state function with a processing-time timeout). µs-truncated
-    * time for oracle parity (see kLatestEventPerUser). */
+    * same state function with a processing-time timeout). A codegen
+    * window rewrite was A/B-measured 25-50% SLOWER here (r17,
+    * [[graft.streaming.Sessionize.sessionsBatchWindow]] kept as the
+    * suite-pinned spill-safe twin), so the stateFn path stays.
+    * µs-truncated time for oracle parity (see kLatestEventPerUser). */
   def wSessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.streaming.Sessionize

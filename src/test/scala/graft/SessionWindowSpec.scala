@@ -617,6 +617,25 @@ class SessionWindowSpec extends AnyFunSuite {
     assert(perUserSessions === perUserEvents)
   }
 
+  test("window-based batch sessionization twin equals the stateFn batch " +
+    "path over the corpus (r17: the spill-safe alternative must not drift)") {
+    import spark.implicits._
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"), col("event_id"))
+      .as[Ev]
+    // the gap the declared queries use (30 min)
+    val got = Sessionize.sessionsBatchWindow(evs, gapUs = 30L * 60L * 1000000L)
+      .collect().map(s =>
+        (s.user_id, s.session_start_us, s.session_end_us, s.n_events))
+      .sorted.toSeq
+    val want = Sessionize.sessionsBatch(evs, gapUs = 30L * 60L * 1000000L)
+      .collect().map(s =>
+        (s.user_id, s.session_start_us, s.session_end_us, s.n_events))
+      .sorted.toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming sessionization emits closed sessions through " +
     "flatMapGroupsWithState") {
     import spark.implicits._
