@@ -76,16 +76,26 @@ object CorpusPipeline {
       col("doc_id"), col("lang"), col("text"))
     val reingested = base.withColumn("doc_id", col("doc_id") + lit(100000L))
     val corpus = base.unionByName(reingested)
-      // one local parquet split would serialize the narrow gate stage
-      // (see Dedup.signatures); at scale the scan has many splits
 
-    val gated = gateBatch(corpus)
+    // exact-dedup key FIRST, then fan out by it (r17, guide §2.4/§2.5):
+    // the cheap md5 is the only per-row work the byte-small 2-split
+    // scan pays; the explicit hash exchange is the SAME partitioning
+    // the exact-dedup window requires (so no second exchange appears),
+    // and it moves the EXPENSIVE gate metrics (tokenize +
+    // array_distinct per doc) to the post-shuffle side where they run
+    // at full parallelism instead of riding the scan's split count.
+    // Gate-then-dedup semantics are unchanged: norm_hash is
+    // row-deterministic and the quality/lang filter still applies
+    // before the window numbers survivors.
+    import graft.Tables.FanoutOps
+    val hashed = corpus.withColumn("norm_hash", md5(lower(trim(col("text")))))
+      .fanout(col("norm_hash"))
+    val gated = gateBatch(hashed)
 
     // exact dedup: deterministic min-id survivor per normalized hash —
     // one hash-partitioned window, the K2/ReplacingMergeTree shape
     val hashW = Window.partitionBy(col("norm_hash")).orderBy(col("doc_id"))
     val exactDeduped = gated
-      .withColumn("norm_hash", md5(lower(trim(col("text")))))
       .withColumn("rn", row_number().over(hashW))
       .filter(col("rn") === 1)
       .drop("rn")

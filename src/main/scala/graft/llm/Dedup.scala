@@ -243,7 +243,10 @@ object Dedup {
     * banding recall would decay below its design point). */
   private def prefixVerifiedPairs(spark: SparkSession, dir: String,
       threshold: Double): DataFrame = {
-    val docs = documents(spark, dir)
+    // fanout: shingle hashing is CPU-heavy over a byte-small scan (the
+    // house pattern — see signatures); the cache then holds the
+    // parallelism for every downstream pass
+    val docs = documents(spark, dir).fanout(col("doc_id"))
     val sets = QueryCaches.persistTracked(
       docs.select(col("doc_id"),
         expr("token_shingle_hashes(text, 3)").as("gs")))
@@ -344,7 +347,11 @@ object Dedup {
   def dContainmentPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
     val corpus = spansCorpus(documents(spark, dir))
+    // fanout before the shingle hashing (CPU-heavy, byte-small scan —
+    // see signatures); the union of base + remix otherwise carries the
+    // scan's 1-2 splits into every cached downstream pass
     val sets = QueryCaches.persistTracked(corpus
+      .fanout(col("doc_id"))
       .select(col("doc_id"),
         expr("token_shingle_hashes(text, 3)").as("gs"))
       .filter(size(col("gs")) > 0))
@@ -492,8 +499,10 @@ object Dedup {
 
   def dDupGroups(spark: SparkSession, dir: String,
                  threshold: Double = 0.8): DataFrame =
-    minLabelComponents(
-      verifiedPairsMv(spark, dir, threshold).localCheckpoint())
+    // no checkpoint on the MV read (r17): snapshot() returns a flat
+    // parquet scan — re-reading it per consumer IS the at-scale shape,
+    // and the copy job bought nothing (guide §1.2)
+    minLabelComponents(verifiedPairsMv(spark, dir, threshold))
       .orderBy(col("doc_id"))
 
   /** Near-duplicate groups by ALTERNATING STAR CONTRACTION — the
@@ -522,8 +531,8 @@ object Dedup {
     * no separate count() job (the minLabelComponents discipline). */
   def dCcStars(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame =
-    starComponents(
-      verifiedPairsMv(spark, dir, threshold).localCheckpoint())
+    // no checkpoint on the MV read — see dDupGroups
+    starComponents(verifiedPairsMv(spark, dir, threshold))
       .orderBy(col("doc_id"))
 
   /** Large-star: for every vertex u (seen from BOTH endpoints via the
@@ -568,16 +577,20 @@ object Dedup {
     * minimum (roots label themselves) — [[dDupGroups]]' exact schema
     * and semantics. */
   private[graft] def starComponents(pairs: DataFrame): DataFrame = {
+    // LAZY checkpoints (r17, the resolver-probe fusion pattern): the
+    // nVerts count below materializes `nodes`, and round 1's observe
+    // job materializes `edges` — the eager form paid a dedicated copy
+    // job for each. Lineage truncation is identical once materialized.
     val nodes = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var edges = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("src"),
         least(col("doc_a"), col("doc_b")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Round cap (ADVICE r12): star contraction converges in O(log² n)
     // rounds (Kiveris et al. SoCC'14); a run exceeding ~2·log₂(n)² + C
     // half-round pairs means either a checksum-collision early exit was
@@ -735,9 +748,11 @@ object Dedup {
         col("doc_a").as("doc_b")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .persist()
+    // lazy: round 1's own checkpoint job materializes the seed labels
+    // (r17, the resolver-probe fusion pattern — one job, not two)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("group_id", col("doc_id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
     while (!converged) {
@@ -798,6 +813,7 @@ object Dedup {
       block: Int = 12): DataFrame = {
     val blocks = QueryCaches.persistTracked(
       spansCorpus(documents(spark, dir))
+        .fanout(col("doc_id")) // CPU-heavy tokenize over a byte-small scan
         .withColumn("t", tokens(col("text")))
         .select(col("doc_id"), col("t"), size(col("t")).as("n"))
         .select(col("doc_id"),
@@ -847,7 +863,9 @@ object Dedup {
         vocab0.filter(length(col("t")) >= 4)
           .select(expr("substring(t, 2)").as("t")))
       .distinct()
-    val keyed = vocab.select(col("t"), explode(expr(
+    // fanout: the deletion-neighborhood explode is CPU-heavy and the
+    // distinct's tiny output otherwise coalesces to one task under AQE
+    val keyed = vocab.fanout(col("t")).select(col("t"), explode(expr(
       """array_distinct(concat(array(t),
         |  transform(sequence(1, length(t)),
         |    i -> concat(substring(t, 1, i - 1), substring(t, i + 1)))))"""
@@ -879,6 +897,7 @@ object Dedup {
     * engines. */
   def dShingleNovelty(spark: SparkSession, dir: String): DataFrame = {
     val sh = QueryCaches.persistTracked(documents(spark, dir)
+      .fanout(col("doc_id")) // CPU-heavy shingling over a byte-small scan
       .withColumn("t", tokens(col("text")))
       .filter(size(col("t")) >= 3) // sequence(0, negative) counts DOWN
       .select(col("doc_id"),
@@ -990,7 +1009,9 @@ object Dedup {
     * corpus-wide window). All integer arithmetic; the fraction is one
     * IEEE division — bit-identical in the DuckDB oracle. */
   def dDupSpans(spark: SparkSession, dir: String, w: Int = SpanW): DataFrame = {
-    val corpus = spansCorpus(documents(spark, dir))
+    // fanout: the window explode and the length map are CPU-heavy over
+    // a byte-small scan (the house pattern — see signatures)
+    val corpus = spansCorpus(documents(spark, dir)).fanout(col("doc_id"))
     // persisted: the occurrence count and the join back both read it
     // (tracked cache contract — released by the materializer)
     val wins = QueryCaches.persistTracked(

@@ -47,6 +47,31 @@ object Similarity {
 
   private def dot(a: String, b: String) = expr(s"dot_product($a, $b)")
 
+  /** The materialized (vec_id, emb, nrm) corpus every trainer/search
+    * path starts from — localCheckpoint'd because 2+ consumers
+    * (trainer, encode, rerank) each re-read it. WIDENED first when the
+    * scan is narrower than the session's parallelism (r17, guide §2.5
+    * input skew / §6 split sizing): a byte-small embeddings table scans
+    * as one split, the checkpoint inherits that one partition, and
+    * every downstream trainer aggregation / encode map / rerank join —
+    * CPU work, not byte work — serializes on one core (profiled: the
+    * whole IVFADC warm pass ran n=1 stages, 4.7 s of single-task job
+    * wall). At production scale the scan has ≥ cores splits and the
+    * guard makes this the identity — no shuffle is added. Results are
+    * partitioning-independent by design (integer-quantized trainer
+    * sums, total-order windows), which the gate hashes re-verify. */
+  private[llm] def checkpointedCorpus(spark: SparkSession,
+      dir: String): DataFrame = {
+    import graft.Tables.FanoutOps
+    val base = withNorm(embeddings(spark, dir))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+    val wide =
+      if (base.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+        base.fanout(col("vec_id"))
+      else base
+    wide.localCheckpoint()
+  }
+
   /** Brute-force cosine top-k for a query set (vec_id < nQueries)
     * against the whole corpus — the exact baseline ANN is judged
     * against. Broadcast the queries; rank with a per-query window. */
@@ -153,11 +178,23 @@ object Similarity {
     * [[sCosinePairs]], reused by [[sEmbedDedup]]. Unordered. */
   private def gridPairsAbove(norm: DataFrame, threshold: Double,
                              gridP: Int): DataFrame = {
+    import graft.Tables.FanoutOps
     val e = norm.select(col("vec_id"), col("emb"), col("nrm"),
       pmod(col("vec_id"), lit(gridP)).cast("int").as("g"))
+    // The streamed probe side is fanned out by cell pair (r17, guide
+    // §2.5 "input skew"): a byte-small embeddings table scans as 1-2
+    // splits, the planner broadcasts the build side, and the (n/P)²
+    // dot-product verify — the query's whole cost — inherits the scan's
+    // 2-task parallelism (profiled 2.3 s span / 3.4 s task time on 2
+    // tasks at sf0.1). Hashing the P² cell pairs over shuffle.partitions
+    // tasks is the partitioning the grid contract promises; at real
+    // scale an SMJ would pay this exact exchange anyway, and fanout's
+    // explicit N keeps AQE from coalescing the byte-small/CPU-heavy
+    // shuffle back to one task. Measured 3.79 → 1.56 s warm.
     val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
       col("nrm").as("nrm_a"), col("g").as("cell_a"),
       explode(expr(s"sequence(0, ${gridP - 1})")).as("cell_b"))
+      .fanout(col("cell_a"), col("cell_b"))
     val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
       col("nrm").as("nrm_b"), col("g").as("cell_b"),
       explode(expr(s"sequence(0, ${gridP - 1})")).as("cell_a"))
@@ -392,9 +429,7 @@ object Similarity {
   def sAnnKmeans(spark: SparkSession, dir: String, k: Int = 3,
       nQueries: Int = 20, nCells: Int = 8, iters: Int = 2,
       nprobe: Int = 2): DataFrame = {
-    val e = withNorm(embeddings(spark, dir))
-      .select(col("vec_id"), col("emb"), col("nrm"))
-      .localCheckpoint() // trainer + assignment + search all read it
+    val e = checkpointedCorpus(spark, dir) // trainer + assignment + search all read it
     kmeansSearch(e, kmeansModel(e, dir, nCells, iters), k, nQueries, nprobe)
   }
 
@@ -650,9 +685,7 @@ object Similarity {
   def sAnnPq(spark: SparkSession, dir: String, k: Int = 3,
       nQueries: Int = 20, m: Int = 8, dsub: Int = 8, ksub: Int = 8,
       iters: Int = 2, nCand: Int = 64): DataFrame = {
-    val e = withNorm(embeddings(spark, dir))
-      .select(col("vec_id"), col("emb"), col("nrm"))
-      .localCheckpoint() // trainer + encode + lut + rerank all read it
+    val e = checkpointedCorpus(spark, dir) // trainer + encode + lut + rerank all read it
     pqSearch(e, pqCodebooks(e, m, dsub, ksub, iters), k, nQueries, m,
       dsub, ksub, nCand)
   }
@@ -762,9 +795,7 @@ object Similarity {
       nprobe: Int = 4, m: Int = 8, dsub: Int = 8, ksub: Int = 8,
       pqIters: Int = 2, nCand: Int = 0,
       assignEps: Double = 0.0): DataFrame = {
-    val e = withNorm(embeddings(spark, dir))
-      .select(col("vec_id"), col("emb"), col("nrm"))
-      .localCheckpoint() // coarse trainer + residuals + rerank read it
+    val e = checkpointedCorpus(spark, dir) // coarse trainer + residuals + rerank read it
     // Defaults promoted from the 200k-vector sweep (VERDICT r14 #2 /
     // SCALE_CHECK r15): nCells ≤ 0 ⇒ the √n rule; nCand ≤ 0 ⇒
     // max(32, 13·k) — the rerank budget is THE recall lever (measured
@@ -798,9 +829,7 @@ object Similarity {
     * factor = rows / n; eps 0 ⇒ exactly n). */
   def ivfIndexRows(spark: SparkSession, dir: String, nCells: Int = 0,
       iters: Int = 2, assignEps: Double = 0.0): Long = {
-    val e = withNorm(embeddings(spark, dir))
-      .select(col("vec_id"), col("emb"), col("nrm"))
-      .localCheckpoint()
+    val e = checkpointedCorpus(spark, dir)
     val cells = if (nCells > 0) nCells else autoCells(e.count())
     residualRel(e, kmeansModel(e, dir, cells, iters), assignEps).count()
   }
@@ -989,9 +1018,7 @@ object Similarity {
   def sSemanticDedup(spark: SparkSession, dir: String,
       threshold: Double = 0.4, nCells: Int = 8, iters: Int = 2,
       gridP: Int = 4): DataFrame = {
-    val e = withNorm(embeddings(spark, dir))
-      .select(col("vec_id"), col("emb"), col("nrm"))
-      .localCheckpoint() // trainer + assignment read it
+    val e = checkpointedCorpus(spark, dir) // trainer + assignment read it
     val centroids = kmeansModel(e, dir, nCells, iters)
     // persisted: both self-join sides and the survivor join read it
     // (tracked cache contract — released by the materializer)
@@ -1069,8 +1096,7 @@ object Similarity {
     * converges on one task. */
   def sPrunePrototypes(spark: SparkSession, dir: String,
       nCells: Int = 8, iters: Int = 2, prunePct: Int = 25): DataFrame = {
-    val e = withNorm(embeddings(spark, dir))
-      .select(col("vec_id"), col("emb"), col("nrm")).localCheckpoint()
+    val e = checkpointedCorpus(spark, dir)
     prunePrototypesOf(e, kmeansModel(e, dir, nCells, iters), prunePct)
   }
 

@@ -35,9 +35,11 @@ object StoredModels {
   private def freshRoot(): String = java.nio.file.Files
     .createTempDirectory("graft_model_store_").toAbsolutePath.toString
 
+  /** Shared checkpointed corpus — [[Similarity.checkpointedCorpus]]
+    * (adaptive fan-out when the scan is narrower than the session's
+    * parallelism; identity at production split counts). */
   private def normedCorpus(spark: SparkSession, dir: String): DataFrame =
-    Similarity.withNorm(embeddings(spark, dir))
-      .select(col("vec_id"), col("emb"), col("nrm"))
+    Similarity.checkpointedCorpus(spark, dir)
 
   /** `s_ann_kmeans_stored`: IVF search against the STORED coarse
     * quantizer. Same oracle as `s_ann_kmeans`. */
@@ -45,7 +47,7 @@ object StoredModels {
       nQueries: Int = 20, nCells: Int = 8, iters: Int = 2,
       nprobe: Int = 2): DataFrame = {
     graft.Tables.tune(spark)
-    val e = normedCorpus(spark, dir).localCheckpoint()
+    val e = normedCorpus(spark, dir)
     val root = freshRoot()
     // v1: seed-only (iters=0) quantizer — stale by construction
     ModelStore.saveKmeans(spark, root, "ivf_coarse", 1L,
@@ -64,7 +66,7 @@ object StoredModels {
       nQueries: Int = 20, m: Int = 8, dsub: Int = 8, ksub: Int = 8,
       iters: Int = 2, nCand: Int = 64): DataFrame = {
     graft.Tables.tune(spark)
-    val e = normedCorpus(spark, dir).localCheckpoint()
+    val e = normedCorpus(spark, dir)
     val root = freshRoot()
     ModelStore.savePq(spark, root, "pq8x8", 1L,
       Similarity.pqCodebooks(e, m, dsub, ksub, 0))
@@ -90,7 +92,7 @@ object StoredModels {
       pqIters: Int = 2, nCand: Int = 0,
       assignEps: Double = 0.0): DataFrame = {
     graft.Tables.tune(spark)
-    val e = normedCorpus(spark, dir).localCheckpoint()
+    val e = normedCorpus(spark, dir)
     // same promoted defaults as the train-inline twin (√n cells,
     // 13·k rerank budget) — resolved identically so the pair stays
     // row-for-row comparable at any knob setting

@@ -1170,7 +1170,17 @@ object TextAnalysis {
 
   private[graft] def bpeTrain(spark: SparkSession, dir: String,
       nMerges: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
-    var vocab = bpeInitVocab(spark, dir).localCheckpoint()
+    // LAZY checkpoint chain (r17, guide §1.2: the loop's cost at this
+    // scale is per-job driver latency, not work): each step's best-pair
+    // collect is the FIRST action over the previous step's rewrite, so
+    // ONE job materializes the rewrite's checkpoint AND finds the next
+    // merge — the eager form paid a dedicated materialization job per
+    // step (2 jobs/merge → 1). A step's PARENT checkpoint stays alive
+    // until the step's own collect has materialized the child (a lazy
+    // checkpoint rebuilt from an unpersisted parent would lose data —
+    // lineage is truncated), then unpersists.
+    var vocab = bpeInitVocab(spark, dir).localCheckpoint(eager = false)
+    var parent: Option[DataFrame] = None
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var step = 1
@@ -1186,15 +1196,17 @@ object TextAnalysis {
         .agg(sum(col("cnt")).as("pc"))
         .orderBy(col("pc").desc, col("l"), col("r"))
         .limit(1).collect()
+      // vocab's checkpoint is now materialized — its parent is disposable
+      parent.foreach(_.unpersist())
+      parent = None
       if (best.isEmpty) dry = true
       else {
         val (l, r, pc) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((step.toLong, l, r, pc))
-        val old = vocab
+        parent = Some(vocab)
         vocab = vocab.withColumn("syms", bpeMergeCol(col("syms"), l, r))
-          .localCheckpoint()
-        old.unpersist()
+          .localCheckpoint(eager = false)
         step += 1
       }
     }
@@ -1417,20 +1429,27 @@ object TextAnalysis {
       (2L, "stream big"), (2L, "data line"),
       (3L, "slow line"), (3L, "batch batch"), (3L, "small big"))
       .toDF("query_id", "phrase")
+    // fanout: tokenize is CPU-heavy over a byte-small scan (the house
+    // pattern — see Dedup.signatures); the cache then holds 32-way
+    // partitions so every downstream stage keeps the parallelism
     val docs = QueryCaches.persistTracked(documents(spark, dir)
+      .fanout(col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .withColumn("dl", (size(col("t")) - 1).cast("long")))
     val corpus = docs.agg(count(lit(1)).as("d"), sum(col("dl")).as("a"))
       .collect()(0)
     val (nD, nA) = (corpus.getLong(0), corpus.getLong(1))
-    val docPhrase = docs
+    // persisted (r17): both the document-frequency aggregate and the
+    // scoring join read this relation — uncached, the bigram explode
+    // (the ranker's heavy map) ran twice per query
+    val docPhrase = QueryCaches.persistTracked(docs
       .select(col("doc_id"), col("dl"), explode(expr(
         "transform(sequence(0, size(t) - 2), " +
           "i -> concat_ws(' ', t[i], t[i + 1]))")).as("phrase"))
       .join(queries.select(col("phrase")).distinct(), Seq("phrase"))
       .groupBy(col("phrase"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val df = docPhrase.groupBy(col("phrase"))
       .agg(count(lit(1)).as("df"))
     val scored = docPhrase

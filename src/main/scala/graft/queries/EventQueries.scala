@@ -254,11 +254,16 @@ object EventQueries {
     val sessions =
       Sessionize.sessionsBatch(evs, gapUs = 30L * 60L * 1000000L).toDF()
     // persisted: the day-offsets aggregate and the main join both read
-    // the sweep points (tracked cache contract)
+    // the sweep points (tracked cache contract). Both sweep deltas are
+    // EXPLODED from each session row in one pass (r17) — the start∪end
+    // unionByName ran the whole sessionize subtree twice; see
+    // coverageFromEvents for the measured duplication.
     val pts = QueryCaches.persistTracked(sessions
-      .select(col("session_start_us").as("ts_us"), lit(1L).as("delta"))
-      .unionByName(sessions.select((col("session_end_us") + 1L).as("ts_us"),
-        lit(-1L).as("delta")))
+      .select(explode(array(
+        struct(col("session_start_us").as("ts_us"), lit(1L).as("delta")),
+        struct((col("session_end_us") + 1L).as("ts_us"),
+          lit(-1L).as("delta")))).as("e"))
+      .select(col("e.ts_us").as("ts_us"), col("e.delta").as("delta"))
       .groupBy(col("ts_us")).agg(sum(col("delta")).as("net"))
       .withColumn("day", expr("ts_us DIV 86400000000")))
     val offsets = pts.groupBy(col("day")).agg(sum(col("net")).as("day_net"))
@@ -413,28 +418,36 @@ object EventQueries {
     val evs = evsDf.as[Sessionize.Ev]
     val sessions =
       Sessionize.sessionsBatch(evs, gapUs = 30L * 60L * 1000000L).toDF()
-    // persisted: day offsets, day firsts, and the main sweep all read it
+    // persisted: the day digest and the main sweep both read it. Both
+    // sweep deltas (+1 at start, −1 past end) are EXPLODED from each
+    // session row in ONE pass (r17, guide §2.3 "aggregate before you
+    // shuffle" / §1.2): the previous start∪end unionByName duplicated
+    // the whole sessionize subtree — the stateful operator, its
+    // exchange and the scan ran TWICE per query (profiled ~15 s of
+    // duplicated task time at sf0.1).
     val pts = QueryCaches.persistTracked(sessions
-      .select(col("session_start_us").as("ts_us"), lit(1L).as("delta"))
-      .unionByName(sessions.select((col("session_end_us") + 1L).as("ts_us"),
-        lit(-1L).as("delta")))
+      .select(explode(array(
+        struct(col("session_start_us").as("ts_us"), lit(1L).as("delta")),
+        struct((col("session_end_us") + 1L).as("ts_us"),
+          lit(-1L).as("delta")))).as("e"))
+      .select(col("e.ts_us").as("ts_us"), col("e.delta").as("delta"))
       .groupBy(col("ts_us")).agg(sum(col("delta")).as("net"))
       .withColumn("day", expr(s"ts_us DIV $dayUs")))
-    val offsets = pts.groupBy(col("day")).agg(sum(col("net")).as("day_net"))
+    // ONE day-bounded digest carries both running offsets and the
+    // next-day first point (r17): the two-relation form built two
+    // broadcasts from two separate aggregation passes over pts — same
+    // rows, half the passes, one broadcast build.
+    val dayInfo = pts.groupBy(col("day"))
+      .agg(sum(col("net")).as("day_net"), min(col("ts_us")).as("first_us"))
       .withColumn("offset",
         coalesce(sum(col("day_net")).over(
           Window.orderBy(col("day"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("day"), col("offset"))
-    // first transition point of each day, shifted to serve as the
-    // previous point-bearing day's segment terminator (day-bounded)
-    val nextFirst = pts.groupBy(col("day")).agg(min(col("ts_us")).as("first_us"))
       .withColumn("next_first_us", lead(col("first_us"), 1).over(
         Window.orderBy(col("day"))))
-      .select(col("day"), col("next_first_us"))
+      .select(col("day"), col("offset"), col("next_first_us"))
     val wIn = Window.partitionBy(col("day")).orderBy(col("ts_us"))
-    val segs = pts.join(broadcast(offsets), Seq("day"))
-      .join(broadcast(nextFirst), Seq("day"))
+    val segs = pts.join(broadcast(dayInfo), Seq("day"))
       .withColumn("cum", col("offset") + sum(col("net")).over(
         wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("seg_end",

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.QueryCaches
 import graft.Tables._
 
 /** The remaining TPC-H query shapes (Q2/Q7/Q8/Q12–Q16/Q19–Q22),
@@ -292,12 +293,23 @@ object TpchFullQueries {
       .join(fOrders, col("l_orderkey") === col("o_orderkey"))
       .withColumn("is_late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-    val perOrder = lines.groupBy(col("l_orderkey").as("po_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
+    // ONE aggregation to the (order, supplier) grain serves both
+    // consumers (r17, guide §1.2/§2.3): the previous shape ran the
+    // lineitem⋈orders subtree TWICE (per-order countDistinct pass +
+    // late-pair distinct pass), and the two countDistincts planned an
+    // Expand that doubled the aggregate's input rows. n_supp =
+    // count over the distinct grain; n_late = suppliers with any late
+    // line; the late-pair relation is the same grain filtered — all
+    // exactly the prior semantics, one lineitem scan, no Expand.
+    val perOrderSupp = QueryCaches.persistTracked(lines
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("is_late")).as("late")))
+    val perOrder = perOrderSupp.groupBy(col("l_orderkey").as("po_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
       .filter(col("n_supp") > 1 && col("n_late") === 1)
-    lines.filter(col("is_late"))
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    perOrderSupp.filter(col("late"))
+      .select(col("l_orderkey"), col("l_suppkey"))
       .join(perOrder, col("l_orderkey") === col("po_orderkey"))
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
