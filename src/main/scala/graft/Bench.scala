@@ -18,6 +18,13 @@ object Bench {
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0").toDouble
     val waitBudgetMs = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "600").toLong * 1000L
+    // GLOBAL cap on the SUM of all quiet-waits (VERDICT r17 #1/#2): on a
+    // busy box the per-site bounds used to stack to 10+5+5 min of pure
+    // waiting, which (plus the r17 cascade expansion) blew the driver's
+    // window — BENCH_r17 rc=124. Every waitForQuiet now draws from one
+    // shared budget, so the worst case is bounded for the whole run.
+    var waitTotalLeftMs = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_WAIT_TOTAL_SEC", "600").toLong * 1000L
     // Bounded wait-for-quiet, applied before EVERY pre-work stamp, not
     // only at run start (VERDICT r13 #2): the driver's r13 artifact
     // started clean (1.59) but stamped the queries phase at 2.05 —
@@ -25,12 +32,14 @@ object Bench {
     // should WAIT at the next pre-work boundary instead of flagging.
     def waitForQuiet(tag: String, budgetMs: Long): Unit = {
       val start = System.currentTimeMillis()
-      while (loadAvg > maxLoad &&
-          System.currentTimeMillis() - start < budgetMs) {
+      def spent = System.currentTimeMillis() - start
+      while (loadAvg > maxLoad && spent < budgetMs &&
+          spent < waitTotalLeftMs) {
         System.err.println(
           f"[bench] $tag: 1-min load ${loadAvg}%.2f > gate $maxLoad%.1f — waiting 30 s")
         Thread.sleep(30000)
       }
+      waitTotalLeftMs = math.max(0L, waitTotalLeftMs - spent)
     }
     waitForQuiet("run-start", waitBudgetMs)
     val loadStart = loadAvg
@@ -172,10 +181,6 @@ object Bench {
       else if (ok.length % 2 == 1) ok(ok.length / 2)
       else (ok(ok.length / 2 - 1) + ok(ok.length / 2)) / 2.0
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
-      .mkString("{", ",", "}")
-    val qsWarm = results.map { case (k, v) => s"\"" + k + "\":" + v._2.head }
-      .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalWarm = results.map(_._2._2.head).filter(_ >= 0).sum
     // End-to-end ingest throughput in the reference's own unit
@@ -223,19 +228,20 @@ object Bench {
     // (untimed — gold is query-time in the reference too).
     val cascadeBlocks =
       sys.env.getOrElse("SPARK_GRAFT_CASCADE_BLOCKS", "2000").toInt
-    // TWO pinned micro-batch sizes × 3 reps each (VERDICT r16 #6): the
-    // single-shot number bounces ±15%, and one point cannot separate a
-    // regression in the per-batch driver constant from one in per-block
-    // work — perFile=100 is sensitive to the constant (326 jobs),
-    // perFile=500 amortizes it 5×. The stdout/headline key stays the
-    // FIRST pin's value but is the 3-rep MEDIAN from r17 on (the r16
-    // VERDICT explicitly called the single-shot unusable for
-    // round-over-round calls).
+    // Default cascade cost back inside the driver's window (VERDICT r17
+    // #2): r17's default of TWO pinned micro-batch sizes × 3 reps (a
+    // per-batch-constant vs per-block-work separation study, VERDICT r16
+    // #6) ~6×'d the cascade wall and the 32-core driver run timed out
+    // (rc=124). The study mode stays env-restorable
+    // (SPARK_GRAFT_CASCADE_PER_FILE=100,500 SPARK_GRAFT_CASCADE_REPS=3
+    // — used for in-round builder measurements); the DRIVER default is
+    // one pin × one rep, the same cost r1–r16 paid. The headline key is
+    // still the first pin's rep-median (= the single value at defaults).
     val perFilePins = sys.env.getOrElse(
-        "SPARK_GRAFT_CASCADE_PER_FILE", "100,500")
+        "SPARK_GRAFT_CASCADE_PER_FILE", "100")
       .split(",").toSeq.map(_.trim.toInt)
     val cascadeReps =
-      sys.env.getOrElse("SPARK_GRAFT_CASCADE_REPS", "3").toInt
+      sys.env.getOrElse("SPARK_GRAFT_CASCADE_REPS", "1").toInt
     val loadPhaseCascade = sampleLoad() // attribution only (self-load)
     def runCascadeOnce(perFile: Int): Double = {
       val base = java.nio.file.Files
@@ -283,8 +289,20 @@ object Bench {
     // re-measure every flagged query; the rerun lands in the detail
     // record NEXT TO the original columns, so a contaminated run's
     // final artifact contains usable medians for every query.
+    // Spread gate (VERDICT r17 #9): the 1-min load stamp misses
+    // sub-minute contamination spikes (r17: mm_scene_detect warm
+    // [13.7, 61.7, 38.9] with stamp 11.9 — suspect=false). A query whose
+    // warm passes disagree by >3× AND by >0.5 s absolute did not measure
+    // the plan, whatever the stamp says — rerun it too. The absolute
+    // floor keeps sub-second queries (where 3× is scheduler noise) out.
+    def warmSpreadSuspect(warms: Seq[Double]): Boolean = {
+      val ok = warms.filter(_ >= 0)
+      ok.nonEmpty && ok.max / math.max(ok.min, 1e-9) > 3.0 &&
+        ok.max - ok.min > 0.5
+    }
     val suspects = results.collect {
-      case (name, (_, _, qLoad)) if qLoad > midrunGate => name
+      case (name, (_, warms, qLoad))
+          if qLoad > midrunGate || warmSpreadSuspect(warms) => name
     }
     val rerunResults: Map[String, (Double, Seq[Double], Double)] =
       if (suspects.isEmpty ||
@@ -336,7 +354,9 @@ object Bench {
       "since r15 each query runs 3 warm passes (queries_warm is still the FIRST, methodology unchanged) and the full per-query record incl. medians is written to the bench_detail file - read THAT when this tail truncates; " +
       "since r16 each query's detail record stamps the 1-min load sampled before ITS cold run (load) and flags load_suspect when it exceeds the MID-RUN gate (default 13.0, above the bench's own self-load, measured peaking at 12.5 on an idle box) - the flag means beyond-even-self-load; for finer reads compare a query's stamp against the same query's stamp in other rounds' artifacts; " +
       "since r17 load_suspect queries are automatically RE-RUN at end of bench after a bounded wait-for-quiet, and the rerun columns land beside the originals in the detail record (rerun.warm_med is the number to read for a flagged query); " +
-      "since r17 the cascade runs at TWO pinned micro-batch sizes (perFile 100 and 500) x 3 reps each - ingest_cascade_blocks_per_sec is the perFile=100 3-rep MEDIAN (r1-r16 were single-shot, +-15% bounce), ingest_cascade_pins carries all reps"
+      "since r18 a query is also rerun-flagged on warm-pass SPREAD (max/min > 3x and max-min > 0.5s, stamped spread_suspect) - the 1-min load stamp misses sub-minute contamination spikes; " +
+      "since r18 the cascade DEFAULT is back to one pin (perFile=100) x 1 rep - the r17 default (100,500 x 3 reps, env-restorable via SPARK_GRAFT_CASCADE_PER_FILE/SPARK_GRAFT_CASCADE_REPS) blew the driver's wall budget; ingest_cascade_blocks_per_sec stays the first pin's rep-median, ingest_cascade_pins carries all reps; " +
+      "since r18 the sum of all wait-for-quiet pauses is capped (SPARK_GRAFT_BENCH_WAIT_TOTAL_SEC, default 600) and the stdout contract line is SHORT (headline totals + the cold per-query map at ms precision, printed after spark.stop with stderr quiesced) - r6-r16 lines grew past the 4 KiB atomic-pipe-write limit and concurrent executor stderr corrupted them mid-line (BENCH parsed:null on rc=0); queries_warm and this note moved to this detail file"
     val loadEnd = sampleLoad()
     // SELF-SUFFICIENT per-query artifact (VERDICT r14 #3): the driver's
     // BENCH_r*.json keeps only a 2000-char stdout tail — r14's per-query
@@ -352,7 +372,8 @@ object Bench {
       }.getOrElse("")
       s"""    "$k": {"cold":$cold,"warm":[${warms.mkString(",")}],""" +
         s""""warm_med":${median(warms)},"load":$qLoad,""" +
-        s""""load_suspect":${qLoad > midrunGate}$rerun}"""
+        s""""load_suspect":${qLoad > midrunGate},""" +
+        s""""spread_suspect":${warmSpreadSuspect(warms)}$rerun}"""
     }.mkString("{\n", ",\n", "\n  }")
     val cascadePinsJson = cascadePins.map { case (pf, reps) =>
       s""""$pf":{"reps":[${reps.mkString(",")}],"median":${median(reps)}}"""
@@ -388,8 +409,49 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write to $detailPath FAILED: $e")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"queries":$qs,"queries_warm":$qsWarm,"failed":$failed,"ingest_blocks_per_sec":$blocksPerSec,"ingest_blocks_n":$nBlocks,"ingest_cascade_blocks_per_sec":$cascadeBps,"ingest_cascade_blocks_n":$cascadeBlocks,"ingest_cascade_per_file":$perFile,"ingest_cascade_pins":$cascadePinsJson,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_phase_queries":$loadPhaseQueries,"load_phase_ingest":$loadPhaseIngest,"load_phase_cascade":$loadPhaseCascade,"load_max":$loadMax,"load_gate":$maxLoad,"load_contaminated":$loadContaminated,"sf":"$sfDir","bench_detail":"$detailPath","note":"$note"}""")
+    // THE stdout contract line — kept SHORT and printed LAST (VERDICT
+    // r17 #2). Root cause of r6–r16 `parsed: null` on rc=0 runs: the
+    // line had grown past Linux's 4 KiB atomic-pipe-write guarantee
+    // (PIPE_BUF), so its write was split into several syscalls, and any
+    // concurrently-logging executor thread could interleave stderr into
+    // the middle of the line (r17's clean 8-core run parsed the same
+    // 13 KB line fine — the corruption is a concurrency race, not a
+    // length cap). Three defenses: (a) the line carries only the
+    // headline scalars + the cold per-query map at ms precision
+    // (queries_warm, cascade pins, phase stamps and the methodology
+    // note live in the detail file — every query NAME stays, none
+    // dropped); (b) it is printed AFTER spark.stop(), when no executor
+    // or listener thread can write stderr anymore; (c) stderr is
+    // flushed first. Result: < 4 KiB, single atomic write, last thing
+    // on stdout.
+    def ms3(d: Double): String =
+      if (d < 0) "-1" else {
+        val s = f"$d%.3f"
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
+          .stripSuffix(".") else s
+      }
+    val qsShort = results.map { case (k, v) => "\"" + k + "\":" + ms3(v._1) }
+      .mkString("{", ",", "}")
+    val shortNote = "cold per-query map at ms precision; queries_warm, " +
+      "per-query warm passes/medians/load stamps/reruns, cascade pins " +
+      "and the methodology note are in bench_detail"
+    val line = s"""{"metric":"total","value":${ms3(total)},"unit":"sec"""" +
+      s""","total_warm":${ms3(totalWarm)},"queries":$qsShort""" +
+      s""","failed":$failed,"ingest_blocks_per_sec":${ms3(blocksPerSec)}""" +
+      s""","ingest_blocks_n":$nBlocks""" +
+      s""","ingest_cascade_blocks_per_sec":${ms3(cascadeBps)}""" +
+      s""","ingest_cascade_blocks_n":$cascadeBlocks""" +
+      s""","ingest_cascade_per_file":$perFile""" +
+      s""","load_avg_start":${ms3(loadStart)},"load_avg_end":${ms3(loadEnd)}""" +
+      s""","load_max":${ms3(loadMax)},"load_gate":$maxLoad""" +
+      s""","load_contaminated":$loadContaminated,"sf":"$sfDir"""" +
+      s""","bench_detail":"$detailPath","note":"$shortNote"}"""
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    System.err.flush()
+    Thread.sleep(200) // let any in-flight log appender writes land first
+    println(line)
+    System.out.flush()
     if (failures.nonEmpty) sys.exit(1)
   }
 }

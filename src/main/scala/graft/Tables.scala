@@ -31,14 +31,55 @@ object Tables {
     * fan-out would want anyway.
     */
   implicit class FanoutOps(private val df: DataFrame) {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      LogicalPlan, Project, Filter => LFilter, Generate, SubqueryAlias,
+      LeafNode}
+
+    /** True iff the plan is narrow transforms over leaf relations — no
+      * exchange can exist below it, so `df.rdd.getNumPartitions` is
+      * safe to ask (it builds the scan RDD without running any job).
+      * On a subtree that CONTAINS an exchange, `.rdd` under AQE would
+      * materialize every shuffle stage eagerly — computing the subtree
+      * once for the width probe and again in the real query — so those
+      * inputs keep the unconditional pinned repartition (which is also
+      * the correct shape there: a post-shuffle input that needs a
+      * fanout is one AQE coalesced, and its true runtime width cannot
+      * be known without executing). */
+    private def narrowOverLeaf(p: LogicalPlan): Boolean = p match {
+      case _: Project | _: LFilter | _: Generate | _: SubqueryAlias =>
+        p.children.forall(narrowOverLeaf)
+      case l: LeafNode => l.nodeName match {
+        // parquet scans, localCheckpoint results, literal relations
+        case "LogicalRelation" | "LogicalRDD" | "LocalRelation" |
+             "Relation" => true
+        case _ => false
+      }
+      case _ => false
+    }
+
+    /** Explicit-N hash fan-out, ADAPTIVE on scan-shaped inputs (r18,
+      * VERDICT r17 #8 — generalizing the guard r17 proved on the ANN
+      * corpus checkpoint): when the input is narrow-over-scan and the
+      * scan already has ≥ `spark.sql.shuffle.partitions` splits, the
+      * fan-out is the IDENTITY — no exchange. At 100 TB every
+      * documents/embeddings scan is thousands of splits wide, so the
+      * 15+ call sites stop being fixed-width chokes and stop paying a
+      * pointless shuffle on already-wide inputs (§2.5); at bench SF the
+      * byte-small scans are 1-2 splits and the pinned repartition fires
+      * exactly as before. Results are partitioning-independent by
+      * design (gate-verified), so the flip cannot change any row. */
     def fanout(cols: Column*): DataFrame =
       // -Dgraft.fanout.off=true: measurement seam for tools/FloorAB's
       // per-query fan-out A/B (is the shuffle worth it for THIS CPU
       // stage?); production call sites are the measured winners.
       if (sys.props.get("graft.fanout.off").contains("true")) df
-      else df.repartition(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-        cols: _*)
+      else {
+        val target =
+          df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        if (narrowOverLeaf(df.queryExecution.analyzed) &&
+            df.rdd.getNumPartitions >= target) df
+        else df.repartition(target, cols: _*)
+      }
   }
 
   /** Idempotent per-session settings every query path relies on. */

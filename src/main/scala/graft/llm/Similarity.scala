@@ -63,13 +63,14 @@ object Similarity {
   private[llm] def checkpointedCorpus(spark: SparkSession,
       dir: String): DataFrame = {
     import graft.Tables.FanoutOps
-    val base = withNorm(embeddings(spark, dir))
+    // the adaptive width guard this helper carried in r17 now lives in
+    // FanoutOps.fanout itself (r18, VERDICT r17 #8): identity when the
+    // scan already has >= shuffle.partitions splits, explicit-N
+    // repartition when it is narrower
+    withNorm(embeddings(spark, dir))
       .select(col("vec_id"), col("emb"), col("nrm"))
-    val wide =
-      if (base.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
-        base.fanout(col("vec_id"))
-      else base
-    wide.localCheckpoint()
+      .fanout(col("vec_id"))
+      .localCheckpoint()
   }
 
   /** Brute-force cosine top-k for a query set (vec_id < nQueries)

@@ -65,16 +65,29 @@ object ParquetSink {
     * a per-model load prunes to that model's directories instead of
     * scanning the whole family table (VERDICT r13 #3). */
   /** Run `f` with AQE disabled on this session, restoring the previous
-    * value after (r17, guide §1.2/§2.4): a [[writeBatch]] plan is
-    * repartition-by-bucket → sort → write — no joins, no skew to
-    * split, and the output file count is fixed by the bucket values
-    * regardless of partition coalescing — so AQE contributes nothing
-    * to it but DOES materialize the shuffle as an extra Spark job
-    * (~50 ms of driver constant). The streaming cascade pays that per
-    * table per micro-batch (13 writes/batch): measured 49 → 36
-    * jobs/micro-batch with the scope applied. Scale note: this scopes
-    * ONLY the sink write; every read/maintenance path (compaction,
-    * FINAL reads, the resolver fold, all declared queries) keeps AQE. */
+    * value after (r17, guide §1.2/§2.4): a [[writeBatch]] plan ends in
+    * repartition-by-bucket → sort → write, and the output file count is
+    * fixed by the bucket values regardless of partition coalescing — so
+    * AQE contributes nothing to the WRITE itself but DOES materialize
+    * the shuffle as an extra Spark job (~50 ms of driver constant). The
+    * streaming cascade pays that per table per micro-batch (13
+    * writes/batch): measured 49 → 36 jobs/micro-batch with the scope
+    * applied.
+    *
+    * Precision notes (ADVICE r17): (a) the toggle is SESSION-level conf
+    * state, so while a write is in flight any OTHER query planned on
+    * the same session also plans without AQE — benign for correctness
+    * (no declared result depends on plan shape) but a plan-quality blip
+    * for a concurrent reader; acceptable because the cascade is the
+    * only caller and runs single-writer. (b) Some wrapped plans DO
+    * embed upstream joins (attachParentTx in the silver cascade) —
+    * those lose AQE's runtime skew split for the duration of the write;
+    * at the cascade's per-micro-batch volumes the join inputs are
+    * bounded (one batch), so the static plan is fine, but a bulk
+    * BACKFILL through this path should reconsider the scope. A cloned
+    * `spark.newSession()` would isolate the conf, but a DataFrame
+    * cannot be transplanted onto another session through public API —
+    * the ref-count below is the working compromise. */
   private val aqeScopes =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, (Int, String)]
   private def withAqeOff[T](spark: SparkSession)(f: => T): T = {

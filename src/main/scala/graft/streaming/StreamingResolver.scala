@@ -165,6 +165,13 @@ object StreamingResolver {
     // every consumer (the state-table write, the next batch's
     // firstWrite) recomputes only the filter on top of lookup's
     // checkpoint blocks.
+    //
+    // CROSS-BATCH LIVENESS (ADVICE r17): because carry is lazy over
+    // THIS batch's `lookup`, the caller's state var (StreamRunner's
+    // `state = st2`) keeps referencing these checkpoint blocks into the
+    // NEXT micro-batch, until that batch's own lookup checkpoint lands.
+    // Nothing may unpersist `lookup` while carry is live — do not "fix"
+    // an apparent leak by unpersisting it at the end of processBatch.
     val maxHeight = maxHeightHint.getOrElse(batchBlocks
       .agg(max(col("header.height"))).collect()(0).getLong(0))
     val carry = lookup

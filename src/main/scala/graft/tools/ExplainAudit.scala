@@ -14,8 +14,14 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    // session shape overridable so plan dumps can demonstrate
+    // width-dependent behavior (r18: the adaptive fanout guard is the
+    // identity when the scan is at least shuffle.partitions wide —
+    // dump with SPARK_GRAFT_SHUFFLE_PARTITIONS=1 to see it fire)
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores)
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()

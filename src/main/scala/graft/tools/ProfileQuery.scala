@@ -76,6 +76,11 @@ object ProfileQuery {
         val t0 = System.nanoTime()
         val n = fn(spark, dir).count()
         val wall = (System.nanoTime() - t0) / 1e9
+        // drain the async listener bus before detaching (ADVICE r17):
+        // StageCompleted/JobEnd events for the last stages may still be
+        // queued; removing the listener immediately drops them and the
+        // printed breakdown undercounts the pass it claims to decompose
+        Thread.sleep(300)
         spark.sparkContext.removeSparkListener(listener)
         graft.QueryCaches.releaseAll()
         spark.catalog.clearCache()
